@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{LogPipeline => L, Relational => R}
+import graft.pipeline.{Dedup, Similarity, TextPipeline => T}
+
+/** Driver contract — query registry + DuckDB oracle SQL.
+  *
+  * Every oracle is written for hash-stability against Spark output:
+  *  - money math in DECIMAL (exact, order-independent), cast to DOUBLE only
+  *    in the final projection;
+  *  - computed integers as BIGINT on both sides;
+  *  - `window()` ↔ `time_bucket(..., TIMESTAMP '1970-01-01')` (explicit epoch
+  *    origin — DuckDB's default origin is 2000-01-03);
+  *  - `events.ts` is ns-precision parquet → CAST to µs TIMESTAMP in DuckDB
+  *    to match Spark's read;
+  *  - ratios/cosines rounded to 6dp with the identical fold order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    R.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q1_pricing_summary"   -> ((s, d) => R.q1PricingSummary(s, d)),
+    "q3_top_revenue"       -> ((s, d) => R.q3TopRevenue(s, d)),
+    "q5_region_revenue"    -> ((s, d) => R.q5RegionRevenue(s, d)),
+    // joins (SURVEY §2.4)
+    "j1_interval_join"     -> ((s, d) => R.j1IntervalJoin(s, d)),
+    "j2_interval_join_asym"-> ((s, d) => R.j2IntervalJoinAsym(s, d)),
+    "j3_dim_enrich"        -> ((s, d) => R.j3DimEnrich(s, d)),
+    "j4_bounce_detect"     -> ((s, d) => L.j4BounceDetect(s, d)),
+    // projections / filters / transforms (§2.2)
+    "p1_parse_clean"       -> ((s, d) => L.p1ParseClean(s, d)),
+    "p2_delete_filter"     -> ((s, d) => L.p2DeleteFilter(s, d)),
+    "p3_column_prune"      -> ((s, d) => L.p3ColumnPrune(s, d)),
+    "p4_derived_cols"      -> ((s, d) => L.p4DerivedCols(s, d)),
+    "p6_conditional_measure"-> ((s, d) => L.p6ConditionalMeasure(s, d)),
+    // splitting / routing (§2.3)
+    "sp1_log_split"        -> ((s, d) => L.sp1LogSplit(s, d)),
+    "sp2_config_router"    -> ((s, d) => L.sp2ConfigRouter(s, d)),
+    // stateful (batch oracles, §2.6)
+    "st1_is_new_fix"       -> ((s, d) => L.st1IsNewFix(s, d)),
+    "st2_daily_uv"         -> ((s, d) => L.st2DailyUv(s, d)),
+    // aggregations (§2.5)
+    "a1_visitor_stats"     -> ((s, d) => L.a1VisitorStats(s, d)),
+    "a2_product_stats"     -> ((s, d) => L.a2ProductStats(s, d)),
+    "a3_province_stats"    -> ((s, d) => R.a3ProvinceStats(s, d)),
+    "a4_keyword_stats"     -> ((s, d) => T.a4KeywordStats(s, d)),
+    "a5_gmv_by_day"        -> ((s, d) => R.a5GmvByDay(s, d)),
+    "a5_top_brands"        -> ((s, d) => R.a5TopBrands(s, d)),
+    // UDTF / text functions (§2.7-2.8 + training-data ops)
+    "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
+    "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
+    "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
+    "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
+    "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
+    "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
+    // dedup family
+    "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash_sig"    -> ((s, d) => Dedup.minhashSigExploded(s, d)),
+    "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"        -> ((s, d) => Dedup.simhashTable(s, d)),
+    "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // similarity search
+    "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
+  )
+
+  // ---- shared oracle fragments ---------------------------------------------
+
+  /** tokens(text) in DuckDB. */
+  private val TOKS = raw"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+  /** md5Prefix64(expr) in DuckDB. */
+  private def MD5P(e: String) = s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
+  /** events.ts normalized to µs precision. */
+  private val ETS = "CAST(ts AS TIMESTAMP)"
+  /** decimal(18,2) money cast. */
+  private def DEC(e: String) = s"CAST($e AS DECIMAL(18,2))"
+  private val P = "2305843009213693951" // (1<<61)-1, minhash modulus
+
+  /** doc_id → minhash-input hash list (distinct md5-hashed 3-shingles). */
+  private def minhashHs(where: String): String =
+    raw"""toks AS (SELECT doc_id, $TOKS AS t FROM documents $where),
+sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS shingles FROM toks),
+hs AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${MD5P("s")})) AS h FROM sh)"""
+
+  private val minhashSlot =
+    s"list_min(list_transform(h, x -> ((2*(i+1)*40503 + 1) * x + (i+1)*105341) % $P))"
+
+  /** embeddings with double-cast vectors + norms (fold order = Spark's). */
+  private val embNorms =
+    """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+n AS (SELECT vec_id, label, emb, sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e)"""
+
+  private def cosSql(ea: String, eb: String, na: String, nb: String) =
+    s"round(list_reduce(list_prepend(0.0, list_transform(list_zip($ea, $eb), p -> p[1] * p[2])), (a, b) -> a + b) / ($na * $nb), 6)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+CAST(SUM(${DEC("l_quantity")}) AS DOUBLE) AS sum_qty,
+CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS sum_disc_price,
+COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_top_revenue" ->
+      s"""SELECT o_orderkey, o_orderdate,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+
+    "q5_region_revenue" ->
+      s"""SELECT r_name, n_name,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS revenue,
+COUNT(*) AS line_ct
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+
+    "j1_interval_join" ->
+      s"""SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate,
+CAST(${DEC("l_extendedprice")} AS DOUBLE) AS price
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""",
+
+    "j2_interval_join_asym" ->
+      s"""SELECT o_orderkey AS pay_orderkey, l_linenumber,
+o_orderdate + INTERVAL 10 DAY AS pay_time, l_shipdate,
+CAST(${DEC("o_totalprice")} AS DOUBLE) AS pay_amount
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+AND l_shipdate >= o_orderdate + INTERVAL 10 DAY - INTERVAL 15 DAY
+AND l_shipdate <= o_orderdate + INTERVAL 10 DAY + INTERVAL 5 DAY
+WHERE o_orderstatus = 'F'""",
+
+    "j3_dim_enrich" ->
+      s"""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, n_name, r_name,
+CAST(${DEC("o_totalprice")} AS DOUBLE) AS total_amount,
+CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+    "j4_bounce_detect" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, date_trunc('second', $ETS) AS tss FROM events),
+w AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_type,
+lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_ts FROM e)
+SELECT event_id, user_id, strftime(tss, '%Y-%m-%d %H:%M:%S') AS visit_ts FROM w
+WHERE event_type = 'view' AND ((next_type = 'view' AND next_ts <= tss + INTERVAL 10 MINUTE)
+OR next_ts IS NULL OR next_ts > tss + INTERVAL 10 MINUTE)""",
+
+    "p1_parse_clean" ->
+      """SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+
+    "p2_delete_filter" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE event_type <> 'error'",
+
+    "p3_column_prune" ->
+      "SELECT event_id, user_id, event_type FROM events",
+
+    "p4_derived_cols" ->
+      s"""SELECT event_id, strftime($ETS, '%Y-%m-%d') AS create_date,
+CAST(hour($ETS) AS BIGINT) AS create_hour,
+epoch_ms(date_trunc('second', $ETS)) // 1000 AS create_ts FROM events""",
+
+    "p6_conditional_measure" ->
+      """SELECT event_id, user_id,
+CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS pv_ct,
+CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS click_ct,
+CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS order_ct,
+CAST(CASE WHEN event_type = 'signup' AND value > 100 THEN 1 ELSE 0 END AS BIGINT) AS sv_ct
+FROM events""",
+
+    "sp1_log_split" ->
+      """SELECT 'start' AS stream, event_id, user_id, value FROM events WHERE event_type = 'signup'
+UNION ALL SELECT 'page', event_id, user_id, value FROM events WHERE event_type IN ('view','click')
+UNION ALL SELECT 'display', event_id, user_id, value FROM events WHERE event_type = 'purchase'""",
+
+    "sp2_config_router" ->
+      """SELECT event_id, user_id, event_type, sink_type, sink_table FROM events
+JOIN (VALUES ('view','kafka','dwd_page_log'), ('click','kafka','dwd_click_log'),
+('purchase','hbase','dim_order'), ('signup','hbase','dim_user'))
+AS cfg(source_type, sink_type, sink_table) ON event_type = source_type""",
+
+    "st1_is_new_fix" ->
+      s"""SELECT event_id, user_id,
+CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY $ETS, event_id) = 1
+THEN 1 ELSE 0 END AS BIGINT) AS is_new FROM events""",
+
+    "st2_daily_uv" ->
+      s"""SELECT strftime(dt, '%Y-%m-%d') AS dt, COUNT(*) AS uv_ct FROM
+(SELECT DISTINCT user_id, CAST($ETS AS DATE) AS dt FROM events) GROUP BY dt""",
+
+    "a1_visitor_stats" ->
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '10 seconds', $ETS, TIMESTAMP '1970-01-01') AS w, event_type, value FROM events)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+strftime(w + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt, event_type,
+CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_ct,
+CAST(SUM(CASE WHEN event_type = 'signup' AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+COUNT(*) AS total_ct FROM e GROUP BY w, event_type""",
+
+    "a2_product_stats" ->
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '1 day', $ETS, TIMESTAMP '1970-01-01') AS w, event_type, user_id, value FROM events)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+strftime(w + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt, event_type,
+COUNT(DISTINCT user_id) AS user_ct,
+CAST(SUM(${DEC("value")}) AS DOUBLE) AS amount,
+COUNT(*) AS ct FROM e GROUP BY w, event_type""",
+
+    "a3_province_stats" ->
+      s"""WITH o AS (SELECT time_bucket(INTERVAL '7 days', o_orderdate, TIMESTAMP '1970-01-01') AS w,
+n_name, o_orderkey, o_totalprice FROM orders
+JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+strftime(w + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS edt, n_name,
+COUNT(DISTINCT o_orderkey) AS order_count,
+CAST(SUM(${DEC("o_totalprice")}) AS DOUBLE) AS order_amount
+FROM o GROUP BY w, n_name""",
+
+    "a4_keyword_stats" ->
+      s"""SELECT lang, keyword, COUNT(*) AS ct, 'search' AS source FROM
+(SELECT lang, unnest($TOKS) AS keyword FROM documents) GROUP BY lang, keyword""",
+
+    "a5_gmv_by_day" ->
+      s"""SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS dt,
+CAST(SUM(${DEC("o_totalprice")}) AS DOUBLE) AS order_amount FROM orders GROUP BY dt""",
+
+    "a5_top_brands" ->
+      s"""SELECT p_brand, CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS order_amount
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+ORDER BY order_amount DESC, p_brand ASC LIMIT 5""",
+
+    "u1_split_words" ->
+      s"SELECT doc_id, unnest($TOKS) AS word FROM documents WHERE doc_id < 20",
+
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $TOKS AS toks FROM documents),
+s AS (SELECT doc_id, labeled_lang,
+len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+len(list_filter(toks, x -> x IN ('le','la','de','et','un'))) AS s_fr,
+len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS s_zh FROM t)
+SELECT doc_id, labeled_lang, CASE
+WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS pred_lang FROM s""",
+
+    "text_quality_score" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+CAST(len($TOKS) AS BIGINT) AS n_tokens,
+round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+round(CAST(len(list_filter($TOKS, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / greatest(CAST(len($TOKS) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+round(CAST(len(list_distinct($TOKS)) AS DOUBLE) / greatest(CAST(len($TOKS) AS DOUBLE), 1.0), 6) AS unique_ratio
+FROM documents""",
+
+    "text_token_counts" ->
+      s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS ws_tokens,
+CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS subword_tokens
+FROM documents""",
+
+    "text_fingerprints" ->
+      s"""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+${MD5P("text")} AS fp64 FROM documents""",
+
+    "multimodal_features" ->
+      """SELECT doc_id, lang AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+md5(text) AS content_hash FROM documents""",
+
+    "dedup_exact" ->
+      s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+MIN(doc_id) AS canonical_id, COUNT(*) AS dup_ct FROM documents GROUP BY fp""",
+
+    "dedup_minhash_sig" ->
+      s"""WITH ${minhashHs("WHERE doc_id < 20")}
+SELECT doc_id, CAST(i AS BIGINT) AS hash_idx, $minhashSlot AS minhash
+FROM hs, (SELECT unnest(range(0, 64)) AS i) idx""",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, w -> ${MD5P("w")}) AS h FROM toks)
+SELECT doc_id, CAST(list_sum(list_transform(range(0, 32),
+i -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> i) & 1) = 1)) > len(h)
+THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM hs""",
+
+    "dedup_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, w -> ${MD5P("w")}) AS h FROM toks),
+sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32),
+i -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> i) & 1) = 1)) > len(h)
+THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM hs),
+blocked AS (SELECT doc_id, simhash, bk, (simhash >> (bk * 8)) & 255 AS block_key
+FROM sh, (SELECT unnest(range(0, 4)) AS bk) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS sa, y.simhash AS sb
+FROM blocked x JOIN blocked y ON x.bk = y.bk AND x.block_key = y.block_key AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, CAST(len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) AS INTEGER) AS hamming
+FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) <= 6""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
+(SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
+tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS inter
+FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) >= 0.5""",
+
+    "dedup_embedding" ->
+      s"""WITH $embNorms
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} AS cos
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
+
+    "ann_brute_topk" ->
+      s"""WITH $embNorms,
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM n a CROSS JOIN q WHERE a.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+  )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions — pure `org.apache.spark.sql.functions`
+  * compositions (codegen'd; no UDFs in the hot path).
+  *
+  * U1 tokenizer contract from the reference (`app/function/SplitFunction
+  * .java:12-29` + `utils/KeywordUtil.java:13-35`): string → word rows, never
+  * throws. The IK Chinese analyzer is replaced by a whitespace tokenizer —
+  * the operator surface (UDTF → LATERAL/explode) is what's reproduced.
+  */
+object TextFunctions {
+
+  /** Tokenize into a non-empty lowercase word array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Distinct token set (order-normalized via array_sort so downstream
+    * signatures are deterministic).
+    */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alnum runs + single non-alnum-non-space chars,
+    * the usual pre-tokenizer regex shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-score features (length / punctuation / stopword ratios), the
+    * standard pre-training filters. Ratios are rounded to 6dp so batch and
+    * oracle hash identically.
+    */
+  def charLen(text: Column): Column = length(text)
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0)), 6)
+  def stopwordRatio(text: Column, stops: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, w => w.isInCollection(stops))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 6)
+  }
+  def uniqueTokenRatio(text: Column): Column =
+    round(size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)).cast("double"), lit(1.0)), 6)
+
+  /** Language-ID: marker-stopword n-gram heuristic. Scores each candidate
+    * language by marker-token hits; deterministic argmax with fixed
+    * tie-break order (score desc, then language code asc via the fold
+    * order). Real deployments swap in a fastText-style model via the same
+    * column signature.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(filter(toks, w => w.isInCollection(ms))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax: keep candidate iff strictly greater than best-so-far → first
+    // (earliest in `markers`) wins ties, matching the oracle's CASE chain.
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * exact-dup key that is stable across engines (DuckDB md5 = Spark md5).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** First 8 md5 hex chars as a non-negative long — the cross-engine hash
+    * primitive used by minhash/simhash (DuckDB: CAST('0x'||substr(md5(x),1,8)
+    * AS BIGINT)).
+    */
+  def md5Prefix64(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}

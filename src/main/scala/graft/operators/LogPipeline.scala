@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** The reference's log pipeline (DWD→DWM→DWS layers) re-expressed over the
+  * `events` test table (fixture mapping: FIXTURES.md §C — `user_id`→mid,
+  * `event_type`→page id, `ts` event time, `props` the raw JSON payload).
+  *
+  * Batch renderings of the stateful operators use window functions — the
+  * same oracles SURVEY.md §2.6 assigns them; streaming renderings live in
+  * `graft.streaming` and are parity-tested against these.
+  */
+object LogPipeline {
+
+  /** Truncate event-time to whole seconds: keeps window/oracle arithmetic in
+    * a precision both Spark and DuckDB agree on.
+    */
+  private def tsSec = date_trunc("second", col("ts"))
+
+  /** P1: JSON parse with dirty-data split (`app/dwd/BaseLogApp.java:53-68`).
+    * `from_json` yields null on corrupt input — the null side IS the side
+    * output. Here: parse `props`, keep clean rows, expose parsed field.
+    */
+  def p1ParseClean(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("k"))
+
+  /** P2: type filter (`app/dwd/BaseDBApp.java:55-62` drops CDC deletes). */
+  def p2DeleteFilter(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** P3: config-driven column pruning
+    * (`app/function/TableProcessFunction.java:160-175`) — project only the
+    * columns a config row allows; dynamic `select`.
+    */
+  def p3ColumnPrune(spark: SparkSession, dir: String): DataFrame = {
+    val sinkColumns = Seq("event_id", "user_id", "event_type") // config value
+    events(spark, dir).select(sinkColumns.map(col): _*)
+  }
+
+  /** P4: bean parse + derived time columns (`app/dwm/OrderWideApp.java:74-96`
+    * splits create_time into date/hour/epoch).
+    */
+  def p4DerivedCols(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("create_date"),
+      hour(col("ts")).cast("long").as("create_hour"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("create_ts"))
+
+  /** P5+P6: stream normalization to a common stats bean with 0/1 measure
+    * slots (`app/dws/VisitorStatsApp.java:59-109`) + conditional measure
+    * (`:94-100` — sv=1 iff session start).
+    */
+  def p6ConditionalMeasure(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      when(col("event_type") === "view", 1L).otherwise(0L).as("pv_ct"),
+      when(col("event_type") === "click", 1L).otherwise(0L).as("click_ct"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("order_ct"),
+      when(col("event_type") === "signup" && col("value") > 100, 1L).otherwise(0L).as("sv_ct"))
+
+  /** SP1: log splitter (`app/dwd/BaseLogApp.java:100-138`): one parent stream
+    * fanned out to start/page/display children, then re-united under a common
+    * schema with a `stream` tag. In streaming this is one `foreachBatch` with
+    * `persist()` fan-out; in batch Catalyst reuses the scan (self-union).
+    */
+  def sp1LogSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val start   = ev.filter(col("event_type") === "signup")
+      .select(lit("start").as("stream"), col("event_id"), col("user_id"), col("value"))
+    val page    = ev.filter(col("event_type").isin("view", "click"))
+      .select(lit("page").as("stream"), col("event_id"), col("user_id"), col("value"))
+    val display = ev.filter(col("event_type") === "purchase")
+      .select(lit("display").as("stream"), col("event_id"), col("user_id"), col("value"))
+    start.unionByName(page).unionByName(display)
+  }
+
+  /** SP2: dynamic config-driven router
+    * (`app/function/TableProcessFunction.java:126-153`): route each row by a
+    * (sourceTable, operateType)-keyed config; unknown keys dropped. The
+    * broadcast-state config becomes a small broadcast-joined DataFrame,
+    * re-readable per micro-batch (ST3 semantics).
+    */
+  def sp2ConfigRouter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val config = Seq(
+      ("view", "kafka", "dwd_page_log"),
+      ("click", "kafka", "dwd_click_log"),
+      ("purchase", "hbase", "dim_order"),
+      ("signup", "hbase", "dim_user"))
+      .toDF("source_type", "sink_type", "sink_table")
+    events(spark, dir)
+      .join(broadcast(config), col("event_type") === col("source_type")) // inner: unknown → dropped
+      .select(col("event_id"), col("user_id"), col("event_type"), col("sink_type"), col("sink_table"))
+  }
+
+  /** ST1 (batch oracle): new/returning visitor correction
+    * (`app/dwd/BaseLogApp.java:71-96`): only a mid's first-ever event keeps
+    * is_new=1. Batch rendering: row_number over (user, event-time). The
+    * streaming rendering keeps ValueState per user (graft.streaming).
+    */
+  def st1IsNewFix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select("event_id", "user_id", "is_new")
+  }
+
+  /** ST2 (batch oracle): daily UV dedup (`app/dwm/UniqueVisitApp.java:54-87`,
+    * 24h-TTL keyed state): one row per (user, day) → UV count per day.
+    */
+  def st2DailyUv(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("dt"))
+      .distinct()
+      .groupBy(col("dt"))
+      .agg(count(lit(1)).as("uv_ct"))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"), col("uv_ct"))
+
+  /** J4 (batch oracle): CEP bounce detection
+    * (`app/dwm/UserJumpDetailApp.java:68-117`): session-start event followed
+    * strictly by another start within 10s → bounce; OR timeout with no
+    * follow-up (side-output branch) → bounce. Here: event_type='view' is the
+    * session start, timeout 10 minutes; `lead()` over (user, time) gives both
+    * the matched and the timed-out branch in one pass. Streaming rendering:
+    * transformWithState with an event-time timer (graft.streaming).
+    */
+  def j4BounceDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsSec.asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(tsSec, 1).over(w))
+      .filter(col("event_type") === "view")
+      .filter(
+        // matched branch: immediately followed by another session start in-window
+        (col("next_type") === "view" &&
+          col("next_ts") <= tsSec + expr("INTERVAL 10 MINUTES")) ||
+        // timeout branch: no follow-up event within the window at all
+        col("next_ts").isNull || col("next_ts") > tsSec + expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("user_id"), date_format(tsSec, "yyyy-MM-dd HH:mm:ss").as("visit_ts"))
+  }
+
+  /** A1: visitor stats — keyed 10s tumbling event-time window with summed 0/1
+    * measures (`app/dws/VisitorStatsApp.java:127-168`), window bounds
+    * formatted to stt/edt exactly as the reference's WindowFunction stamps
+    * them. Partial+final hash agg replaces Flink's reduce+finalize pair.
+    */
+  def a1VisitorStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("ts"), col("event_type"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("pv_ct"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("click_ct"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("order_ct"),
+        when(col("event_type") === "signup" && col("value") > 100, 1L).otherwise(0L).as("sv_ct"))
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(
+        sum(col("pv_ct")).as("pv_ct"),
+        sum(col("click_ct")).as("click_ct"),
+        sum(col("order_ct")).as("order_ct"),
+        sum(col("sv_ct")).as("sv_ct"),
+        count(lit(1)).as("total_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("click_ct"), col("order_ct"),
+        col("sv_ct"), col("total_ct"))
+
+  /** A2: product-stats analog with exact distinct via set semantics
+    * (`app/dws/ProductStatsApp.java:215-261`: HashSet accumulators sized at
+    * finalize; Spark: `size(collect_set(...))` — identical result, and the
+    * set column is dropped before the sink like `@TransientSink`). Uses
+    * 1-day windows over events keyed by event_type ("product").
+    * At 100 TB the drop-in replacement is `approx_count_distinct` (HLL).
+    */
+  def a2ProductStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        size(collect_set(col("user_id"))).cast("long").as("user_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
+        count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("user_ct"), col("amount"), col("ct"))
+}

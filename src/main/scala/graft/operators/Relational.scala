@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational core: scans, filters, joins (equi / interval / dim-enrichment),
+  * aggregations, top-K serving queries.
+  *
+  * Maps reference operators (SURVEY.md §2): J1/J2 interval joins
+  * (`app/dwm/OrderWideApp.java:99-107`, `app/dwm/PaymentWideApp.java:77-85`),
+  * J3 dimension enrichment (`app/function/DimAsyncFunction.java:16-69` — the
+  * whole async/Redis/thread-pool machinery collapses into broadcast hash
+  * joins), A3 province stats (`app/dws/ProvinceStatsSqlApp.java:49-68`), A5
+  * serving aggregations (`publisher/.../ProductStatsMapper.java:12,26`).
+  *
+  * Numeric policy for oracle-hash stability: money math is done in
+  * DecimalType (exact, order-independent) and only cast to double in the
+  * final projection, so Spark and DuckDB produce bit-identical doubles
+  * regardless of aggregation order. Divisions happen in double AFTER the
+  * exact sums.
+  */
+object Relational {
+
+  /** Exact money column: cast double input to decimal(18,2) before any agg. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** q1: TPC-H Q1-style pricing summary — full-scan aggregation with
+    * partial+final hash agg (the Spark analog of the reference's incremental
+    * reduce+finalize pairs, `app/dws/VisitorStatsApp.java:140-168`).
+    * At scale: single shuffle on a low-cardinality key; map-side combine does
+    * nearly all the work.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** q3: shipping-priority style — filtered equi-join + agg + deterministic
+    * top-K (order by revenue desc with key tie-break, then limit).
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  }
+
+  /** q5: multi-way join chain customer⋈orders⋈lineitem⋈nation⋈region with
+    * small dims broadcast — revenue per nation. The join order lets Catalyst
+    * broadcast region/nation/customer and shuffle only the two fact tables.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = region(spark, dir)
+    val n = nation(spark, dir)
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** J1: event-time interval join (equi-key + symmetric time range), the
+    * Spark rendering of Flink's `intervalJoin` at
+    * `app/dwm/OrderWideApp.java:99-107` (bounds ±5s there; here the test
+    * tables' natural delta is days, so bounds are [0d, +30d] — the operator
+    * semantics, equi-key AND time-range predicate, are identical).
+    * In streaming mode the same condition + watermarks bounds state; in
+    * batch Catalyst plans a sort-merge join with the range as post-filter.
+    */
+  def j1IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val l = lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"), col("l_shipdate"),
+        dec(col("l_extendedprice")).cast("double").as("price"))
+  }
+
+  /** J2: asymmetric-bounds interval join, mirroring
+    * `app/dwm/PaymentWideApp.java:77-85` ([-15min, +5s] there; [-15d, +5d]
+    * here). Payment stream is derived from `orders` (status 'F' = paid).
+    */
+  def j2IntervalJoinAsym(spark: SparkSession, dir: String): DataFrame = {
+    val pay = orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("pay_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 10 DAYS")).as("pay_time"),
+        col("o_totalprice").as("pay_amount"))
+    val l = lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_shipdate")
+    pay.join(l,
+        col("l_orderkey") === col("pay_orderkey") &&
+        col("l_shipdate") >= col("pay_time") - expr("INTERVAL 15 DAYS") &&
+        col("l_shipdate") <= col("pay_time") + expr("INTERVAL 5 DAYS"))
+      .select(col("pay_orderkey"), col("l_linenumber"), col("pay_time"), col("l_shipdate"),
+        dec(col("pay_amount")).cast("double").as("pay_amount"))
+  }
+
+  /** J3: dimension-enrichment chain — orders → customer → nation → region,
+    * all dims broadcast (left joins keep unmatched facts, matching
+    * `DimAsyncFunction.java:49-51` which passes rows through un-enriched on
+    * dim miss). The reference does 6 sequential async point-lookups through a
+    * Redis cache per row; on Spark the dims broadcast once per batch and the
+    * lookups are hash probes inside whole-stage codegen.
+    */
+  def j3DimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val n = nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = region(spark, dir).select("r_regionkey", "r_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("r_name"),
+        dec(col("o_totalprice")).cast("double").as("total_amount"),
+        // derived-column enrichment, cf. age calc OrderWideApp.java:138-146
+        year(col("o_orderdate")).cast("long").as("order_year"))
+  }
+
+  /** A3: province-stats analog (`app/dws/ProvinceStatsSqlApp.java:49-68`) —
+    * event-time tumbling window + geo dims, count(distinct order) + exact
+    * money sum. Window is 7 days over o_orderdate (reference uses 10s over a
+    * real-time stream; grain differs, operator does not).
+    */
+  def a3ProvinceStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(window(col("o_orderdate"), "7 days"), col("n_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        sum(dec(col("o_totalprice"))).cast("double").as("order_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("n_name"), col("order_count"), col("order_amount"))
+  }
+
+  /** A5a: serving GMV query (`publisher/.../ProductStatsMapper.java:12`) —
+    * `sum(order_amount)` per day bucket `toYYYYMMDD(stt)`.
+    */
+  def a5GmvByDay(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("dt"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("order_amount"))
+
+  /** A5b: serving top-K (`ProductStatsMapper.java:26`,
+    * `SugarController.java:26` default limit 5) — GMV by "trademark"
+    * (brand): part⋈lineitem, order by amount desc limit 5.
+    */
+  def a5TopBrands(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select("p_partkey", "p_brand")
+    lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("order_amount"))
+      .orderBy(col("order_amount").desc, col("p_brand").asc)
+      .limit(5)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Training-data deduplication over the `documents` / `embeddings` tables —
+  * the operations a 100 TB pre-training pipeline runs first.
+  *
+  * Scale posture: every variant is a shuffle-on-key groupBy or a bucketed
+  * self-join — no cross joins on the full corpus. MinHash-LSH is the scale
+  * path (candidate generation via band buckets); the pairwise verifiers only
+  * ever run inside a bucket / blocking group.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint. One
+    * shuffle on a 128-bit key; at 100 TB this is the cheapest possible
+    * full-corpus dedup (key is 16 bytes/doc regardless of doc size).
+    * Output: one row per distinct text, canonical (min) doc_id + dup count.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_ct"))
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Number of hash functions and LSH banding (16 bands × 4 rows). */
+  val NumHashes = 64
+  val Bands     = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic (a_i, b_i) hash-family coefficients — fixed odd constants,
+    * no RNG, so the signature is reproducible everywhere.
+    */
+  private val coeffs: Seq[(Long, Long)] =
+    (1 to NumHashes).map(i => (2L * i * 40503 + 1, i * 105341L))
+
+  /** Word 3-shingles of the token array. */
+  def shingles(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 3, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+  }
+
+  /** 64-slot MinHash signature: h_i(doc) = min over shingles of
+    * (a_i * md5_64(shingle) + b_i) mod p. The md5-based base hash keeps the
+    * signature engine-portable (same value in DuckDB SQL).
+    */
+  def minhashSignature(text: Column): Column = {
+    val hashed = array_distinct(transform(shingles(text), s => md5Prefix64(s)))
+    // single fold with a 64-slot min accumulator: the shingle md5 hashing
+    // (the expensive part) is evaluated once per shingle, not once per
+    // coefficient — 64 separate aggregate() calls would each re-inline it
+    aggregate(
+      hashed,
+      array(coeffs.map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), (lit(a) * h + lit(b)) % lit(MersennePrime))
+      }: _*))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: signature → 16 band-hash keys →
+    * shuffle on (band, bandHash) → pairs within each bucket, deduped.
+    * Emits (doc_a, doc_b, est_jaccard) with est = matching-slot fraction.
+    * At scale: buckets are tiny, the self-join is per-bucket; the only
+    * full-corpus cost is one shuffle of 64-long signatures.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sigs = documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    val banded = sigs.select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(Bands - 1)),
+          b => concat_ws("_", transform(
+            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(NumHashes.toDouble), 6).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** MinHash signature slots, exploded for oracle comparison (doc_id < 20). */
+  def minhashSigExploded(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(minhashSignature(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("hash_idx"), col("col").as("minhash"))
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 32-bit SimHash over the distinct-token set: per bit position, +1/-1
+    * votes from each token's md5-derived hash; bit set iff the vote sum is
+    * positive. Pure array-fold expression, engine-portable.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokenSet(text), w => md5Prefix64(w))
+    // static 32-slot unroll: the Scala functions API only shifts by literal
+    // amounts, and a fixed-width unroll stays inside whole-stage codegen
+    val votes = aggregate(
+      hashes,
+      array((0 until 32).map(_ => lit(0L)): _*),
+      (acc, h) => array((0 until 32).map(i =>
+        element_at(acc, i + 1) +
+          when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L)): _*))
+    (0 until 32).map(i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs: block on the 4 8-bit bytes of the signature
+    * (any pair within Hamming distance 3 shares at least one exact byte —
+    * pigeonhole), then verify Hamming distance ≤ maxDist inside blocks.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+    val t = simhashTable(spark, dir)
+    val blocked = t.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 8) % 256): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_key")
+    val a = blocked.select(col("block"), col("block_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = blocked.select(col("block"), col("block_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val xorCol = col("sh_a").bitwiseXOR(col("sh_b"))
+    val hamming = (0 until 32).map(i =>
+      when(shiftright(xorCol, i) % 2 === 1, 1).otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("block", "block_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- N-gram (bag) Jaccard ------------------------------------------------
+
+  /** Token-bag Jaccard within blocking groups (same `source`): Jaccard =
+    * Σ min(tf_a, tf_b) / (|A| + |B| − Σ min). Integer arithmetic until the
+    * final rounded ratio → hash-stable. The blocking key keeps the
+    * self-join out of cross-join territory at scale.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = docs.select(col("doc_id"), tokenCount(col("text")).as("total"))
+    val inter = tf.as("x").join(tf.as("y"),
+        col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"))
+    inter
+      .join(totals.select(col("doc_id").as("doc_a"), col("total").as("total_a")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("total").as("total_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("total_a") + col("total_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- Embedding cosine near-dup --------------------------------------------
+
+  /** Embedding-cosine near-dup pairs, blocked on `label` (stand-in for a
+    * coarse quantizer/IVF cell): pairwise cosine only within a block.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineR(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

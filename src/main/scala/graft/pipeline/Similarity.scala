@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline; broadcast the (small) query
+  *    set against the full corpus — one scan, no shuffle of the corpus.
+  *  - LSH-bucketed: sign-bit random-hyperplane buckets prune the corpus;
+  *    the 100 TB path (buckets shard the join; recall is tunable via number
+  *    of hyperplanes / probe multiplicity).
+  */
+object Similarity {
+
+  /** Brute-force exact top-k neighbors for query vectors (vec_id < nQueries),
+    * excluding self. The query side is broadcast; ranking is a per-query
+    * window top-k with deterministic tie-break (cos desc, vec_id asc).
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ranked = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineR(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+    ranked.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weights: w(h, i) in {-1, +1}
+    * derived from md5, so bucketing is reproducible with no RNG state.
+    */
+  private def hyperplaneSign(h: Int, i: org.apache.spark.sql.Column) =
+    when(conv(substring(md5(concat_ws("_", lit(h), i)), 1, 4), 16, 10).cast("long") % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bit LSH bucket id from `nPlanes` ±1 hyperplanes. */
+  def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column = {
+    val bits = (0 until nPlanes).map { h =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * hyperplaneSign(h, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
+    * candidates. Approximate — recall < 1 by design; the scale path where
+    * a corpus-wide brute force is impossible.
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nPlanes: Int = 8): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val ranked = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineR(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+    ranked.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` — the keyword pipeline from the
+  * reference plus the pre-training text filters (language-ID, quality
+  * scoring, token counting, fingerprinting).
+  */
+object TextPipeline {
+
+  /** U1: tokenizer UDTF surface (`app/function/SplitFunction.java:12-29`,
+    * used via LATERAL TABLE at `KeywordStatsApp.java:55-61`): one doc → N
+    * word rows. explode(tokens) is the Spark rendering; restricted to
+    * doc_id < 20 to keep the dump bounded.
+    */
+  def u1SplitWords(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+
+  /** A4: keyword stats (`app/dws/KeywordStatsApp.java:64-75`): tokenize →
+    * count per (word, lang-window). The reference groups per 10s tumble; the
+    * batch grain here is `lang` (documents are not a time series), with the
+    * constant `source` column preserved.
+    */
+  def a4KeywordStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("keyword"))
+      .groupBy(col("lang"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("source", lit("search"))
+
+  /** Language-ID heuristic per doc (marker-stopword score argmax). */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), langId(col("text")).as("pred_lang"))
+
+  /** Quality-score features: the standard C4/Gopher-style ratio filters. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      charLen(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      uniqueTokenRatio(col("text")).as("unique_ratio"))
+
+  /** Token counting: whitespace tokens + BPE-ish subword pre-tokens. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("ws_tokens"),
+      subwordCount(col("text")).cast("long").as("subword_tokens"))
+
+  /** Document fingerprinting: md5 of normalized text (exact-dup key) plus a
+    * 64-bit rolling-hash-style prefix for sharded storage.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      md5Prefix64(col("text")).as("fp64"))
+
+  /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
+    * The decode/feature-extract step is a STUB (no image/audio libs in this
+    * container): features here are byte-length and content hash — the
+    * Spark-side schema, batch shape and partitioning are the real part; a
+    * real deployment swaps the feature exprs for a `mapInPandas`-equivalent
+    * `mapPartitions` decoder with the same (id, media BINARY, meta) → (id,
+    * features ARRAY<DOUBLE>) contract.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        col("lang").as("media_type"))
+      .select(
+        col("doc_id"), col("media_type"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("content_hash"))
+}
