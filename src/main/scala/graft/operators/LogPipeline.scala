@@ -106,25 +106,30 @@ object LogPipeline {
   /** ST1 (batch oracle): new/returning visitor correction
     * (`app/dwd/BaseLogApp.java:71-96`): only a mid's first-ever event keeps
     * is_new=1. Batch rendering: row_number over (user, event-time). The
-    * streaming rendering keeps ValueState per user (graft.streaming).
+    * streaming rendering keeps ValueState per user (graft.streaming),
+    * parity-tested against this transform.
     */
-  def st1IsNewFix(spark: SparkSession, dir: String): DataFrame = {
+  def st1Transform(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events(spark, dir)
-      .withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
+    ev.withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
       .select("event_id", "user_id", "is_new")
   }
+
+  def st1IsNewFix(spark: SparkSession, dir: String): DataFrame =
+    st1Transform(events(spark, dir))
 
   /** ST2 (batch oracle): daily UV dedup (`app/dwm/UniqueVisitApp.java:54-87`,
     * 24h-TTL keyed state): one row per (user, day) → UV count per day.
     */
-  def st2DailyUv(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("dt"))
+  def st2Transform(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), to_date(col("ts")).as("dt"))
       .distinct()
       .groupBy(col("dt"))
       .agg(count(lit(1)).as("uv_ct"))
       .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"), col("uv_ct"))
+
+  def st2DailyUv(spark: SparkSession, dir: String): DataFrame =
+    st2Transform(events(spark, dir))
 
   /** J4 (batch oracle): CEP bounce detection
     * (`app/dwm/UserJumpDetailApp.java:68-117`): session-start event followed
@@ -134,10 +139,9 @@ object LogPipeline {
     * the matched and the timed-out branch in one pass. Streaming rendering:
     * transformWithState with an event-time timer (graft.streaming).
     */
-  def j4BounceDetect(spark: SparkSession, dir: String): DataFrame = {
+  def j4Transform(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(tsSec.asc, col("event_id").asc)
-    events(spark, dir)
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
       .withColumn("next_ts", lead(tsSec, 1).over(w))
       .filter(col("event_type") === "view")
       .filter(
@@ -149,14 +153,16 @@ object LogPipeline {
       .select(col("event_id"), col("user_id"), date_format(tsSec, "yyyy-MM-dd HH:mm:ss").as("visit_ts"))
   }
 
+  def j4BounceDetect(spark: SparkSession, dir: String): DataFrame =
+    j4Transform(events(spark, dir))
+
   /** A1: visitor stats — keyed 10s tumbling event-time window with summed 0/1
     * measures (`app/dws/VisitorStatsApp.java:127-168`), window bounds
     * formatted to stt/edt exactly as the reference's WindowFunction stamps
     * them. Partial+final hash agg replaces Flink's reduce+finalize pair.
     */
-  def a1VisitorStats(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .select(col("ts"), col("event_type"),
+  def a1Transform(ev: DataFrame): DataFrame =
+    ev.select(col("ts"), col("event_type"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("pv_ct"),
         when(col("event_type") === "click", 1L).otherwise(0L).as("click_ct"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("order_ct"),
@@ -173,6 +179,9 @@ object LogPipeline {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"), col("click_ct"), col("order_ct"),
         col("sv_ct"), col("total_ct"))
+
+  def a1VisitorStats(spark: SparkSession, dir: String): DataFrame =
+    a1Transform(events(spark, dir))
 
   /** A2: product-stats analog with exact distinct via set semantics
     * (`app/dws/ProductStatsApp.java:215-261`: HashSet accumulators sized at

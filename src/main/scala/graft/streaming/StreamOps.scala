@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming renderings of the reference's stateful operators.
+  *
+  * Design (SURVEY.md §7.0): every pipeline is dual-mode — the pure
+  * transformations live in `graft.operators` as `DataFrame => DataFrame`
+  * and run identically under batch and `readStream`; only genuinely
+  * stateful per-key logic (Flink `ValueState` / CEP timers) needs the
+  * `flatMapGroupsWithState` renderings here. Parity between the two modes
+  * is asserted by `StreamingParitySpec`.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class IsNewRow(event_id: Long, user_id: Long, is_new: Long)
+
+  case class BounceRow(event_id: Long, user_id: Long, visit_ts: String)
+
+  private def fmt(ts: Timestamp): String = {
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f.format(new java.util.Date((ts.getTime / 1000L) * 1000L)) // truncate to second
+  }
+
+  /** ST1 streaming: new/returning visitor correction
+    * (`app/dwd/BaseLogApp.java:71-96`). Keyed ValueState — here the
+    * GroupState holds "seen" per user; only the first-ever event (by
+    * event time within each micro-batch, arrival order across batches,
+    * matching Flink's semantics) keeps is_new=1.
+    *
+    * Scale note: state is one boolean per user key, hash-partitioned by
+    * Spark's state store — the same layout Flink keeps in RocksDB.
+    */
+  def st1IsNewFix(events: Dataset[Event]): Dataset[IsNewRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Boolean]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = sorted.map { e =>
+            val first = !state.exists
+            if (first) state.update(true)
+            IsNewRow(e.event_id, user, if (first) 1L else 0L)
+          }
+          out.iterator
+      }
+  }
+
+  /** J4 streaming: CEP bounce detection
+    * (`app/dwm/UserJumpDetailApp.java:68-117`). Per-user state machine
+    * replacing Flink CEP: a pending session-start ('view') event is
+    * emitted as a bounce if the next event is another start within the
+    * match window (matched branch) or if nothing follows inside the window
+    * (Flink's timeout side output) — the latter via an event-time timer
+    * (`GroupStateTimeout.EventTimeTimeout`), so the input must carry a
+    * watermark on `ts`.
+    */
+  def j4BounceDetect(events: Dataset[Event],
+                     windowMs: Long = 10 * 60 * 1000L): Dataset[BounceRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Event]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // timeout branch: pending start never followed inside the window
+            val pending = state.get
+            state.remove()
+            Iterator.single(BounceRow(pending.event_id, user, fmt(pending.ts)))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var pending: Option[Event] = state.getOption
+            val out = Seq.newBuilder[BounceRow]
+            sorted.foreach { e =>
+              pending match {
+                case Some(p) =>
+                  if (e.ts.getTime > p.ts.getTime + windowMs) {
+                    out += BounceRow(p.event_id, user, fmt(p.ts)) // timed out in-stream
+                    pending = None
+                  } else if (e.event_type == "view") {
+                    out += BounceRow(p.event_id, user, fmt(p.ts)) // matched: start→start
+                    pending = None
+                  } else {
+                    pending = None // followed by non-start inside window: no bounce
+                  }
+                case None =>
+              }
+              if (pending.isEmpty && e.event_type == "view") pending = Some(e)
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.ts.getTime + windowMs)
+              case None => state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** ST2 streaming: daily-UV dedup (`app/dwm/UniqueVisitApp.java:54-87`).
+    * The 24h-TTL keyed state is exactly watermark-scoped
+    * `dropDuplicates` on (user, day) — Spark evicts (user, day) pairs
+    * once the watermark passes the day, the same bound the TTL enforced.
+    */
+  def st2DedupedVisits(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("dt"))
+      .dropDuplicates("user_id", "dt")
+
+  /** A1 streaming: watermarked 10s tumbling-window visitor stats — the
+    * same transform as batch (`LogPipeline.a1Transform`) with a watermark
+    * bound; append mode emits each window once, like Flink's
+    * fire-on-watermark tumbling windows.
+    */
+  def a1WindowedStats(events: DataFrame, watermark: String = "11 seconds"): DataFrame =
+    graft.operators.LogPipeline.a1Transform(
+      events.withWatermark("ts", watermark))
+
+  /** J1 streaming: stream-stream interval join
+    * (`app/dwm/OrderWideApp.java:99-107`): equi-key + event-time range,
+    * watermarks on both sides bound the join state exactly like Flink's
+    * interval-join state retention.
+    */
+  def j1IntervalJoin(left: DataFrame, right: DataFrame,
+                     lowerBound: String = "5 seconds",
+                     upperBound: String = "5 seconds"): DataFrame = {
+    val l = left.withWatermark("l_ts", "10 seconds")
+    val r = right.withWatermark("r_ts", "10 seconds")
+    l.join(r,
+      expr(s"""l_key = r_key AND
+               r_ts BETWEEN l_ts - INTERVAL $lowerBound AND l_ts + INTERVAL $upperBound"""))
+  }
+}

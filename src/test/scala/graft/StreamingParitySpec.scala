@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.LogPipeline
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+case class LSide(l_key: Long, l_ts: Timestamp)
+case class RSide(r_key: Long, r_ts: Timestamp)
+
+/** Stream-batch parity: each stateful streaming rendering must produce the
+  * same rows as its batch oracle on the same input (SURVEY §5.2).
+  */
+class StreamingParitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Fixture: 3 users exercising matched/interrupted/timeout paths. */
+  private val fixture = Seq(
+    Event(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+    Event(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0),   // matched bounce for #1
+    Event(3, ts("2024-01-01 00:00:00"), 2, "view", 3.0),
+    Event(4, ts("2024-01-01 00:02:00"), 2, "click", 4.0),  // interrupts: no bounce
+    Event(5, ts("2024-01-01 00:00:30"), 3, "view", 5.0),   // timeout bounce
+    Event(6, ts("2024-01-01 00:20:00"), 1, "signup", 6.0),
+    Event(7, ts("2024-01-01 00:21:00"), 2, "view", 7.0))   // timeout bounce (stream end)
+
+  /** Far-future flush events so event-time timers/windows fire at end of
+    * stream (two rounds: watermark advances in batch N, timers fire in N+1).
+    */
+  private val flush1 = Event(9001, ts("2024-01-02 00:00:00"), -1, "flush", 0.0)
+  private val flush2 = Event(9002, ts("2024-01-03 00:00:00"), -1, "flush", 0.0)
+
+  private def runStream[T](chunks: Seq[Seq[Event]], mode: String)(
+      build: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val name = s"paritysink${System.nanoTime()}"
+    val out = build(input.toDF())
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("ST1 parity: streaming ValueState first-event == batch row_number oracle") {
+    val batch = LogPipeline.st1Transform(fixture.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    val got = runStream(Seq(fixture.take(4), fixture.drop(4)), "update") { df =>
+      StreamOps.st1IsNewFix(df.as[Event]).toDF()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
+  test("J4 parity: streaming CEP state machine == batch lead() oracle") {
+    val batch = LogPipeline.j4Transform(fixture.toDF())
+      .select("event_id").as[Long].collect().toSet
+    // chunks must not regress in event time: a watermarked stream drops
+    // late rows (correct engine semantics; the batch oracle sees everything)
+    val got = runStream(Seq(fixture.take(5), fixture.drop(5), Seq(flush1), Seq(flush2)), "append") { df =>
+      StreamOps.j4BounceDetect(
+        df.withWatermark("ts", "0 seconds")
+          .as[Event].filter(_.user_id >= 0)).toDF()
+    }.map(_.getLong(0)).toSet
+    assert(got == batch)
+  }
+
+  test("ST2 parity: watermarked dropDuplicates == batch distinct") {
+    val batch = fixture.map(e => (e.user_id, e.ts.toString.take(10))).toSet
+    val got = runStream(Seq(fixture.take(3), fixture.drop(3)), "append") { df =>
+      StreamOps.st2DedupedVisits(df).select("user_id", "dt")
+    }.map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(got == batch)
+  }
+
+  test("A1 parity: streaming windowed agg == batch windowed agg") {
+    // flush events are part of the input on BOTH sides: filtering them out
+    // post-agg on the stream side gets pushed below the watermark node by
+    // Catalyst, which would stop the watermark from ever advancing
+    val batch = LogPipeline.a1Transform((fixture ++ Seq(flush1, flush2)).toDF())
+      .collect().map(_.toSeq).toSet
+    val got = runStream(Seq(fixture.take(5), fixture.drop(5), Seq(flush1), Seq(flush2)), "append") { df =>
+      StreamOps.a1WindowedStats(df)
+    }.map(_.toSeq).toSet
+    // the final flush window can't emit (nothing advances the watermark past
+    // it) — parity modulo windows still open at end-of-stream
+    val openWindow = flush2.ts.toString.take(19)
+    assert(got == batch.filterNot(_.head.toString >= openWindow.take(16)))
+  }
+
+  test("J1 parity: stream-stream interval join == batch range join") {
+    val ls = Seq(LSide(1, ts("2024-01-01 00:00:10")), LSide(2, ts("2024-01-01 00:00:20")))
+    val rs = Seq(
+      RSide(1, ts("2024-01-01 00:00:12")), // +2s: in [-5, +5]
+      RSide(1, ts("2024-01-01 00:00:30")), // +20s: out
+      RSide(2, ts("2024-01-01 00:00:16")), // -4s: in
+      RSide(3, ts("2024-01-01 00:00:20"))) // no key
+    val batch = ls.toDF().join(rs.toDF(),
+      expr("l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL 5 seconds AND l_ts + INTERVAL 5 seconds"))
+      .select("l_key", "r_ts").collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[LSide]
+    val rIn = MemoryStream[RSide]
+    val joined = StreamOps.j1IntervalJoin(lIn.toDF(), rIn.toDF())
+    val name = s"j1sink${System.nanoTime()}"
+    val q = joined.select("l_key", "r_ts").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      lIn.addData(ls); rIn.addData(rs); q.processAllAvailable()
+      // flush watermark so all matches emit
+      lIn.addData(LSide(-9, ts("2024-01-02 00:00:00")))
+      rIn.addData(RSide(-9, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      lIn.addData(LSide(-8, ts("2024-01-03 00:00:00")))
+      rIn.addData(RSide(-8, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter(col("l_key") > 0).collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.pipeline.Dedup
+
+class TextDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokenizer never throws and drops empties (U1 contract)") {
+    val df = Seq("", "  ", "a  b\tc", "ONE two").toDF("text")
+    val got = df.select(tokens($"text").as("t")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq(), Seq(), Seq("a", "b", "c"), Seq("one", "two")))
+  }
+
+  test("quality ratios are bounded and safe on empty text") {
+    val df = Seq("", "aa bb aa", "!!!").toDF("text")
+    val rows = df.select(
+      punctRatio($"text"), stopwordRatio($"text"), uniqueTokenRatio($"text"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (p, s, u) =>
+      assert(p >= 0 && p <= 1 && s >= 0 && s <= 1 && u >= 0 && u <= 1)
+    }
+    assert(rows(1)._3 == 0.666667) // 2 distinct / 3 tokens, rounded 6dp
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = df.groupBy(fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("canonical"), count(lit(1)).as("ct"))
+      .orderBy("canonical")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._2, r._3)) == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(est(sigs(1L), sigs(2L)) > 0.5, "near-dup pair should share most slots")
+    assert(est(sigs(1L), sigs(3L)) < 0.2, "unrelated pair should share few slots")
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val m = df.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("cosine: orthogonal=0, identical=1, on float arrays") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineR($"a", $"b")).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("CDC envelope parse normalizes ops and drops deletes") {
+    val raw = Seq(
+      """{"database":"d","tableName":"t","before":null,"after":"{\"id\":1}","type":"create"}""",
+      """{"database":"d","tableName":"t","before":"{\"id\":1}","after":null,"type":"delete"}""",
+      "not json at all")
+      .toDF("value")
+    val env = graft.sources.Cdc.parseEnvelope(raw)
+    val ops = env.select("type").as[String].collect().toSeq
+    assert(ops.contains("insert") && ops.contains("delete"))
+    val kept = graft.sources.Cdc.dropDeletes(env)
+    assert(kept.filter($"type" === "insert").count() == 1)
+    assert(kept.filter($"type" === "delete").count() == 0)
+  }
+
+  test("DimStore upsert is last-write-wins by version") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore").toString
+    val store = new graft.sources.DimStore(spark, dir)
+    store.upsert("dim_user", Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "name", "v"),
+      "id", "v")
+    store.upsert("dim_user", Seq((1L, "a2", 2L)).toDF("id", "name", "v"), "id", "v")
+    val rows = store.read("dim_user").get.orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a2", 2L), (2L, "b", 1L)))
+    assert(store.lookup("dim_user", "id", 1L).head.getString(1) == "a2")
+  }
+}
