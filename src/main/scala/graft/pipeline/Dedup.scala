@@ -73,25 +73,32 @@ object Dedup {
     * full-corpus cost is one shuffle of 64-long signatures.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // materialize signatures once (localCheckpoint breaks lineage so the
+    // expensive shingle-hash pass runs a single time, not once per join
+    // side; at cluster scale this is a persisted intermediate table)
     val sigs = documents(spark, dir)
       .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .localCheckpoint()
+    // band rows carry only (band, key, id) — the 64-slot signatures stay
+    // out of the candidate-generation shuffle
     val banded = sigs.select(
-        col("doc_id"), col("sig"),
+        col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(Bands - 1)),
           b => concat_ws("_", transform(
             slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), x => x.cast("string"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(NumHashes.toDouble), 6).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -129,25 +136,36 @@ object Dedup {
   /** SimHash near-dup pairs: block on the 4 8-bit bytes of the signature
     * (any pair within Hamming distance 3 shares at least one exact byte —
     * pigeonhole), then verify Hamming distance ≤ maxDist inside blocks.
+    *
+    * Candidate generation runs over DISTINCT simhash values, not documents:
+    * near-duplicate corpora collapse many docs onto few hash values, so the
+    * value-level block join is orders of magnitude smaller than a doc-level
+    * one; doc pairs are expanded only for value pairs that already passed
+    * the Hamming check.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
-    val t = simhashTable(spark, dir)
-    val blocked = t.select(col("doc_id"), col("simhash"),
+    val t = simhashTable(spark, dir).localCheckpoint()
+    val values = t.select(col("simhash")).distinct()
+    val blocked = values.select(col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 8) % 256): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_key")
-    val a = blocked.select(col("block"), col("block_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = blocked.select(col("block"), col("block_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     val xorCol = col("sh_a").bitwiseXOR(col("sh_b"))
     val hamming = (0 until 32).map(i =>
       when(shiftright(xorCol, i) % 2 === 1, 1).otherwise(0)).reduce(_ + _)
-    a.join(b, Seq("block", "block_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+    val hashPairs = blocked.as("x").join(blocked.as("y"),
+        col("x.block") === col("y.block") && col("x.block_key") === col("y.block_key") &&
+          col("x.simhash") <= col("y.simhash"))
+      .select(col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming.cast("int"))
       .filter(col("hamming") <= maxDist)
+    hashPairs
+      .join(t.select(col("simhash").as("sh_a"), col("doc_id").as("id_x")), "sh_a")
+      .join(t.select(col("simhash").as("sh_b"), col("doc_id").as("id_y")), "sh_b")
+      .filter((col("sh_a") < col("sh_b")) || (col("id_x") < col("id_y")))
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"), col("hamming"))
   }
 
   // ---- N-gram (bag) Jaccard ------------------------------------------------
