@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LogPipeline => L, Relational => R}
+import graft.operators.{LogPipeline => L, Relational => R, Serving}
 import graft.pipeline.{Dedup, Similarity, TextPipeline => T}
 
 /** Driver contract — query registry + DuckDB oracle SQL.
@@ -38,6 +38,7 @@ object SparkEntry {
     "p3_column_prune"      -> ((s, d) => L.p3ColumnPrune(s, d)),
     "p4_derived_cols"      -> ((s, d) => L.p4DerivedCols(s, d)),
     "p6_conditional_measure"-> ((s, d) => L.p6ConditionalMeasure(s, d)),
+    "p8_explode_json"      -> ((s, d) => L.p8ExplodeJson(s, d)),
     // splitting / routing (§2.3)
     "sp1_log_split"        -> ((s, d) => L.sp1LogSplit(s, d)),
     "sp2_config_router"    -> ((s, d) => L.sp2ConfigRouter(s, d)),
@@ -51,6 +52,9 @@ object SparkEntry {
     "a4_keyword_stats"     -> ((s, d) => T.a4KeywordStats(s, d)),
     "a5_gmv_by_day"        -> ((s, d) => R.a5GmvByDay(s, d)),
     "a5_top_brands"        -> ((s, d) => R.a5TopBrands(s, d)),
+    // serving SQL surface (§3.3)
+    "sql_gmv_serving"      -> ((s, d) => Serving.sqlGmvByBrand(s, d)),
+    "sql_keyword_lateral"  -> ((s, d) => Serving.sqlKeywordLateralView(s, d)),
     // UDTF / text functions (§2.7-2.8 + training-data ops)
     "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
     "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
@@ -170,6 +174,18 @@ FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
       s"""SELECT event_id, strftime($ETS, '%Y-%m-%d') AS create_date,
 CAST(hour($ETS) AS BIGINT) AS create_hour,
 epoch_ms(date_trunc('second', $ETS)) // 1000 AS create_ts FROM events""",
+
+    "p8_explode_json" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+
+    "sql_gmv_serving" ->
+      s"""SELECT p_brand AS tm_name, CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS order_amount
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+ORDER BY order_amount DESC, tm_name ASC LIMIT 5""",
+
+    "sql_keyword_lateral" ->
+      s"""SELECT lang, word, COUNT(*) AS ct FROM
+(SELECT lang, unnest($TOKS) AS word FROM documents) GROUP BY lang, word""",
 
     "p6_conditional_measure" ->
       """SELECT event_id, user_id,

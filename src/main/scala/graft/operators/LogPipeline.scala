@@ -103,6 +103,26 @@ object LogPipeline {
       .select(col("event_id"), col("user_id"), col("event_type"), col("sink_type"), col("sink_table"))
   }
 
+  /** P8: JSON-array flatten (`app/dws/ProductStatsApp.java:75-114`: one page
+    * event fans out to a click row + N display rows via the `displays` JSON
+    * array). Modeled as a lossless round-trip on `lineitem`: pack each
+    * order's lines into a JSON array (the shape DWD ships on the wire),
+    * then `from_json` + `explode` back to rows — the oracle is simply the
+    * original rows, proving the flatten inverts the pack exactly.
+    */
+  def p8ExplodeJson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val lineSchema = ArrayType(StructType(Seq(
+      StructField("ln", IntegerType), StructField("qty", DoubleType))))
+    val packed = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(to_json(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("payload"))
+    packed
+      .select(col("l_orderkey"), explode(from_json(col("payload"), lineSchema)).as("line"))
+      .select(col("l_orderkey"), col("line.ln").as("l_linenumber"), col("line.qty").as("l_quantity"))
+  }
+
   /** ST1 (batch oracle): new/returning visitor correction
     * (`app/dwd/BaseLogApp.java:71-96`): only a mid's first-ever event keeps
     * is_new=1. Batch rendering: row_number over (user, event-time). The

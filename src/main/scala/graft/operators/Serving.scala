@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The serving layer's SQL surface (`publisher/` in the reference): the
+  * dashboard queries arrive as SQL text over the stats tables. Here the
+  * engine registers the warehouse tables as views and executes user SQL
+  * through `spark.sql` — the whole MyBatis/ClickHouse layer collapses into
+  * Catalyst (§3.3 of SURVEY.md).
+  */
+object Serving {
+
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every warehouse table as a temp view for SQL access. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    AllTables.foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** GMV-by-trademark serving query (`ProductStatsMapper.java:26`,
+    * default limit 5 `SugarController.java:26`) — as literal SQL text, the
+    * way the publisher issues it.
+    */
+  def sqlGmvByBrand(spark: SparkSession, dir: String, limit: Int = 5): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      s"""SELECT p_brand AS tm_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand
+         |ORDER BY order_amount DESC, tm_name ASC
+         |LIMIT $limit""".stripMargin)
+  }
+
+  /** U1 via SQL LATERAL VIEW (`KeywordStatsApp.java:55-61` registers the
+    * tokenizer UDTF and uses `LATERAL TABLE(ik_analyze(...))`): the Spark
+    * SQL rendering registers `split_words` and uses LATERAL VIEW explode.
+    */
+  def sqlKeywordLateralView(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.udf.register("split_words",
+      (s: String) => Option(s).map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty[String]))
+    spark.sql(
+      """SELECT lang, word, COUNT(*) AS ct
+        |FROM documents LATERAL VIEW explode(split_words(text)) w AS word
+        |GROUP BY lang, word""".stripMargin)
+  }
+}

