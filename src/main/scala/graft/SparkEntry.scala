@@ -87,12 +87,20 @@ object SparkEntry {
   private def DEC(e: String) = s"CAST($e AS DECIMAL(18,2))"
   private val P = "2305843009213693951" // (1<<61)-1, minhash modulus
 
-  /** doc_id → minhash-input hash list (distinct md5-hashed 3-shingles). */
+  /** doc_id → minhash-input hash list: md5 per token, positional-combined
+    * 3-shingle hashes mod p, reduced to 32 bits (mirrors
+    * `Dedup.shingleHashes`/`minhashSignature` exactly).
+    */
   private def minhashHs(where: String): String =
     raw"""toks AS (SELECT doc_id, $TOKS AS t FROM documents $where),
-sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-       ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS shingles FROM toks),
-hs AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${MD5P("s")})) AS h FROM sh)"""
+th AS (SELECT doc_id, list_transform(t, w -> ${MD5P("w")}) AS h0, len(t) AS n FROM toks),
+hs AS (SELECT doc_id, list_distinct(list_transform(
+  CASE WHEN n < 3 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, n + 1), i -> h0[i] * ([786433, 917505, 1048577])[i])),
+         (a, b) -> (a + b) % $P)]
+       ELSE list_transform(range(1, n - 1),
+         i -> (h0[i]*786433 + h0[i+1]*917505 + h0[i+2]*1048577) % $P) END,
+  x -> x % 4294967291)) AS h FROM th)"""
 
   private val minhashSlot =
     s"list_min(list_transform(h, x -> ((2*(i+1)*40503 + 1) * x + (i+1)*105341) % $P))"
@@ -348,6 +356,19 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE),
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} AS cos
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
+
+    "ann_lsh_topk" ->
+      s"""WITH $embNorms,
+nb AS (SELECT vec_id, emb, nrm, CAST(list_sum(list_transform(range(0, 8),
+  h -> CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5(h || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) >= 0
+  THEN CAST(1 AS BIGINT) << h ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket FROM n),
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, bucket FROM nb WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM nb a JOIN q USING (bucket) WHERE a.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
 
     "ann_brute_topk" ->
       s"""WITH $embNorms,

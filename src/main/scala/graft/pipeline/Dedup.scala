@@ -40,31 +40,66 @@ object Dedup {
   private val coeffs: Seq[(Long, Long)] =
     (1 to NumHashes).map(i => (2L * i * 40503 + 1, i * 105341L))
 
-  /** Word 3-shingles of the token array. */
-  def shingles(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) < 3, array(concat_ws(" ", toks)))
+  /** Positional combiners for 3-token shingle hashes (odd constants < 2^20
+    * so combine products stay well inside int64 headroom).
+    */
+  private val ShingleC = Seq(786433L, 917505L, 1048577L)
+
+  /** md5 hash per token — the expensive, engine-portable step, evaluated
+    * once per token. MUST be materialized as its own projection before
+    * `shingleHashesFrom` (a lambda that references an expression tree N
+    * times re-evaluates it N times; an attribute reference is free).
+    */
+  def tokenHashes(text: Column): Column = transform(tokens(text), w => md5Prefix64(w))
+
+  /** 3-shingle hash list from a (materialized) token-hash array: cheap
+    * positional combinations of consecutive token hashes, reduced mod p
+    * then to 32 bits so downstream coefficient products stay in int64.
+    * Documents with < 3 tokens hash whatever tokens exist with the same
+    * combiners.
+    */
+  def shingleHashesFrom(th: Column): Column = {
+    val n = size(th)
+    val raw = when(n === 0, array(lit(0L)))
+      .when(n < 3,
+        array(aggregate(
+          zip_with(th, sequence(lit(1), greatest(n, lit(1))),
+            (h, i) => h * element_at(typedLit(ShingleC), i)),
+          lit(0L), (acc, x) => (acc + x) % lit(MersennePrime))))
       .otherwise(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
+        sequence(lit(1), n - 2),
+        i => (element_at(th, i) * lit(ShingleC(0)) +
+              element_at(th, i + 1) * lit(ShingleC(1)) +
+              element_at(th, i + 2) * lit(ShingleC(2))) % lit(MersennePrime)))
+    array_distinct(transform(raw, h => h % lit(4294967291L)))
   }
 
-  /** 64-slot MinHash signature: h_i(doc) = min over shingles of
-    * (a_i * md5_64(shingle) + b_i) mod p. The md5-based base hash keeps the
-    * signature engine-portable (same value in DuckDB SQL).
+  /** 64-slot MinHash signature from (materialized) shingle hashes: single
+    * fold with a 64-slot min accumulator — h_i = min (a_i * h + b_i) mod p,
+    * exact int64 (h < 2^32, a_i < 2^23).
     */
-  def minhashSignature(text: Column): Column = {
-    val hashed = array_distinct(transform(shingles(text), s => md5Prefix64(s)))
-    // single fold with a 64-slot min accumulator: the shingle md5 hashing
-    // (the expensive part) is evaluated once per shingle, not once per
-    // coefficient — 64 separate aggregate() calls would each re-inline it
+  def minhashSignatureFrom(hashed: Column): Column =
     aggregate(
       hashed,
       array(coeffs.map(_ => lit(Long.MaxValue)): _*),
       (acc, h) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
         least(element_at(acc, i + 1), (lit(a) * h + lit(b)) % lit(MersennePrime))
       }: _*))
-  }
+
+  /** doc_id → signature table with each stage in its own projection (see
+    * `tokenHashes` — projection boundaries prevent lambda re-evaluation;
+    * CollapseProject keeps them apart because the arrays are non-cheap and
+    * multiply-referenced).
+    */
+  def signatureTable(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), shingleHashesFrom(col("th")).as("hs"))
+      .select(col("doc_id"), minhashSignatureFrom(col("hs")).as("sig"))
+
+  /** Column-level composition for small inputs / unit tests. */
+  def minhashSignature(text: Column): Column =
+    minhashSignatureFrom(shingleHashesFrom(tokenHashes(text)))
 
   /** MinHash+LSH near-dup candidate pairs: signature → 16 band-hash keys →
     * shuffle on (band, bandHash) → pairs within each bucket, deduped.
@@ -76,9 +111,7 @@ object Dedup {
     // materialize signatures once (localCheckpoint breaks lineage so the
     // expensive shingle-hash pass runs a single time, not once per join
     // side; at cluster scale this is a persisted intermediate table)
-    val sigs = documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
-      .localCheckpoint()
+    val sigs = signatureTable(spark, dir).localCheckpoint()
     // band rows carry only (band, key, id) — the 64-slot signatures stay
     // out of the candidate-generation shuffle
     val banded = sigs.select(
@@ -102,11 +135,16 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** MinHash signature slots, exploded for oracle comparison (doc_id < 20). */
+  /** MinHash signature slots, exploded for oracle comparison (doc_id < 20).
+    * The signature is materialized (localCheckpoint) before the explode:
+    * Generate re-evaluates a non-trivial generator input per OUTPUT row,
+    * which would multiply the signature cost 64×.
+    */
   def minhashSigExploded(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    signatureTable(spark, dir)
       .filter(col("doc_id") < 20)
-      .select(col("doc_id"), posexplode(minhashSignature(col("text"))))
+      .localCheckpoint()
+      .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").cast("long").as("hash_idx"), col("col").as("minhash"))
 
   // ---- SimHash -------------------------------------------------------------

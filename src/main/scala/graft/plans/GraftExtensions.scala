@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectSet, Complete, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Size}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst extension: scale-mode rewrite of exact set-based distinct
+  * counts into HyperLogLog++ sketches.
+  *
+  * The reference computes windowed distinct counts by accumulating
+  * `HashSet`s inside its reduce functions and sizing them at finalize
+  * (`app/dws/ProductStatsApp.java:225-256`) — exact, but O(distinct keys)
+  * state per group. The engine mirrors that exactly with
+  * `size(collect_set(x))` (oracle-verified). At 100 TB the exact set is the
+  * wrong trade: this rule rewrites `size(collect_set(x))` aggregates to
+  * `approx_count_distinct(x)` when `spark.graft.approxDistinct=true`,
+  * turning per-group state from O(n) to O(1) sketch registers without
+  * touching query code.
+  *
+  * Registered via `SparkSessionExtensions` (config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * programmatically: `GraftSession.builder().withExtensions(...)`.
+  */
+class ApproxDistinctRule extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.approxDistinct", "false").toBoolean
+
+  private def rewrite(e: Expression): Expression = e match {
+    // size(collect_set(x)) [+ optional cast] → approx_count_distinct(x)
+    case Cast(inner, dt, tz, ansi) => Cast(rewrite(inner), dt, tz, ansi)
+    case Size(AggregateExpression(CollectSet(child, _, _), _, false, filter, _), legacy) =>
+      Cast(AggregateExpression(HyperLogLogPlusPlus(child), Complete, isDistinct = false, filter),
+        org.apache.spark.sql.types.IntegerType)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, aggExprs, _, _) =>
+        val rewritten = aggExprs.map { ne =>
+          ne match {
+            case a @ Alias(child, name) =>
+              val r = rewrite(child)
+              if (r fastEquals child) a else Alias(r, name)(a.exprId, a.qualifier)
+            case other => other
+          }
+        }
+        agg.copy(aggregateExpressions = rewritten)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => new ApproxDistinctRule)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
+
+/** ApproxDistinctRule: `size(collect_set(x))` → `approx_count_distinct(x)`
+  * under `spark.graft.approxDistinct=true`, untouched otherwise.
+  */
+class ExtensionSpec extends SparkSpecBase {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val base = spark // force TestSpark init so a SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("scale mode rewrites exact set distinct to HLL sketch; off by default") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = (1 to 1000).map(i => (i % 7, i % 101)).toDF("k", "u")
+
+      s.conf.set("spark.graft.approxDistinct", "false")
+      val exact = df.groupBy("k").agg(size(collect_set($"u")).as("ct"))
+      assert(exact.queryExecution.optimizedPlan.toString.contains("collect_set"))
+      val exactRows = exact.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(exactRows.values.forall(_ == 101))
+
+      s.conf.set("spark.graft.approxDistinct", "true")
+      val approx = df.groupBy("k").agg(size(collect_set($"u")).as("ct"))
+      val optimized = approx.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("collect_set"), s"not rewritten:\n$optimized")
+      assert(optimized.contains("approx_count_distinct"), s"no sketch:\n$optimized")
+      // HLL++ at default rsd (5%): 101 distinct per key lands within ±10
+      val approxRows = approx.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(approxRows.keySet == exactRows.keySet)
+      approxRows.values.foreach(v => assert(math.abs(v - 101) <= 10, s"approx too far: $v"))
+      s.conf.set("spark.graft.approxDistinct", "false")
+    }
+  }
+}
