@@ -70,9 +70,14 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
     // similarity search
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
+    "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
+                                 .select("id", "media_type", "n_bytes")),
   )
 
   // ---- shared oracle fragments ---------------------------------------------
@@ -320,6 +325,21 @@ pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
 round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
 FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
+
+    "dedup_corpus_clean" ->
+      s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs WHERE est_jaccard >= 0.5)""",
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS id, lang AS media_type,
+CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""",
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents),

@@ -147,6 +147,19 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").cast("long").as("hash_idx"), col("col").as("minhash"))
 
+  /** Corpus-clean capstone: drop every document that near-duplicates a
+    * lower-id survivor (single-pass canonicalization: for each LSH pair
+    * keep the smaller doc_id; the greater side is removed). Exact dups are
+    * a special case (est_jaccard = 1). Output: surviving doc ids.
+    */
+  def corpusClean(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val dupes = minhashLsh(spark, dir, threshold)
+      .select(col("doc_b").as("dup_id")).distinct()
+    documents(spark, dir)
+      .join(dupes, col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash over the distinct-token set: per bit position, +1/-1

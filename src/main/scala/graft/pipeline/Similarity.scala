@@ -54,6 +54,40 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: deterministic seeded centroids (the first `nCells`
+    * vectors — a real deployment trains k-means; the assignment/probe
+    * machinery is identical), every vector assigned to its nearest cell,
+    * queries probe the `nProbe` nearest cells only. The 100 TB path:
+    * the corpus shuffles once on cell id and each query touches
+    * nProbe/nCells of it.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    // assignment: nearest centroid per vector (broadcast centroids)
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosineR(col("embedding"), col("c_emb")).as("c_cos"))
+    val assigned = scored
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
+    val corpus = assigned.filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+    // queries probe their nProbe nearest cells
+    val probes = assigned.filter(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val ranked = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineR(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+    ranked.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
     * candidates. Approximate — recall < 1 by design; the scale path where
     * a corpus-wide brute force is impossible.

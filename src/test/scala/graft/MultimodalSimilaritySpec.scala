@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Multimodal, Similarity}
+
+class MultimodalSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("multimodal decode: contract schema, per-partition shape, deterministic features") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "abc".getBytes("UTF-8"), "image"),
+      Multimodal.MediaRow(2L, Array.empty[Byte], "audio"),
+      Multimodal.MediaRow(3L, "abc".getBytes("UTF-8"), "image"))
+      .toDS().repartition(2)
+    val out = Multimodal.decodeFeatures(media)
+    // output contract
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      ("id", "bigint"), ("media_type", "string"), ("n_bytes", "bigint"),
+      ("features", "array<float>")))
+    val rows = out.collect().map(r => r.id -> r).toMap
+    // batch shape: every row survives, feature dim fixed
+    assert(rows.size == 3)
+    assert(rows.values.forall(_.features.length == Multimodal.FeatureDim))
+    // determinism: identical payloads → identical features, across partitions
+    assert(rows(1L).features.toSeq == rows(3L).features.toSeq)
+    // empty payload: defined, all-zero features (decoder must not throw)
+    assert(rows(2L).features.forall(_ == 0.0f) && rows(2L).n_bytes == 0L)
+  }
+
+  test("IVF ANN: recall against brute force is substantial at nProbe=2/8") {
+    val d = "/root/testdata/sf0.001"
+    val brute = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // probing 2 of 8 seeded cells: expect well above the 25% random floor
+    assert(recall >= 0.3, s"recall too low: $recall")
+  }
+
+  test("corpus clean removes the higher-id side of every near-dup pair") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.pipeline.Dedup.minhashLsh(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val kept = graft.pipeline.Dedup.corpusClean(spark, d)
+      .as[Long].collect().toSet
+    pairs.foreach { case (_, b) => assert(!kept.contains(b)) }
+    assert(kept.nonEmpty)
+  }
+}

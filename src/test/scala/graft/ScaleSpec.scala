@@ -12,6 +12,17 @@ class ScaleSpec extends SparkSpecBase {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a dropped catalog entry can leave its managed location behind (e.g.
+    // fresh metastore over an old warehouse dir) — clear the paths too
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     Tables.orders(spark, sf("orders")).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
     Tables.lineitem(spark, sf("lineitem")).write
