@@ -126,6 +126,26 @@ object StreamOps {
     graft.operators.LogPipeline.a1Transform(
       events.withWatermark("ts", watermark))
 
+  /** A3 streaming: province-stats windowed aggregation
+    * (`app/dws/ProvinceStatsSqlApp.java:49-68`). Exact `count(distinct)`
+    * is not available inside streaming windowed aggs — this is precisely
+    * where the reference-exact batch semantics and the streaming/scale
+    * path diverge by design: the streaming rendering uses
+    * `approx_count_distinct` (HLL, ±5% default), the same swap
+    * `ApproxDistinctRule` applies to batch at 100 TB.
+    */
+  def a3ProvinceStats(orders: DataFrame, watermark: String = "1 day"): DataFrame =
+    orders
+      .withWatermark("o_orderdate", watermark)
+      .groupBy(window(col("o_orderdate"), "7 days"), col("n_name"))
+      .agg(
+        approx_count_distinct(col("o_orderkey")).as("order_count"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("n_name"), col("order_count"), col("order_amount"))
+
   /** J1 streaming: stream-stream interval join
     * (`app/dwm/OrderWideApp.java:99-107`): equi-key + event-time range,
     * watermarks on both sides bound the join state exactly like Flink's

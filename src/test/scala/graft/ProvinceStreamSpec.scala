@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** A3 streaming: windowed stats with HLL distinct vs the exact batch
+  * oracle — counts within HLL tolerance, money sums exact.
+  */
+class ProvinceStreamSpec extends SparkSpecBase {
+
+  test("streaming province stats ≈ batch (HLL counts, exact sums)") {
+    val d = "/root/testdata/sf0.001"
+    val src = Files.createTempDirectory("ps_src").toString
+    val enriched = Tables.orders(spark, d)
+      .join(broadcast(Tables.customer(spark, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"),
+        // watermarks require TIMESTAMP (LTZ); testdata parquet reads as NTZ
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"), col("n_name"))
+    enriched.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(enriched.schema).parquet(src)
+    val q = StreamOps.a3ProvinceStats(stream)
+      .writeStream.format("memory").queryName("ps_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ps_out").collect()
+      .map(r => (r.getString(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val exact = graft.operators.Relational.a3ProvinceStats(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, (cnt, amt)) =>
+      val (gCnt, gAmt) = got(k)
+      assert(gAmt == amt, s"money must be exact for $k: $gAmt vs $amt")
+      assert(math.abs(gCnt - cnt) <= math.max(2L, (cnt * 0.15).toLong),
+        s"HLL count out of tolerance for $k: $gCnt vs $cnt")
+    }
+  }
+}
