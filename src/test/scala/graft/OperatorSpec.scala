@@ -80,6 +80,13 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == Seq(1L, 2L, 5L, 6L, 7L))
   }
 
+  test("driver contract: entry() returns rows; every query has runnable shape") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"orphan oracles: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
   test("q1/q5 plans push filters and prune columns at the parquet scan") {
     val plan = Relational.q1PricingSummary(spark, sf("lineitem"))
       .queryExecution.executedPlan.toString
