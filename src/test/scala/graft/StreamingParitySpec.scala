@@ -125,4 +125,36 @@ class StreamingParitySpec extends SparkSpecBase {
     val got = spark.table(name).filter(col("l_key") > 0).collect().map(_.toSeq).toSet
     assert(got == batch)
   }
+
+  test("J2 parity: asymmetric interval bounds ([-15m, +5s]) in streaming") {
+    val ls = Seq(LSide(1, ts("2024-01-01 01:00:00")), LSide(2, ts("2024-01-01 02:00:00")))
+    val rs = Seq(
+      RSide(1, ts("2024-01-01 00:50:00")), // -10m: in [-15m, +5s]
+      RSide(1, ts("2024-01-01 00:40:00")), // -20m: out
+      RSide(2, ts("2024-01-01 02:00:04")), // +4s: in
+      RSide(2, ts("2024-01-01 02:00:10"))) // +10s: out
+    val cond = "l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL 15 minutes AND l_ts + INTERVAL 5 seconds"
+    val batch = ls.toDF().join(rs.toDF(), expr(cond))
+      .select("l_key", "r_ts").collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[LSide]
+    val rIn = MemoryStream[RSide]
+    val joined = StreamOps.j1IntervalJoin(lIn.toDF(), rIn.toDF(),
+      lowerBound = "15 minutes", upperBound = "5 seconds")
+    val name = s"j2sink${System.nanoTime()}"
+    val q = joined.select("l_key", "r_ts").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      lIn.addData(ls); rIn.addData(rs); q.processAllAvailable()
+      lIn.addData(LSide(-9, ts("2024-01-02 00:00:00")))
+      rIn.addData(RSide(-9, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      lIn.addData(LSide(-8, ts("2024-01-03 00:00:00")))
+      rIn.addData(RSide(-8, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter(col("l_key") > 0).collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
 }
