@@ -174,8 +174,8 @@ WHERE event_type = 'view' AND ((next_type = 'view' AND next_ts <= tss + INTERVAL
 OR next_ts IS NULL OR next_ts > tss + INTERVAL 10 MINUTE)""",
 
     "p1_parse_clean" ->
-      """SELECT event_id, user_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+      """SELECT event_id, user_id, event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""",
 
     "p2_delete_filter" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE event_type <> 'error'",
@@ -359,7 +359,7 @@ FROM sh, (SELECT unnest(range(0, 4)) AS bk) t),
 pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS sa, y.simhash AS sb
 FROM blocked x JOIN blocked y ON x.bk = y.bk AND x.block_key = y.block_key AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, CAST(len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) AS INTEGER) AS hamming
-FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) <= 6""",
+FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) <= 3""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM

@@ -39,14 +39,19 @@ object TextFunctions {
   def punctRatio(text: Column): Column =
     round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
       greatest(length(text).cast("double"), lit(1.0)), 6)
-  def stopwordRatio(text: Column, stops: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
-    val toks = tokens(text)
+  /** Ratio variants over a PRE-MATERIALIZED token array column — pass an
+    * attribute, not `tokens(text)` inline: a lambda/expression referencing
+    * the tokenizer tree N times re-runs the regex split N times per row.
+    */
+  def stopwordRatioFrom(toks: Column, stops: Seq[String] = Seq("the", "a", "of", "and", "to")): Column =
     round(size(filter(toks, w => w.isInCollection(stops))).cast("double") /
       greatest(size(toks).cast("double"), lit(1.0)), 6)
-  }
-  def uniqueTokenRatio(text: Column): Column =
-    round(size(array_distinct(tokens(text))).cast("double") /
-      greatest(size(tokens(text)).cast("double"), lit(1.0)), 6)
+  def uniqueTokenRatioFrom(toks: Column): Column =
+    round(size(array_distinct(toks)).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 6)
+  def stopwordRatio(text: Column, stops: Seq[String] = Seq("the", "a", "of", "and", "to")): Column =
+    stopwordRatioFrom(tokens(text), stops)
+  def uniqueTokenRatio(text: Column): Column = uniqueTokenRatioFrom(tokens(text))
 
   /** Language-ID: marker-stopword n-gram heuristic. Scores each candidate
     * language by marker-token hits; deterministic argmax with fixed

@@ -14,10 +14,14 @@ object Serving {
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every warehouse table as a temp view for SQL access. */
+  /** Register every warehouse table as a temp view for SQL access.
+    * `events` goes through its normalizing loader (ns-long → µs timestamp)
+    * so the SQL surface sees the same schema every engine query sees.
+    */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    AllTables.foreach { t =>
-      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    AllTables.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case t        => Tables.table(spark, dir, t).createOrReplaceTempView(t)
     }
 
   /** GMV-by-trademark serving query (`ProductStatsMapper.java:26`,

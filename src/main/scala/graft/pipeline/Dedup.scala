@@ -185,8 +185,10 @@ object Dedup {
     documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: block on the 4 8-bit bytes of the signature
-    * (any pair within Hamming distance 3 shares at least one exact byte —
-    * pigeonhole), then verify Hamming distance ≤ maxDist inside blocks.
+    * then verify Hamming distance ≤ maxDist inside blocks. maxDist
+    * defaults to 3, the largest distance for which 4-byte blocking is
+    * COMPLETE (pigeonhole: ≤3 differing bits leave at least one byte
+    * intact); larger maxDist would silently lose recall.
     *
     * Candidate generation runs over DISTINCT simhash values, not documents:
     * near-duplicate corpora collapse many docs onto few hash values, so the
@@ -194,7 +196,7 @@ object Dedup {
     * one; doc pairs are expanded only for value pairs that already passed
     * the Hamming check.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val t = simhashTable(spark, dir).localCheckpoint()
     val values = t.select(col("simhash")).distinct()
     val blocked = values.select(col("simhash"),

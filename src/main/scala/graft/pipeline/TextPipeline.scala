@@ -38,15 +38,20 @@ object TextPipeline {
     documents(spark, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"), langId(col("text")).as("pred_lang"))
 
-  /** Quality-score features: the standard C4/Gopher-style ratio filters. */
+  /** Quality-score features: the standard C4/Gopher-style ratio filters.
+    * Tokens materialized once per row in their own projection — the ratio
+    * columns reference the attribute, not five inline tokenizer runs.
+    */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
-      col("doc_id"),
-      charLen(col("text")).cast("long").as("n_chars"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      punctRatio(col("text")).as("punct_ratio"),
-      stopwordRatio(col("text")).as("stopword_ratio"),
-      uniqueTokenRatio(col("text")).as("unique_ratio"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        charLen(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatioFrom(col("toks")).as("stopword_ratio"),
+        uniqueTokenRatioFrom(col("toks")).as("unique_ratio"))
 
   /** Token counting: whitespace tokens + BPE-ish subword pre-tokens. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =

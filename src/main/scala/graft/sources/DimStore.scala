@@ -22,7 +22,8 @@ class DimStore(spark: SparkSession, basePath: String) {
   private def path(table: String) = s"$basePath/$table"
 
   /** Upsert a batch of rows keyed by `keyCol`, versioned by `versionCol`
-    * (highest version wins; ties broken deterministically by the key).
+    * (highest version wins; version ties broken deterministically by a
+    * whole-row hash so repeated runs of the same input converge).
     */
   def upsert(table: String, batch: DataFrame, keyCol: String, versionCol: String): Unit = {
     val existing = read(table)
@@ -30,7 +31,8 @@ class DimStore(spark: SparkSession, basePath: String) {
       case Some(cur) => cur.unionByName(batch, allowMissingColumns = true)
       case None      => batch
     }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+    val rowHash = xxhash64(merged.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, rowHash.asc)
     val deduped = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -39,6 +41,10 @@ class DimStore(spark: SparkSession, basePath: String) {
     val tmp = path(table) + "__tmp"
     deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(table))
+    val tmpDir = new java.io.File(tmp)
+    java.nio.file.Files.walk(tmpDir.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   def read(table: String): Option[DataFrame] =

@@ -70,19 +70,22 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[Event]) =>
+          // second-truncated event times, matching the batch oracle's
+          // date_trunc('second', ts) so boundary rows agree between modes
+          def sec(e: Event): Long = (e.ts.getTime / 1000L) * 1000L
           if (rows.isEmpty && state.hasTimedOut) {
             // timeout branch: pending start never followed inside the window
             val pending = state.get
             state.remove()
             Iterator.single(BounceRow(pending.event_id, user, fmt(pending.ts)))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (sec(e), e.event_id))
             var pending: Option[Event] = state.getOption
             val out = Seq.newBuilder[BounceRow]
             sorted.foreach { e =>
               pending match {
                 case Some(p) =>
-                  if (e.ts.getTime > p.ts.getTime + windowMs) {
+                  if (sec(e) > sec(p) + windowMs) {
                     out += BounceRow(p.event_id, user, fmt(p.ts)) // timed out in-stream
                     pending = None
                   } else if (e.event_type == "view") {
@@ -98,7 +101,7 @@ object StreamOps {
             pending match {
               case Some(p) =>
                 state.update(p)
-                state.setTimeoutTimestamp(p.ts.getTime + windowMs)
+                state.setTimeoutTimestamp(sec(p) + windowMs)
               case None => state.remove()
             }
             out.result().iterator
@@ -107,15 +110,17 @@ object StreamOps {
   }
 
   /** ST2 streaming: daily-UV dedup (`app/dwm/UniqueVisitApp.java:54-87`).
-    * The 24h-TTL keyed state is exactly watermark-scoped
-    * `dropDuplicates` on (user, day) — Spark evicts (user, day) pairs
-    * once the watermark passes the day, the same bound the TTL enforced.
+    * `dropDuplicatesWithinWatermark` dedups on (user, day) while evicting
+    * each key once the watermark passes its event time — the exact analog
+    * of the reference's 24h state TTL. (Plain `dropDuplicates` without the
+    * event-time column in the key would never evict and grow state
+    * unboundedly on a long-running stream.)
     */
   def st2DedupedVisits(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), to_date(col("ts")).as("dt"))
-      .dropDuplicates("user_id", "dt")
+      .dropDuplicatesWithinWatermark("user_id", "dt")
 
   /** A1 streaming: watermarked 10s tumbling-window visitor stats — the
     * same transform as batch (`LogPipeline.a1Transform`) with a watermark

@@ -20,8 +20,13 @@ import graft.sources.DimStore
   *  - A1 windowed stats (`VisitorStatsApp.java:127-168`) appended to the
   *    stats sink (S7's ClickHouse `foreachBatch` JDBC write, parquet here).
   *
-  * Checkpointing (ST8) is real: the query restarts from `checkpointDir`
-  * exactly-once into idempotent file sinks.
+  * Checkpointing (ST8): the query restarts from `checkpointDir`;
+  * `foreachBatch` is at-least-once, so a per-batch marker file skips
+  * batches that already committed fully (replay-after-commit is the
+  * common restart case). A failure in the middle of a batch's appends can
+  * still duplicate that batch's rows — production sinks would be
+  * manifest-committing (Delta/Iceberg MERGE, or the built-in file sink);
+  * the layering here is what's under test, not the commit protocol.
   */
 class WarehouseJob(spark: SparkSession, outDir: String) {
 
@@ -51,6 +56,9 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$outDir/_committed_$batchId")
+        if (marker.exists()) ()
+        else {
         val ev = batch.persist() // SP1: one materialization, many children
         try {
           // DWD: parse + dirty split (P1)
@@ -83,7 +91,10 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
           // exact windowed agg per micro-batch appended to the stats sink)
           LogPipeline.a1Transform(clean)
             .write.mode(SaveMode.Append).parquet(s"$outDir/stats") // S7
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
         } finally ev.unpersist()
+        }
         ()
       }
       .start()
