@@ -229,12 +229,17 @@ object Dedup {
     * self-join out of cross-join territory at scale.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+    // tokens materialized once per doc: explode's Generate re-evaluates a
+    // non-trivial generator input per OUTPUT row (~token-count× the regex
+    // split cost); the checkpointed table also feeds `totals` for free
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val tf = toks
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val totals = docs.select(col("doc_id"), tokenCount(col("text")).as("total"))
+    val totals = toks.select(col("doc_id"), size(col("toks")).cast("long").as("total"))
     val inter = tf.as("x").join(tf.as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           col("x.doc_id") < col("y.doc_id"))
