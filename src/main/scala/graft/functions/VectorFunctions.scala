@@ -25,4 +25,13 @@ object VectorFunctions {
 
   /** Cosine rounded for cross-engine hash stability. */
   def cosineR(a: Column, b: Column, scale: Int = 6): Column = round(cosine(a, b), scale)
+
+  /** Cosine from pre-computed norms — use in pairwise joins so each
+    * vector's norm is computed once per VECTOR (its own projection), not
+    * once per PAIR. Produces bit-identical doubles to `cosineR` (same
+    * norm expression, same fold order).
+    */
+  def cosineRFromNorms(a: Column, b: Column, normA: Column, normB: Column,
+                       scale: Int = 6): Column =
+    round(dot(a, b) / (normA * normB), scale)
 }

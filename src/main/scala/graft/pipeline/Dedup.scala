@@ -260,13 +260,20 @@ object Dedup {
     * coarse quantizer/IVF cell): pairwise cosine only within a block.
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // norms once per vector (own projection), not once per pair
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineR(col("emb_a"), col("emb_b")).as("cos"))
+        VectorFunctions.cosineRFromNorms(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -8,42 +8,57 @@ import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k: exact baseline; broadcast the (small) query
   *    set against the full corpus — one scan, no shuffle of the corpus.
-  *  - LSH-bucketed: sign-bit random-hyperplane buckets prune the corpus;
-  *    the 100 TB path (buckets shard the join; recall is tunable via number
-  *    of hyperplanes / probe multiplicity).
+  *  - sign-LSH buckets: random-hyperplane bucketing prunes the corpus.
+  *  - IVF cells: coarse quantizer assignment + nProbe probing.
+  *
+  * All paths precompute per-vector norms in their own projection
+  * (`withNorms`) so a pairwise cosine costs one dot product, not a dot
+  * plus two redundant norm folds per pair.
   */
 object Similarity {
+
+  /** vec_id, embedding, nrm — materialized once (localCheckpoint) because
+    * every caller joins it against itself or a query subset.
+    */
+  private def withNorms(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
 
   /** Brute-force exact top-k neighbors for query vectors (vec_id < nQueries),
     * excluding self. The query side is broadcast; ranking is a per-query
     * window top-k with deterministic tie-break (cos desc, vec_id asc).
     */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = embeddings(spark, dir)
+    val e = withNorms(spark, dir)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val ranked = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineR(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-    ranked.filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+        cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    topK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane weights: w(h, i) in {-1, +1}
     * derived from md5, so bucketing is reproducible with no RNG state.
     */
-  private def hyperplaneSign(h: Int, i: org.apache.spark.sql.Column) =
+  private def hyperplaneSign(h: Int, i: Column) =
     when(conv(substring(md5(concat_ws("_", lit(h), i)), 1, 4), 16, 10).cast("long") % 2 === 0,
       lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-bit LSH bucket id from `nPlanes` ±1 hyperplanes. */
-  def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int = 8): org.apache.spark.sql.Column = {
+  def lshBucket(emb: Column, nPlanes: Int = 8): Column = {
     val bits = (0 until nPlanes).map { h =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -63,29 +78,27 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = withNorms(spark, dir)
     val cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     // assignment: nearest centroid per vector (broadcast centroids)
     val scored = e.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosineR(col("embedding"), col("c_emb")).as("c_cos"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
     val assigned = scored
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
     val corpus = assigned.filter(col("crk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"), col("cell"))
     // queries probe their nProbe nearest cells
     val probes = assigned.filter(col("vec_id") < nQueries && col("crk") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
     val ranked = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineR(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-    ranked.filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+        cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    topK(ranked, k)
   }
 
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
@@ -94,18 +107,17 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val e = withNorms(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        lshBucket(col("embedding"), nPlanes).as("bucket"))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val ranked = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"), col("bucket"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineR(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-    ranked.filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+        cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    topK(scored, k)
   }
 }

@@ -19,7 +19,9 @@ object TextPipeline {
   def u1SplitWords(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .filter(col("doc_id") < 20)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("doc_id"), explode(col("toks")).as("word"))
 
   /** A4: keyword stats (`app/dws/KeywordStatsApp.java:64-75`): tokenize →
     * count per (word, lang-window). The reference groups per 10s tumble; the
@@ -28,7 +30,9 @@ object TextPipeline {
     */
   def a4KeywordStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("lang"), explode(tokens(col("text"))).as("keyword"))
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("lang"), explode(col("toks")).as("keyword"))
       .groupBy(col("lang"), col("keyword"))
       .agg(count(lit(1)).as("ct"))
       .withColumn("source", lit("search"))
