@@ -52,12 +52,15 @@ object SparkEntry {
     "a4_keyword_stats"     -> ((s, d) => T.a4KeywordStats(s, d)),
     "a5_gmv_by_day"        -> ((s, d) => R.a5GmvByDay(s, d)),
     "a5_top_brands"        -> ((s, d) => R.a5TopBrands(s, d)),
+    "a6_session_window"    -> ((s, d) => L.a6SessionWindows(s, d)),
+    "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
     // serving SQL surface (§3.3)
     "sql_gmv_serving"      -> ((s, d) => Serving.sqlGmvByBrand(s, d)),
     "sql_keyword_lateral"  -> ((s, d) => Serving.sqlKeywordLateralView(s, d)),
     // UDTF / text functions (§2.7-2.8 + training-data ops)
     "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
     "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
+    "text_ngram_freq"      -> ((s, d) => T.ngramFrequency(s, d)),
     "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
@@ -268,6 +271,25 @@ CAST(SUM(${DEC("o_totalprice")}) AS DOUBLE) AS order_amount FROM orders GROUP BY
       s"""SELECT p_brand, CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS order_amount
 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 ORDER BY order_amount DESC, p_brand ASC LIMIT 5""",
+
+    "a6_session_window" ->
+      s"""WITH e AS (SELECT user_id, $ETS AS t, value FROM events),
+m AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS stt, user_id, COUNT(*) AS events_ct,
+CAST(SUM(${DEC("value")}) AS DOUBLE) AS value_sum FROM s GROUP BY user_id, sid""",
+
+    "a7_sliding_window" ->
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '5 minutes', $ETS, TIMESTAMP '1970-01-01') AS tb, event_type FROM events),
+x AS (SELECT tb - i * INTERVAL 5 MINUTE AS w, event_type FROM e, (SELECT unnest([0, 1]) AS i) t)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt, strftime(w + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+event_type, COUNT(*) AS ct FROM x GROUP BY w, event_type""",
+
+    "text_ngram_freq" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+SELECT bigram, COUNT(*) AS ct FROM b GROUP BY bigram ORDER BY ct DESC, bigram ASC LIMIT 200""",
 
     "u1_split_words" ->
       s"SELECT doc_id, unnest($TOKS) AS word FROM documents WHERE doc_id < 20",

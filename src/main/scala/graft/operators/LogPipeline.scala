@@ -203,6 +203,32 @@ object LogPipeline {
   def a1VisitorStats(spark: SparkSession, dir: String): DataFrame =
     a1Transform(events(spark, dir))
 
+  /** A6 (beyond-reference windowing): session windows — Spark's
+    * `session_window` with a 30-minute gap per user. The batch oracle is
+    * the classic gap-and-island rendering (lag + cumulative sum), which is
+    * also what DuckDB runs.
+    */
+  def a6SessionWindows(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("user_id"), col("events_ct"), col("value_sum"))
+
+  /** A7 (beyond-reference windowing): sliding windows — 10-minute width,
+    * 5-minute slide; every event lands in width/slide buckets.
+    */
+  def a7SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("ct"))
+
   /** A2: product-stats analog with exact distinct via set semantics
     * (`app/dws/ProductStatsApp.java:215-261`: HashSet accumulators sized at
     * finalize; Spark: `size(collect_set(...))` — identical result, and the

@@ -37,6 +37,25 @@ object TextPipeline {
       .agg(count(lit(1)).as("ct"))
       .withColumn("source", lit("search"))
 
+  /** Corpus n-gram frequency table (bigrams) — the standard pre-training
+    * corpus statistic. Adjacent-token pairs via a materialized token array
+    * (zip of the array with its own tail), exploded and counted; top-200
+    * with deterministic tie-break so the output is bounded at any corpus
+    * size.
+    */
+  def ngramFrequency(spark: SparkSession, dir: String, topK: Int = 200): DataFrame =
+    documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .localCheckpoint()
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("bigram").asc)
+      .limit(topK)
+
   /** Language-ID heuristic per doc (marker-stopword score argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
