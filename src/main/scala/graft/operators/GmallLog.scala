@@ -31,14 +31,21 @@ object GmallLog {
 
   private def evTime: Column = timestamp_millis(col("e.ts"))
 
-  /** ST1 batch oracle on the real shape: only a mid's first event keeps
-    * is_new='1' (`BaseLogApp.java:71-96`).
+  /** ST1 batch oracle on the real shape: only a mid's FIRST is_new='1'
+    * event keeps the flag (`BaseLogApp.java:83-93` writes keyed state only
+    * on is_new=='1' events — an earlier '0'-event does not claim the
+    * first-visit slot, and '0' events are never flipped up). The running
+    * count therefore ranks only '1'-events; `xxhash64(raw)` breaks
+    * equal-ts ties deterministically.
     */
   def fixIsNew(cleanDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("e.common.mid")).orderBy(col("e.ts"))
+    val w = Window.partitionBy(col("e.common.mid"))
+      .orderBy(col("e.ts"), xxhash64(col("raw")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSeen = sum(when(col("e.common.is_new") === "1", 1L).otherwise(0L)).over(w)
     cleanDf.withColumn("is_new_fixed",
-      when(row_number().over(w) === 1 && col("e.common.is_new") === "1", "1").otherwise("0"))
+      when(col("e.common.is_new") === "1" && newSeen === 1L, "1").otherwise("0"))
   }
 
   /** SP1: three-way split.

@@ -27,7 +27,9 @@ object LogPipeline {
     */
   def p1ParseClean(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast: under ANSI a non-numeric $.k must route the row
+      // to the dirty side (null), not throw — matching the oracle's TRY_CAST.
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
       .filter(col("k").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"), col("k"))
 

@@ -19,8 +19,12 @@ object Scale {
     * stats, a boilerplate dup-cluster in corpus dedup).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salt: Int): DataFrame = {
+    // Salt must be a deterministic function of the row itself: an id- or
+    // rand-based salt recomputes differently on stage retry after a shuffle
+    // fetch failure, duplicating/dropping rows against reducers that already
+    // consumed the first attempt's output (the SPARK-23207 class of bug).
     val saltedProbe = probe.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt")

@@ -29,12 +29,28 @@ class ApproxDistinctRule extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.approxDistinct", "false").toBoolean
 
+  private def hll(child: Expression, filter: Option[Expression]): Expression =
+    AggregateExpression(HyperLogLogPlusPlus(child), Complete, isDistinct = false, filter)
+
+  private object SizeOfCollectSet {
+    def unapply(e: Expression): Option[(Expression, Option[Expression])] = e match {
+      case Size(AggregateExpression(CollectSet(child, _, _), _, false, filter, _), _) =>
+        Some((child, filter))
+      case _ => None
+    }
+  }
+
   private def rewrite(e: Expression): Expression = e match {
-    // size(collect_set(x)) [+ optional cast] → approx_count_distinct(x)
+    // HLL already yields LongType: collapse an enclosing cast-to-long rather
+    // than stacking Cast(Cast(hll, int), long) — the Int hop would overflow
+    // (or throw under ANSI) at the >2^31-distinct group sizes this
+    // scale-mode rule exists for.
+    case Cast(SizeOfCollectSet(child, filter), LongType, _, _) => hll(child, filter)
+    case Cast(SizeOfCollectSet(child, filter), dt, tz, ansi) => Cast(hll(child, filter), dt, tz, ansi)
     case Cast(inner, dt, tz, ansi) => Cast(rewrite(inner), dt, tz, ansi)
-    case Size(AggregateExpression(CollectSet(child, _, _), _, false, filter, _), legacy) =>
-      Cast(AggregateExpression(HyperLogLogPlusPlus(child), Complete, isDistinct = false, filter),
-        org.apache.spark.sql.types.IntegerType)
+    // Bare size(collect_set) consumers require IntegerType — narrow only here.
+    case SizeOfCollectSet(child, filter) =>
+      Cast(hll(child, filter), org.apache.spark.sql.types.IntegerType)
     case other => other
   }
 
@@ -46,7 +62,9 @@ class ApproxDistinctRule extends Rule[LogicalPlan] {
           ne match {
             case a @ Alias(child, name) =>
               val r = rewrite(child)
-              if (r fastEquals child) a else Alias(r, name)(a.exprId, a.qualifier)
+              if (r fastEquals child) a
+              else Alias(r, name)(a.exprId, a.qualifier, a.explicitMetadata,
+                a.nonInheritableMetadataKeys)
             case other => other
           }
         }

@@ -21,12 +21,20 @@ import graft.sources.DimStore
   *    stats sink (S7's ClickHouse `foreachBatch` JDBC write, parquet here).
   *
   * Checkpointing (ST8): the query restarts from `checkpointDir`;
-  * `foreachBatch` is at-least-once, so a per-batch marker file skips
-  * batches that already committed fully (replay-after-commit is the
-  * common restart case). A failure in the middle of a batch's appends can
-  * still duplicate that batch's rows — production sinks would be
-  * manifest-committing (Delta/Iceberg MERGE, or the built-in file sink);
-  * the layering here is what's under test, not the commit protocol.
+  * `foreachBatch` is at-least-once, so each batch writes to a batch-scoped
+  * STAGING dir and is then published by renaming into a `batch=<id>`
+  * partition dir under each sink (dirty/facts/stats). Publishing replaces
+  * the target batch dir wholesale (delete-then-atomic-rename), so a replay
+  * after a mid-batch crash rewrites the same batch dir instead of
+  * appending duplicates; the `_committed_<id>` marker is just the fast-path
+  * skip for the already-fully-committed case. Dim upserts are keyed and
+  * idempotent, so replaying them is safe. Readers of the sinks see an
+  * extra `batch` partition column recording provenance.
+  *
+  * Stats-sink contract: rows in `stats/` are PER-BATCH PARTIALS keyed by
+  * (stt, edt, event_type) — the reference's incremental ClickHouse appends
+  * behave the same way — so downstream consumers must re-aggregate
+  * (sum the measures grouping by the key) when a window spans batches.
   */
 class WarehouseJob(spark: SparkSession, outDir: String) {
 
@@ -49,6 +57,25 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
       .toDF("source_type", "sink_type", "sink_table")
   }
 
+  /** Delete `dir` recursively if present. */
+  private def rmTree(dir: java.io.File): Unit = {
+    if (dir.isDirectory) dir.listFiles().foreach(rmTree)
+    dir.delete(); ()
+  }
+
+  /** Publish one staged sink dir: replace the target batch dir wholesale
+    * with an atomic rename (same filesystem), so replays are idempotent.
+    */
+  private def publish(src: java.io.File, dstBatchDir: java.io.File): Unit = {
+    if (src.exists()) {
+      rmTree(dstBatchDir)
+      dstBatchDir.getParentFile.mkdirs()
+      java.nio.file.Files.move(src.toPath, dstBatchDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
+
   def start(sourceDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val dims = new DimStore(spark, s"$outDir/dim")
     val raw = spark.readStream.schema(eventSchema).parquet(sourceDir)
@@ -59,12 +86,16 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
         val marker = new java.io.File(s"$outDir/_committed_$batchId")
         if (marker.exists()) ()
         else {
+        val staging = new java.io.File(s"$outDir/_staging/$batchId")
+        rmTree(staging) // stale staging from a crashed prior attempt
         val ev = batch.persist() // SP1: one materialization, many children
         try {
           // DWD: parse + dirty split (P1)
-          val parsed = ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-          parsed.filter(col("k").isNull).write.mode(SaveMode.Append)
-            .parquet(s"$outDir/dirty")
+          // try_cast: malformed $.k routes to dirty (null) instead of
+          // throwing under ANSI — this branch exists to absorb dirty input.
+          val parsed = ev.withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+          parsed.filter(col("k").isNull).write.mode(SaveMode.Overwrite)
+            .parquet(s"$staging/dirty")
           val clean = parsed.filter(col("k").isNotNull)
 
           // SP2/ST3: config re-read + route (broadcast join, inner = drop unknown)
@@ -72,8 +103,8 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
             col("event_type") === col("source_type"))
           routed.filter(col("sink_type") === "kafka")
             .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
-            .write.mode(SaveMode.Append).partitionBy("sink_table")
-            .parquet(s"$outDir/facts") // S5: dynamic per-row topic
+            .write.mode(SaveMode.Overwrite).partitionBy("sink_table")
+            .parquet(s"$staging/facts") // S5: dynamic per-row topic
           routed.filter(col("sink_type") === "hbase")
             .groupBy(col("user_id"), col("sink_table"))
             .agg(max(col("ts")).as("ts"), count(lit(1)).as("cnt"))
@@ -84,15 +115,21 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
               val df = rows.toSeq
                 .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
                 .toDF("user_id", "ts", "cnt")
-              dims.upsert(table, df, "user_id", "ts") // S8: keyed upsert
+              dims.upsert(table, df, "user_id", "ts") // S8: keyed upsert (idempotent)
             }
 
-          // DWS: A1 visitor stats over the clean stream (batch-incremental;
-          // exact windowed agg per micro-batch appended to the stats sink)
+          // DWS: A1 visitor stats over the clean stream (per-batch PARTIAL
+          // rows keyed by (stt,edt,event_type) — see class doc contract)
           LogPipeline.a1Transform(clean)
-            .write.mode(SaveMode.Append).parquet(s"$outDir/stats") // S7
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats") // S7
+
+          // Publish: batch-scoped dirs replaced wholesale → replay-safe.
+          publish(new java.io.File(staging, "dirty"), new java.io.File(s"$outDir/dirty/batch=$batchId"))
+          publish(new java.io.File(staging, "facts"), new java.io.File(s"$outDir/facts/batch=$batchId"))
+          publish(new java.io.File(staging, "stats"), new java.io.File(s"$outDir/stats/batch=$batchId"))
           marker.getParentFile.mkdirs()
           marker.createNewFile()
+          rmTree(staging)
         } finally ev.unpersist()
         }
         ()

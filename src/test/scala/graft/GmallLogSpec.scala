@@ -33,6 +33,23 @@ class GmallLogSpec extends SparkSpecBase {
       ("m2", 1704067220000L, "0"))) // is_new was already 0
   }
 
+  test("ST1: a '0'-event before the first '1'-event does not claim the slot") {
+    // BaseLogApp.java:83-93 only writes state on is_new=='1', so m3's later
+    // '1'-event must keep the flag despite the earlier '0'-event; the second
+    // '1'-event is corrected.
+    val m3 = Seq(
+      """{"common":{"mid":"m3","is_new":"0","vc":"v1","ch":"web","ar":"110"},"page":{"page_id":"home","last_page_id":null,"item":null,"item_type":null,"during_time":1},"ts":1704067200000}""",
+      """{"common":{"mid":"m3","is_new":"1","vc":"v1","ch":"web","ar":"110"},"page":{"page_id":"cart","last_page_id":"home","item":null,"item_type":null,"during_time":2},"ts":1704067210000}""",
+      """{"common":{"mid":"m3","is_new":"1","vc":"v1","ch":"web","ar":"110"},"page":{"page_id":"pay","last_page_id":"cart","item":null,"item_type":null,"during_time":3},"ts":1704067220000}""")
+    val fixed = GmallLog.fixIsNew(GmallLog.clean(GmallLog.parse(m3.toDF("value"))))
+      .select(col("e.ts"), col("is_new_fixed"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixed == Seq(
+      (1704067200000L, "0"),
+      (1704067210000L, "1"),
+      (1704067220000L, "0")))
+  }
+
   test("SP1: start/page/display split with page_id stamped onto displays") {
     val (start, page, display) =
       GmallLog.split(GmallLog.clean(GmallLog.parse(lines.toDF("value"))))
