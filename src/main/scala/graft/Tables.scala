@@ -35,4 +35,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Round-robin repartition to the session's default parallelism — the
+    * standard move before a CPU-heavy narrow stage when the input has fewer
+    * splits than cores (the test corpus is a single small parquet row
+    * group, which would serialize the whole tokenize/hash pipeline onto one
+    * task). At 100 TB the scan yields plenty of splits and the exchange is
+    * dwarfed by the compute stage it feeds; it exists for the compute, not
+    * the scan — filters still push down below it.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }

@@ -28,71 +28,40 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** Number of hash functions and LSH banding (16 bands × 4 rows). */
-  val NumHashes = 64
+  /** Number of hash functions and LSH banding (16 bands × 4 rows). The
+    * hash-family coefficients and shingle combiners live in
+    * `graft.plans.expr.Kernels` (shared with the native expressions).
+    */
+  val NumHashes: Int = graft.plans.expr.Kernels.NumHashes
   val Bands     = 16
   val RowsPerBand: Int = NumHashes / Bands
-  private val MersennePrime = (1L << 61) - 1
 
-  /** Deterministic (a_i, b_i) hash-family coefficients — fixed odd constants,
-    * no RNG, so the signature is reproducible everywhere.
+  /** md5 hash per token — native `graft_hash_tokens` kernel (md5 of the
+    * UTF-8 bytes, first 4 digest bytes as an unsigned int — identical to
+    * `conv(substring(md5(w),1,8),16,10)` without the hex round-trip).
     */
-  private val coeffs: Seq[(Long, Long)] =
-    (1 to NumHashes).map(i => (2L * i * 40503 + 1, i * 105341L))
+  def tokenHashes(text: Column): Column = call_function("graft_hash_tokens", tokens(text))
 
-  /** Positional combiners for 3-token shingle hashes (odd constants < 2^20
-    * so combine products stay well inside int64 headroom).
+  /** Distinct 3-shingle hashes from a token-hash array — native
+    * `graft_shingles` kernel (positional combine mod 2^61-1, reduced to 32
+    * bits, first-occurrence dedup; <3-token docs fold whatever exists).
     */
-  private val ShingleC = Seq(786433L, 917505L, 1048577L)
+  def shingleHashesFrom(th: Column): Column = call_function("graft_shingles", th)
 
-  /** md5 hash per token — the expensive, engine-portable step, evaluated
-    * once per token. MUST be materialized as its own projection before
-    * `shingleHashesFrom` (a lambda that references an expression tree N
-    * times re-evaluates it N times; an attribute reference is free).
+  /** 64-slot MinHash signature — native `graft_minhash` kernel:
+    * h_i = min (a_i * h + b_i) mod p, exact int64 (h < 2^32, a_i < 2^23).
+    * The old `aggregate` fold allocated a 64-long array per shingle and ran
+    * interpreted (higher-order functions are CodegenFallback); the kernel
+    * is one generated loop.
     */
-  def tokenHashes(text: Column): Column = transform(tokens(text), w => md5Prefix64(w))
+  def minhashSignatureFrom(hashed: Column): Column = call_function("graft_minhash", hashed)
 
-  /** 3-shingle hash list from a (materialized) token-hash array: cheap
-    * positional combinations of consecutive token hashes, reduced mod p
-    * then to 32 bits so downstream coefficient products stay in int64.
-    * Documents with < 3 tokens hash whatever tokens exist with the same
-    * combiners.
-    */
-  def shingleHashesFrom(th: Column): Column = {
-    val n = size(th)
-    val raw = when(n === 0, array(lit(0L)))
-      .when(n < 3,
-        array(aggregate(
-          zip_with(th, sequence(lit(1), greatest(n, lit(1))),
-            (h, i) => h * element_at(typedLit(ShingleC), i)),
-          lit(0L), (acc, x) => (acc + x) % lit(MersennePrime))))
-      .otherwise(transform(
-        sequence(lit(1), n - 2),
-        i => (element_at(th, i) * lit(ShingleC(0)) +
-              element_at(th, i + 1) * lit(ShingleC(1)) +
-              element_at(th, i + 2) * lit(ShingleC(2))) % lit(MersennePrime)))
-    array_distinct(transform(raw, h => h % lit(4294967291L)))
-  }
-
-  /** 64-slot MinHash signature from (materialized) shingle hashes: single
-    * fold with a 64-slot min accumulator — h_i = min (a_i * h + b_i) mod p,
-    * exact int64 (h < 2^32, a_i < 2^23).
-    */
-  def minhashSignatureFrom(hashed: Column): Column =
-    aggregate(
-      hashed,
-      array(coeffs.map(_ => lit(Long.MaxValue)): _*),
-      (acc, h) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
-        least(element_at(acc, i + 1), (lit(a) * h + lit(b)) % lit(MersennePrime))
-      }: _*))
-
-  /** doc_id → signature table with each stage in its own projection (see
-    * `tokenHashes` — projection boundaries prevent lambda re-evaluation;
-    * CollapseProject keeps them apart because the arrays are non-cheap and
-    * multiply-referenced).
+  /** doc_id → signature table with each stage in its own projection.
+    * `spread` first: the corpus arrives as few parquet splits, and this is
+    * the pipeline's CPU-heavy stage — it must run on all cores.
     */
   def signatureTable(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .select(col("doc_id"), shingleHashesFrom(col("th")).as("hs"))
       .select(col("doc_id"), minhashSignatureFrom(col("hs")).as("sig"))
@@ -164,25 +133,14 @@ object Dedup {
 
   /** 32-bit SimHash over the distinct-token set: per bit position, +1/-1
     * votes from each token's md5-derived hash; bit set iff the vote sum is
-    * positive. Pure array-fold expression, engine-portable.
+    * positive. Native `graft_simhash32` kernel over `graft_hash_tokens`.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokenSet(text), w => md5Prefix64(w))
-    // static 32-slot unroll: the Scala functions API only shifts by literal
-    // amounts, and a fixed-width unroll stays inside whole-stage codegen
-    val votes = aggregate(
-      hashes,
-      array((0 until 32).map(_ => lit(0L)): _*),
-      (acc, h) => array((0 until 32).map(i =>
-        element_at(acc, i + 1) +
-          when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L)): _*))
-    (0 until 32).map(i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
+  def simhash(text: Column): Column =
+    call_function("graft_simhash32", call_function("graft_hash_tokens", tokenSet(text)))
 
   def simhashTable(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: block on the 4 8-bit bytes of the signature
     * then verify Hamming distance ≤ maxDist inside blocks. maxDist
@@ -203,9 +161,9 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 8) % 256): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_key")
-    val xorCol = col("sh_a").bitwiseXOR(col("sh_b"))
-    val hamming = (0 until 32).map(i =>
-      when(shiftright(xorCol, i) % 2 === 1, 1).otherwise(0)).reduce(_ + _)
+    // popcount of the XOR — bit_count is a codegen'd builtin, replacing a
+    // 32-term when-chain
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
     val hashPairs = blocked.as("x").join(blocked.as("y"),
         col("x.block") === col("y.block") && col("x.block_key") === col("y.block_key") &&
           col("x.simhash") <= col("y.simhash"))
@@ -229,25 +187,36 @@ object Dedup {
     * self-join out of cross-join territory at scale.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // tokens materialized once per doc: explode's Generate re-evaluates a
-    // non-trivial generator input per OUTPUT row (~token-count× the regex
-    // split cost); the checkpointed table also feeds `totals` for free
-    val toks = documents(spark, dir)
+    // The term-frequency table is checkpointed AFTER the aggregate: both
+    // self-join sides then read one small materialized table instead of
+    // re-running tokenize+explode+agg per side (the docs here are short, so
+    // Generate re-running the tokenizer per output row costs far less than
+    // a second full pass + a token-array materialization). `total` rides
+    // along on every tf row so the pair stage needs no extra joins and can
+    // prune inside the join itself.
+    val tf = spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .localCheckpoint()
-    val tf = toks
-      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("total"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val totals = toks.select(col("doc_id"), size(col("toks")).cast("long").as("total"))
-    val inter = tf.as("x").join(tf.as("y"),
+      .localCheckpoint()
+    // Length-band prune: I ≤ min(|A|,|B|) gives J ≤ min/max, so J ≥ t
+    // REQUIRES min ≥ t·max — evaluated inside the join condition, it drops
+    // hopeless pairs before they reach the (doc_a, doc_b) aggregation
+    // shuffle. Purely a pruning condition; the survivor set is unchanged.
+    // AQE coalesces the small aggregated tf to ~1 partition; the join fans
+    // each tf row out ~100× (shared tokens within a source), so the PROBE
+    // side must be re-spread across cores, with the build side broadcast.
+    val inter = spread(spark, tf).as("x").join(broadcast(tf).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.total"), col("y.total")).cast("double") >=
+            greatest(col("x.total"), col("y.total")).cast("double") * lit(threshold))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"))
+      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"),
+        max(col("x.total")).as("total_a"), max(col("y.total")).as("total_b"))
     inter
-      .join(totals.select(col("doc_id").as("doc_a"), col("total").as("total_a")), "doc_a")
-      .join(totals.select(col("doc_id").as("doc_b"), col("total").as("total_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("total_a") + col("total_b") - col("inter")).cast("double"), 6).as("jaccard"))
@@ -261,7 +230,7 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     // norms once per vector (own projection), not once per pair
-    val e = embeddings(spark, dir)
+    val e = spread(spark, embeddings(spark, dir))
       .select(col("vec_id"), col("label"), col("embedding"),
         VectorFunctions.norm(col("embedding")).as("nrm"))
       .localCheckpoint()

@@ -24,7 +24,7 @@ object Similarity {
     * every caller joins it against itself or a query subset.
     */
   private def withNorms(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir)
+    spread(spark, embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .localCheckpoint()
 
@@ -51,23 +51,26 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weights: w(h, i) in {-1, +1}
-    * derived from md5, so bucketing is reproducible with no RNG state.
+    * derived from md5 of "h_i" (first-two-byte parity — the same value the
+    * previous per-row column rendering computed with
+    * `conv(substring(md5(concat_ws('_',h,i)),1,4),16,10) % 2`), but
+    * computed ONCE on the driver instead of per vector × element × plane.
     */
-  private def hyperplaneSign(h: Int, i: Column) =
-    when(conv(substring(md5(concat_ws("_", lit(h), i)), 1, 4), 16, 10).cast("long") % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-bit LSH bucket id from `nPlanes` ±1 hyperplanes. */
-  def lshBucket(emb: Column, nPlanes: Int = 8): Column = {
-    val bits = (0 until nPlanes).map { h =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * hyperplaneSign(h, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+  private def hyperplane(h: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${h}_$i".getBytes("UTF-8"))
+      if ((d(1) & 1) == 0) 1.0 else -1.0
     }
-    bits.reduce(_ + _)
-  }
+
+  /** Sign-bit LSH bucket id from `nPlanes` ±1 hyperplanes: one codegen'd
+    * dot product against a literal weight vector per plane.
+    */
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { h =>
+      when(call_function("graft_dot", emb, typedLit(hyperplane(h, dim))) >= 0,
+        shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** IVF-style ANN: deterministic seeded centroids (the first `nCells`
     * vectors — a real deployment trains k-means; the assignment/probe
@@ -107,9 +110,14 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
-    val e = withNorms(spark, dir)
+    val base = withNorms(spark, dir)
+    // embedding dimensionality, one row off the checkpointed table — fixes
+    // the literal weight-vector length for the plane dot products
+    val dim = base.select(size(col("embedding"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    val e = base
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        lshBucket(col("embedding"), nPlanes).as("bucket"))
+        lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))

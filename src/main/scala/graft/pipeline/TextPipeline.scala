@@ -29,7 +29,7 @@ object TextPipeline {
     * constant `source` column preserved.
     */
   def a4KeywordStats(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(spark, documents(spark, dir))
       .select(col("lang"), tokens(col("text")).as("toks"))
       .localCheckpoint() // Generate re-evals its input per output row
       .select(col("lang"), explode(col("toks")).as("keyword"))
@@ -44,7 +44,7 @@ object TextPipeline {
     * size.
     */
   def ngramFrequency(spark: SparkSession, dir: String, topK: Int = 200): DataFrame =
-    documents(spark, dir)
+    spread(spark, documents(spark, dir))
       .select(tokens(col("text")).as("toks"))
       .localCheckpoint()
       .select(explode(zip_with(
@@ -58,7 +58,7 @@ object TextPipeline {
 
   /** Language-ID heuristic per doc (marker-stopword score argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("lang").as("labeled_lang"), langId(col("text")).as("pred_lang"))
 
   /** Quality-score features: the standard C4/Gopher-style ratio filters.
@@ -66,7 +66,7 @@ object TextPipeline {
     * columns reference the attribute, not five inline tokenizer runs.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
@@ -78,7 +78,7 @@ object TextPipeline {
 
   /** Token counting: whitespace tokens + BPE-ish subword pre-tokens. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
+    spread(spark, documents(spark, dir)).select(
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("ws_tokens"),
       subwordCount(col("text")).cast("long").as("subword_tokens"))
@@ -87,7 +87,7 @@ object TextPipeline {
     * 64-bit rolling-hash-style prefix for sharded storage.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
+    spread(spark, documents(spark, dir)).select(
       col("doc_id"),
       fingerprint(col("text")).as("fp"),
       md5Prefix64(col("text")).as("fp64"))
@@ -101,7 +101,7 @@ object TextPipeline {
     * features ARRAY<DOUBLE>) contract.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("text").cast("binary").as("media"),
         col("lang").as("media_type"))
       .select(

@@ -73,6 +73,27 @@ class ApproxDistinctRule extends Rule[LogicalPlan] {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.plans.expr._
+
+  private def fn(name: String, arity: Int, build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
+        build(args)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new ApproxDistinctRule)
+    // Native codegen kernels (see graft.plans.expr) as SQL functions, so
+    // both the column API (call_function) and spark.sql can use them.
+    ext.injectFunction(fn("graft_dot", 2, a => ArrayDot(a(0), a(1))))
+    ext.injectFunction(fn("graft_norm", 1, a => ArrayNorm(a(0))))
+    ext.injectFunction(fn("graft_hash_tokens", 1, a => HashTokens(a(0))))
+    ext.injectFunction(fn("graft_shingles", 1, a => ShingleHashes(a(0))))
+    ext.injectFunction(fn("graft_minhash", 1, a => MinHashSig(a(0))))
+    ext.injectFunction(fn("graft_simhash32", 1, a => SimHash32(a(0))))
+  }
 }

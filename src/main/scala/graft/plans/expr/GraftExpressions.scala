@@ -1,0 +1,354 @@
+package graft.plans.expr
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for the engine's hot
+  * array kernels.
+  *
+  * Spark's higher-order functions (`aggregate`, `transform`, `zip_with`,
+  * `filter`) are `CodegenFallback`: every invocation drops out of
+  * whole-stage codegen into interpreted eval and allocates per element —
+  * a 64-slot MinHash fold allocates a fresh 64-long array per shingle.
+  * These expressions compute the identical math (same operation order,
+  * same integer/IEEE semantics, verified against the unchanged DuckDB
+  * oracles) as tight generated loops that stay inside whole-stage codegen.
+  *
+  * Registered as SQL functions (`graft_dot`, `graft_norm`,
+  * `graft_hash_tokens`, `graft_shingles`, `graft_minhash`,
+  * `graft_simhash32`) via `GraftExtensions.injectFunction`, so they are
+  * callable both from the column API (`call_function`) and from
+  * `spark.sql(...)`.
+  *
+  * Element null contract: inputs are arrays produced by the engine's own
+  * tokenizer/hash stages and contain no null elements; null top-level
+  * inputs yield null (standard null-intolerant semantics).
+  */
+object Kernels {
+  /** 2^61 - 1, the Mersenne prime all shingle/minhash arithmetic reduces by. */
+  val MersennePrime: Long = (1L << 61) - 1
+
+  /** MinHash family size and deterministic coefficients — must stay in sync
+    * with the DuckDB oracle rendering in `SparkEntry.oracleSql`.
+    */
+  val NumHashes = 64
+  val CoeffA: Array[Long] = (1 to NumHashes).map(i => 2L * i * 40503 + 1).toArray
+  val CoeffB: Array[Long] = (1 to NumHashes).map(i => i * 105341L).toArray
+
+  /** Positional 3-shingle combiners (odd constants < 2^20). */
+  val ShingleC: Array[Long] = Array(786433L, 917505L, 1048577L)
+
+  /** Post-reduction modulus keeping shingle hashes in 32 bits. */
+  val Mod32: Long = 4294967291L
+
+  /** First 8 md5 hex chars of a UTF-8 string as an unsigned 32-bit value —
+    * identical to `conv(substring(md5(s),1,8),16,10)`.
+    */
+  def md5Prefix64(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+private object TypeChecks {
+  def arrayOfNumeric(dt: DataType, what: String, elems: Seq[DataType]): TypeCheckResult =
+    dt match {
+      case ArrayType(et, _) if elems.contains(et) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$what requires array<${elems.mkString("|")}>, got ${other.sql}")
+    }
+
+  /** Java accessor snippet for one array element, widened to double. */
+  def doubleGetter(dt: DataType, arr: String, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case other      => throw new IllegalStateException(s"unsupported element type $other")
+    }
+
+  def doubleAt(dt: DataType, arr: ArrayData, i: Int): Double =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case other      => throw new IllegalStateException(s"unsupported element type $other")
+    }
+}
+
+/** Left-to-right dot product of two equal-length numeric arrays, double
+  * accumulation: `acc = acc + (double)a[i] * (double)b[i]` — bit-identical
+  * to `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)`.
+  */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeChecks.arrayOfNumeric(left.dataType, "graft_dot", Seq(FloatType, DoubleType))
+    if (l.isFailure) l
+    else TypeChecks.arrayOfNumeric(right.dataType, "graft_dot", Seq(FloatType, DoubleType))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += TypeChecks.doubleAt(left.dataType, x, i) * TypeChecks.doubleAt(right.dataType, y, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${TypeChecks.doubleGetter(left.dataType, a, i)} *
+         |    ${TypeChecks.doubleGetter(right.dataType, b, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
+/** Euclidean norm with the same fold order as
+  * `sqrt(aggregate(a, 0.0, (acc, x) => acc + x*x))`.
+  */
+case class ArrayNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.arrayOfNumeric(child.dataType, "graft_norm", Seq(FloatType, DoubleType))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = TypeChecks.doubleAt(child.dataType, x, i)
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = ${TypeChecks.doubleGetter(child.dataType, a, i)};
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ArrayNorm = copy(child = c)
+}
+
+/** array<string> → array<long>: per token, the first 8 md5 hex chars as an
+  * unsigned 32-bit value — identical to
+  * `transform(toks, w => conv(substring(md5(w),1,8),16,10) :: long)` but
+  * hashing bytes directly instead of hex-encoding + string base conversion.
+  */
+case class HashTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash_tokens requires array<string>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](x.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = Kernels.md5Prefix64(x.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      s"""
+         |long[] $out = new long[$a.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  $out[$i] = graft.plans.expr.Kernels.md5Prefix64($a.getUTF8String($i).getBytes());
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HashTokens = copy(child = c)
+}
+
+/** array<long> token hashes → array<long> distinct 3-shingle hashes, the
+  * exact staged math of the original column rendering:
+  *  - n == 0 → [0]
+  *  - n < 3  → one hash: fold `acc = (acc + th[j] * C[j]) % p`
+  *  - n ≥ 3  → `(th[j]*C0 + th[j+1]*C1 + th[j+2]*C2) % p` per position
+  * then every hash reduced `% 4294967291` and deduplicated preserving
+  * first-occurrence order (array_distinct semantics).
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<long>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new GenericArrayData(ShingleHashes.compute(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.expr.ShingleHashes.compute($a));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+object ShingleHashes {
+  /** Shared by eval and generated code (the kernel is branchy enough that a
+    * static method keeps the generated method bodies small for JIT).
+    */
+  def compute(th: ArrayData): Array[Long] = {
+    val n = th.numElements()
+    val C = Kernels.ShingleC
+    val p = Kernels.MersennePrime
+    val raw: Array[Long] =
+      if (n == 0) Array(0L)
+      else if (n < 3) {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc = (acc + th.getLong(j) * C(j)) % p; j += 1 }
+        Array(acc)
+      } else {
+        val out = new Array[Long](n - 2)
+        var j = 0
+        while (j < n - 2) {
+          out(j) = (th.getLong(j) * C(0) + th.getLong(j + 1) * C(1) +
+            th.getLong(j + 2) * C(2)) % p
+          j += 1
+        }
+        out
+      }
+    // % Mod32 + first-occurrence dedup (array_distinct order semantics)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](raw.length * 2)
+    var i = 0
+    while (i < raw.length) { seen.add(raw(i) % Kernels.Mod32); i += 1 }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+/** array<long> shingle hashes → 64-slot MinHash signature:
+  * `slot_i = min over h of (A_i * h + B_i) % p`, slots initialized to
+  * Long.MaxValue — identical to the 64-slot `aggregate` fold, without the
+  * per-element 64-long array allocation.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<long>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new GenericArrayData(MinHashSig.compute(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.expr.MinHashSig.compute($a));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+object MinHashSig {
+  def compute(hs: ArrayData): Array[Long] = {
+    val slots = new Array[Long](Kernels.NumHashes)
+    java.util.Arrays.fill(slots, Long.MaxValue)
+    val A = Kernels.CoeffA; val B = Kernels.CoeffB
+    val p = Kernels.MersennePrime
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < slots.length) {
+        val v = (A(i) * h + B(i)) % p
+        if (v < slots(i)) slots(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    slots
+  }
+}
+
+/** array<long> token hashes → 32-bit SimHash (as long): per bit, +1/-1
+  * votes from each hash's bit `i`; bit set iff the vote sum is positive —
+  * identical to the 32-slot vote `aggregate` + when-chain reduction.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash32 requires array<long>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = SimHash32.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.expr.SimHash32.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
+}
+
+object SimHash32 {
+  def compute(hs: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < 32) {
+        votes(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 32) {
+      if (votes(i) > 0) r += (1L << i)
+      i += 1
+    }
+    r
+  }
+}
