@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+/** Parity proofs for the native codegen kernels (graft.plans.expr): each
+  * kernel must be BIT-IDENTICAL to the pure column-function rendering it
+  * replaced — that rendering is what the DuckDB oracles mirror.
+  */
+class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private val MersennePrime = (1L << 61) - 1
+  private val ShingleC = Seq(786433L, 917505L, 1048577L)
+  private val coeffs: Seq[(Long, Long)] =
+    (1 to 64).map(i => (2L * i * 40503 + 1, i * 105341L))
+
+  private def md5Prefix64Col(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two",
+    "single",
+    "",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "dup dup dup dup dup",
+    "Ünïcödé tëxt wíth ßpecial chars 中文 日本語")
+
+  test("graft_hash_tokens == transform(md5 hex prefix conv)") {
+    val df = texts.toDF("text")
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(
+        call_function("graft_hash_tokens", col("toks")).as("kernel"),
+        transform(col("toks"), w => md5Prefix64Col(w)).as("fold"))
+    df.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_shingles == staged when/transform/aggregate rendering") {
+    val df = texts.toDF("text")
+      .select(call_function("graft_hash_tokens",
+        graft.functions.TextFunctions.tokens(col("text"))).as("th"))
+    val n = size(col("th"))
+    val raw = when(n === 0, array(lit(0L)))
+      .when(n < 3,
+        array(aggregate(
+          zip_with(col("th"), sequence(lit(1), greatest(n, lit(1))),
+            (h, i) => h * element_at(typedLit(ShingleC), i)),
+          lit(0L), (acc, x) => (acc + x) % lit(MersennePrime))))
+      .otherwise(transform(
+        sequence(lit(1), n - 2),
+        i => (element_at(col("th"), i) * lit(ShingleC(0)) +
+              element_at(col("th"), i + 1) * lit(ShingleC(1)) +
+              element_at(col("th"), i + 2) * lit(ShingleC(2))) % lit(MersennePrime)))
+    val fold = array_distinct(transform(raw, h => h % lit(4294967291L)))
+    val out = df.select(call_function("graft_shingles", col("th")).as("kernel"), fold.as("fold"))
+    out.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_minhash == 64-slot aggregate fold") {
+    val df = texts.toDF("text")
+      .select(call_function("graft_shingles", call_function("graft_hash_tokens",
+        graft.functions.TextFunctions.tokens(col("text")))).as("hs"))
+    val fold = aggregate(
+      col("hs"),
+      array(coeffs.map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), (lit(a) * h + lit(b)) % lit(MersennePrime))
+      }: _*))
+    val out = df.select(call_function("graft_minhash", col("hs")).as("kernel"), fold.as("fold"))
+    out.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_simhash32 == 32-slot vote fold") {
+    val df = texts.toDF("text")
+      .select(call_function("graft_hash_tokens",
+        graft.functions.TextFunctions.tokenSet(col("text"))).as("hashes"))
+    val votes = aggregate(
+      col("hashes"),
+      array((0 until 32).map(_ => lit(0L)): _*),
+      (acc, h) => array((0 until 32).map(i =>
+        element_at(acc, i + 1) +
+          when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L)): _*))
+    val fold = (0 until 32).map(i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val out = df.select(call_function("graft_simhash32", col("hashes")).as("kernel"), fold.as("fold"))
+    out.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_dot / graft_norm == zip_with+aggregate folds, bit-identical doubles") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1e-7f, 3.3f, -2.2f, 9.9f), Array(4.4f, -5.5f, 6.6f, 1e7f)))
+    val df = vecs.toDF("a", "b")
+    val foldDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val foldNorm = sqrt(aggregate(col("a"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val out = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("kd"), foldDot.as("fd"),
+      call_function("graft_norm", col("a")).as("kn"), foldNorm.as("fn"))
+    out.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("kernels usable from spark.sql (registered SQL functions)") {
+    val r = spark.sql(
+      "SELECT graft_simhash32(graft_hash_tokens(array('a','b'))) AS s, " +
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").first()
+    assert(r.getLong(0) != 0L)
+    assert(r.getDouble(1) == 11.0)
+  }
+}
