@@ -64,6 +64,8 @@ object SparkEntry {
     "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
+    "text_repetition"      -> ((s, d) => T.repetitionScore(s, d)),
+    "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     // dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
@@ -74,6 +76,8 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
+    "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
+    "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
     // similarity search
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -362,6 +366,41 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs WHERE est_jaccard >= 0.5)"
     "multimodal_decode" ->
       """SELECT doc_id AS id, lang AS media_type,
 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+WHERE round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, lab) AS (SELECT doc_id, doc_id FROM documents
+UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id""",
+
+    "dedup_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+FROM t WHERE len(toks) >= 5),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN bench USING (gram)
+WHERE doc_id >= 50 GROUP BY doc_id""",
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+b AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg FROM t)
+SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_repeated,
+CASE WHEN len(bg) > 0 THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6)
+ELSE 0.0 END AS dup_frac FROM b""",
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, source, ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents
+WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 <
+CASE WHEN length(source) = 4 THEN 250 ELSE 750 END""",
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents),

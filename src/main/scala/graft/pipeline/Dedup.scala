@@ -129,6 +129,65 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Near-dup clusters: connected components over the LSH pair graph,
+    * labels = min doc_id per component (the canonical representative a
+    * corpus-dedup keeps). Iterative min-label propagation, restricted to
+    * the edge-induced subgraph — singletons never enter the loop and are
+    * stamped `cluster_id = doc_id` by the final left join, so each
+    * iteration joins only O(|pairs|) rows however large the corpus is.
+    * Lineage is truncated per iteration (`localCheckpoint`), the standard
+    * Spark iterative-graph pattern; iteration count is bounded by the
+    * component diameter (near-dup clusters are shallow).
+    */
+  def corpusClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                     maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nbr_lab"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      labels = next
+      iter += 1
+    }
+    documents(spark, dir)
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Benchmark-contamination check: flag corpus documents (doc_id ≥
+    * `benchBound`) sharing at least one distinct word 5-gram with the
+    * benchmark set (doc_id < `benchBound`), with the shared-gram count.
+    * The benchmark gram set is small by construction → broadcast join;
+    * the corpus side only ever shuffles its distinct grams.
+    */
+  def contamination(spark: SparkSession, dir: String, benchBound: Long = 50,
+                    n: Int = 5): DataFrame = {
+    val grams = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val bench = grams.filter(col("doc_id") < benchBound).select(col("gram")).distinct()
+    grams.filter(col("doc_id") >= benchBound)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash over the distinct-token set: per bit position, +1/-1

@@ -56,6 +56,41 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Repetition filter (Gopher-style): per-doc duplicate-bigram fraction —
+    * boilerplate and degenerate generations repeat n-grams, clean prose
+    * doesn't. `dup_frac = 1 - distinct/total` over adjacent-token bigrams.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = zip_with(
+      slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), bg.as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("long").as("n_repeated"),
+        when(size(col("bg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double"), 6)).otherwise(0.0).as("dup_frac"))
+  }
+
+  /** Deterministic stratified sampling (domain mixing): keep each document
+    * iff its md5-derived bucket falls under the per-source rate — the
+    * reproducible, cluster-stable alternative to `sample()` (no RNG state,
+    * no partition sensitivity; the same doc always makes the same cut).
+    * Rates here: 25% for single-digit sources, 75% for the rest — the
+    * "downweight common crawl, upweight curated" shape of a mixing config.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(md5Prefix64(col("doc_id").cast("string")), lit(1000L)).as("bucket"),
+        when(length(col("source")) === 4, lit(250)).otherwise(lit(750)).as("cut"))
+      .filter(col("bucket") < col("cut"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+
   /** Language-ID heuristic per doc (marker-stopword score argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     spread(spark, documents(spark, dir))

@@ -151,6 +151,24 @@ object StreamOps {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("n_name"), col("order_count"), col("order_amount"))
 
+  /** A4 streaming: windowed keyword stats
+    * (`app/dws/KeywordStatsApp.java:64-75`): tokenize → explode → 10s
+    * tumbling event-time window count keyed by (lang, keyword). The
+    * tokenizer UDTF surface (U1) composes with streaming windows exactly
+    * like the reference's LATERAL TABLE(ik_analyze(...)) feeding its
+    * windowed COUNT(*).
+    */
+  def a4KeywordStats(docs: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("keyword"))
+      .groupBy(window(col("ts"), "10 seconds"), col("lang"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("lang"), col("keyword"), col("ct"))
+
   /** J1 streaming: stream-stream interval join
     * (`app/dwm/OrderWideApp.java:99-107`): equi-key + event-time range,
     * watermarks on both sides bound the join state exactly like Flink's

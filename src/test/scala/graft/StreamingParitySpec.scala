@@ -10,6 +10,7 @@ import graft.streaming.StreamOps.Event
 
 case class LSide(l_key: Long, l_ts: Timestamp)
 case class RSide(r_key: Long, r_ts: Timestamp)
+case class DocEv(ts: Timestamp, lang: String, text: String)
 
 /** Stream-batch parity: each stateful streaming rendering must produce the
   * same rows as its batch oracle on the same input (SURVEY §5.2).
@@ -92,6 +93,36 @@ class StreamingParitySpec extends SparkSpecBase {
     // it) — parity modulo windows still open at end-of-stream
     val openWindow = flush2.ts.toString.take(19)
     assert(got == batch.filterNot(_.head.toString >= openWindow.take(16)))
+  }
+
+  test("A4 parity: streaming windowed keyword counts == batch explode+agg") {
+    val docs = Seq(
+      DocEv(ts("2024-01-01 00:00:01"), "en", "the cat sat on the mat"),
+      DocEv(ts("2024-01-01 00:00:03"), "en", "the dog"),
+      DocEv(ts("2024-01-01 00:00:12"), "es", "el gato duerme"),
+      DocEv(ts("2024-01-01 00:00:15"), "en", "the cat"))
+    val flushes = Seq(
+      DocEv(ts("2024-01-02 00:00:00"), "zz", "flushtoken"),
+      DocEv(ts("2024-01-03 00:00:00"), "zz", "flushtoken"))
+    // batch oracle: same transform sans watermark, flush rows included (a
+    // pre-watermark filter would stop the watermark from ever advancing —
+    // flush windows are excluded from the comparison instead)
+    val batch = StreamOps.a4KeywordStats((docs ++ flushes).toDF())
+      .collect().map(_.toSeq).toSet
+      .filterNot(_(2) == "zz")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DocEv]
+    val name = s"a4sink${System.nanoTime()}"
+    val q = StreamOps.a4KeywordStats(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); q.processAllAvailable()
+      input.addData(docs.drop(2)); q.processAllAvailable()
+      flushes.foreach { f => input.addData(Seq(f)); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.toSeq).toSet.filterNot(_(2) == "zz")
+    assert(got == batch)
   }
 
   test("J1 parity: stream-stream interval join == batch range join") {
