@@ -23,7 +23,7 @@ object StreamOps {
 
   case class BounceRow(event_id: Long, user_id: Long, visit_ts: String)
 
-  private def fmt(ts: Timestamp): String = {
+  private[streaming] def fmt(ts: Timestamp): String = {
     val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
     f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     f.format(new java.util.Date((ts.getTime / 1000L) * 1000L)) // truncate to second

@@ -72,6 +72,28 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batch)
   }
 
+  test("J4 parity: transformWithState event-time timers == batch lead() oracle") {
+    // transformWithState timers need column families → RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = LogPipeline.j4Transform(fixture.toDF())
+        .select("event_id").as[Long].collect().toSet
+      val got = runStream(Seq(fixture.take(5), fixture.drop(5), Seq(flush1), Seq(flush2)), "append") { df =>
+        graft.streaming.BounceProcessor(
+          df.withWatermark("ts", "0 seconds")
+            .as[Event].filter(_.user_id >= 0)).toDF()
+      }.map(_.getLong(0)).toSet
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST2 parity: watermarked dropDuplicates == batch distinct") {
     val batch = fixture.map(e => (e.user_id, e.ts.toString.take(10))).toSet
     val got = runStream(Seq(fixture.take(3), fixture.drop(3)), "append") { df =>
