@@ -458,5 +458,18 @@ c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a
 FROM n a CROSS JOIN q WHERE a.vec_id <> query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
+    "ann_ivf_topk" ->
+      s"""WITH $embNorms,
+cents AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+scored AS (SELECT a.vec_id, a.emb, a.nrm, cell, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS c_cos
+FROM n a CROSS JOIN cents),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS crk FROM scored),
+corpus AS (SELECT vec_id AS neighbor_id, emb, nrm, cell FROM ranked WHERE crk = 1),
+probes AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, cell FROM ranked WHERE vec_id < 10 AND crk <= 2),
+c AS (SELECT query_id, neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM corpus a JOIN probes USING (cell) WHERE neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
   )
 }
