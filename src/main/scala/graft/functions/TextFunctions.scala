@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Tokenize into a non-empty lowercase word array. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+  /** Tokenize into a non-empty lowercase word array — native
+    * `graft_tokenize` kernel (codegen'd; the higher-order `filter`
+    * rendering it replaces is CodegenFallback and would bar every
+    * downstream projection from whole-stage codegen).
+    */
+  def tokens(text: Column): Column = call_function("graft_tokenize", text)
 
   /** Distinct token set (order-normalized via array_sort so downstream
     * signatures are deterministic).

@@ -89,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new ApproxDistinctRule)
     // Native codegen kernels (see graft.plans.expr) as SQL functions, so
     // both the column API (call_function) and spark.sql can use them.
+    ext.injectFunction(fn("graft_tokenize", 1, a => TokenizeWords(a(0))))
     ext.injectFunction(fn("graft_dot", 2, a => ArrayDot(a(0), a(1))))
     ext.injectFunction(fn("graft_norm", 1, a => ArrayNorm(a(0))))
     ext.injectFunction(fn("graft_hash_tokens", 1, a => HashTokens(a(0))))

@@ -155,6 +155,52 @@ case class ArrayNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ArrayNorm = copy(child = c)
 }
 
+/** string → array<string>: lowercase, split on `\s+`, drop empties —
+  * identical to `filter(split(lower(text), "\\s+"), w => length(w) > 0)`
+  * (Spark's `Lower` is `UTF8String.toLowerCase` and `StringSplit` is
+  * `Pattern.split` on the same string — both reproduced exactly). The
+  * higher-order `filter` it replaces is CodegenFallback, and one such
+  * expression in a projection bars the whole operator from whole-stage
+  * codegen — this kernel keeps the full tokenize→hash→signature pipeline
+  * inside one codegen span.
+  */
+case class TokenizeWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokenize requires string, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = TokenizeWords.compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  graft.plans.expr.TokenizeWords.compute($a);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): TokenizeWords = copy(child = c)
+}
+
+object TokenizeWords {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(a: Any): GenericArrayData = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString
+    val parts = WS.split(s, -1)
+    val out = new java.util.ArrayList[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty)
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(parts(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** array<string> → array<long>: per token, the first 8 md5 hex chars as an
   * unsigned 32-bit value — identical to
   * `transform(toks, w => conv(substring(md5(w),1,8),16,10) :: long)` but

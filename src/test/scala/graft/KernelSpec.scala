@@ -27,6 +27,14 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     "dup dup dup dup dup",
     "Ünïcödé tëxt wíth ßpecial chars 中文 日本語")
 
+  test("graft_tokenize == filter(split(lower)) incl. unicode and empties") {
+    val extra = texts ++ Seq("  leading and\ttrailing  ", "A\nB\r\nC", "İIıi ẞß")
+    val df = extra.toDF("text").select(
+      call_function("graft_tokenize", col("text")).as("kernel"),
+      filter(split(lower(col("text")), "\\s+"), w => length(w) > 0).as("fold"))
+    df.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("graft_hash_tokens == transform(md5 hex prefix conv)") {
     val df = texts.toDF("text")
       .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))

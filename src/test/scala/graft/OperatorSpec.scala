@@ -98,4 +98,34 @@ class OperatorSpec extends SparkSpecBase {
       .contains("ReadSchema:struct<l_quantity:double,l_extendedprice:double,l_discount:double"),
       s"columns not pruned:\n$plan")
   }
+
+  test("dedup/ANN plan shapes: broadcasts where expected, kernels in codegen") {
+    import graft.pipeline.{Dedup, Similarity}
+    // ngram pair stage: small tf build side must broadcast (probe side is
+    // the fan-out side and must not be the build)
+    val ngram = Dedup.ngramJaccard(spark, sf("documents"))
+      .queryExecution.executedPlan.toString
+    assert(ngram.contains("BroadcastHashJoin"), s"ngram pair join not broadcast:\n$ngram")
+    // contamination: benchmark gram set broadcast
+    val cont = Dedup.contamination(spark, sf("documents"))
+      .queryExecution.executedPlan.toString
+    assert(cont.contains("BroadcastHashJoin"), s"bench set not broadcast:\n$cont")
+    // brute-force ANN: query side broadcast against the corpus scan
+    val brute = Similarity.bruteForceTopK(spark, sf("embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$brute")
+    // minhash signatures: the three kernel stages collapse into ONE Project
+    // (no more per-stage materialization barriers), and the executed plan
+    // runs them inside a whole-stage codegen span (the interpreted
+    // higher-order folds they replaced were CodegenFallback)
+    val sigDf = Dedup.signatureTable(spark, sf("documents"))
+    sigDf.collect() // finalize THIS df's adaptive plan (count() would plan a new one)
+    val sig = sigDf.queryExecution.executedPlan.toString
+    assert(sig.toLowerCase.contains("minhashsig(shinglehashes(hashtokens(tokenizewords("),
+      s"kernels not fused into one projection:\n$sig")
+    // codegen spans render as a `*(n)` prefix in compact plan strings
+    assert(sig.linesIterator.exists(l => l.contains("minhashsig") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
+      s"kernel projection not inside a whole-stage codegen span:\n$sig")
+  }
 }
