@@ -99,7 +99,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        round(call_function("graft_eq_count", col("sig_a"), col("sig_b"))
           .cast("double") / lit(NumHashes.toDouble), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }

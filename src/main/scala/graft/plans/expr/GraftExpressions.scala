@@ -119,6 +119,48 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Count of positions where two long arrays agree — identical to
+  * `size(filter(zip_with(a, b, (x, y) => x === y), b => b))` over
+  * equal-length arrays (the MinHash signature-agreement estimator),
+  * without the three interpreted higher-order hops per pair.
+  */
+case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_eq_count requires (array<long>, array<long>), got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCount =
+    copy(left = l, right = r)
+}
+
 /** Euclidean norm with the same fold order as
   * `sqrt(aggregate(a, 0.0, (acc, x) => acc + x*x))`.
   */

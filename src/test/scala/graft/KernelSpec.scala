@@ -96,6 +96,16 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     out.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("graft_eq_count == size(filter(zip_with(equality)))") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(5L), Seq(5L))).toDF("a", "b")
+    val fold = size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), b => b))
+    val out = df.select(call_function("graft_eq_count", col("a"), col("b")).as("k"), fold.as("f"))
+    out.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("graft_dot / graft_norm == zip_with+aggregate folds, bit-identical doubles") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
