@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, d) => Dedup.simhashTable(s, d)),
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_ngram_prefix"   -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
@@ -124,6 +125,19 @@ n AS (SELECT vec_id, label, emb, sqrt(list_reduce(list_prepend(0.0, list_transfo
 
   private def cosSql(ea: String, eb: String, na: String, nb: String) =
     s"round(list_reduce(list_prepend(0.0, list_transform(list_zip($ea, $eb), p -> p[1] * p[2])), (a, b) -> a + b) / ($na * $nb), 6)"
+
+  /** Bag-Jaccard oracle — shared by the exhaustive and prefix-filtered
+    * renderings (they must emit the identical pair set).
+    */
+  private val OracleNgramJaccard =
+    s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
+(SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
+tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS inter
+FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) >= 0.5"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -422,15 +436,11 @@ FROM blocked x JOIN blocked y ON x.bk = y.bk AND x.block_key = y.block_key AND x
 SELECT doc_a, doc_b, CAST(len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) AS INTEGER) AS hamming
 FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) <= 3""",
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
-(SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
-tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
-inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS inter
-FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY doc_a, doc_b)
-SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) AS jaccard
-FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
-WHERE round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) >= 0.5""",
+    "dedup_ngram_jaccard" -> OracleNgramJaccard,
+
+    // the prefix-filtered join must produce the IDENTICAL pair set — same
+    // oracle, independently gated
+    "dedup_ngram_prefix" -> OracleNgramJaccard,
 
     "dedup_embedding" ->
       s"""WITH $embNorms

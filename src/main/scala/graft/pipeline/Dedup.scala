@@ -245,28 +245,98 @@ object Dedup {
     * final rounded ratio → hash-stable. The blocking key keeps the
     * self-join out of cross-join territory at scale.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // The term-frequency table is checkpointed AFTER the aggregate: both
-    // self-join sides then read one small materialized table instead of
-    // re-running tokenize+explode+agg per side (the docs here are short, so
-    // Generate re-running the tokenizer per output row costs far less than
-    // a second full pass + a token-array materialization). `total` rides
-    // along on every tf row so the pair stage needs no extra joins and can
-    // prune inside the join itself.
-    val tf = spread(spark, documents(spark, dir))
+  /** Prefix-filtered bag-Jaccard join (PPJoin-style, Chaudhuri et al.
+    * ICDE'06 / Xiao et al. WWW'08), replacing the exhaustive
+    * all-shared-tokens self-join:
+    *
+    *  1. order every document's token OCCURRENCES rarest-token-first
+    *     (global df order — hot tokens like "the" sort last);
+    *  2. a pair with J ≥ t has bag overlap I ≥ ⌈t·|A|⌉, so by the prefix
+    *     lemma its (|A| − ⌈t·|A|⌉ + 1)-prefixes must share a token —
+    *     candidates are generated from PREFIX rows only, which excludes
+    *     the high-df tokens that explode a naive token join;
+    *  3. candidates (plus the min ≥ t·max length band, also necessary for
+    *     J ≥ t) are verified EXACTLY with a two-pointer sorted-array merge
+    *     (`graft_bag_intersect`), not a token-row aggregation.
+    *
+    * Identical output to the exhaustive join (property-tested; gated by
+    * the same DuckDB oracle as `dedup_ngram_jaccard`). At scale the wins compound:
+    * the candidate shuffle carries only rare-token prefix rows, and
+    * verification is O(|A|+|B|) per surviving pair with no shuffle.
+    */
+  /** Default rendering for blocked, moderate-cardinality corpora: the
+    * exhaustive token join (one shuffle, one agg) has the fewest stages
+    * and wins while per-block candidate volume stays manageable. At
+    * full-corpus scale switch to `ngramJaccardPrefix` — identical output
+    * (property-tested + same oracle), sub-quadratic candidates.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    ngramJaccardExhaustiveFrom(spread(spark, documents(spark, dir)), threshold)
+
+  def ngramJaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPrefixFrom(spread(spark, documents(spark, dir)), threshold)
+
+  /** Core prefix-filtered join over any (doc_id, source, text) frame. */
+  def ngramJaccardPrefixFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docsIn.sparkSession
+    val docs = docsIn
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("total"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // global document frequency = the prefix order (rarest first, token
+    // tie-break keeps the order total and engine-independent)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // cum = occurrences of strictly-earlier tokens; a tf row holds at least
+    // one prefix occurrence iff cum < L = total - ceil(t*total) + 1
+    val prefix = tf.join(dfreq, "tok")
+      .withColumn("cum", coalesce(sum(col("tf")).over(w), lit(0L)))
+      .filter(col("cum") < col("total") - ceil(col("total") * lit(threshold)) + 1)
+      .select(col("doc_id"), col("source"), col("total"), col("tok"))
+      .localCheckpoint()
+    val cand = spread(spark, prefix).as("x").join(broadcast(prefix).as("y"),
+        col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.total"), col("y.total")).cast("double") >=
+            greatest(col("x.total"), col("y.total")).cast("double") * lit(threshold))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on sorted token arrays (binary UTF8 order — the
+    // order graft_bag_intersect merges with)
+    val sorted = docs
+      .select(col("doc_id"), array_sort(col("toks")).as("st"),
+        size(col("toks")).cast("long").as("total"))
+      .localCheckpoint()
+    cand
+      .join(broadcast(sorted.select(col("doc_id").as("doc_a"), col("st").as("st_a"),
+        col("total").as("total_a"))), "doc_a")
+      .join(broadcast(sorted.select(col("doc_id").as("doc_b"), col("st").as("st_b"),
+        col("total").as("total_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("graft_bag_intersect", col("st_a"), col("st_b"))
+          .cast("long").as("inter"),
+        col("total_a"), col("total_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("total_a") + col("total_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The exhaustive all-shared-tokens rendering. */
+  def ngramJaccardExhaustiveFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = docsIn.sparkSession
+    val tf = docsIn
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("total"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    // Length-band prune: I ≤ min(|A|,|B|) gives J ≤ min/max, so J ≥ t
-    // REQUIRES min ≥ t·max — evaluated inside the join condition, it drops
-    // hopeless pairs before they reach the (doc_a, doc_b) aggregation
-    // shuffle. Purely a pruning condition; the survivor set is unchanged.
-    // AQE coalesces the small aggregated tf to ~1 partition; the join fans
-    // each tf row out ~100× (shared tokens within a source), so the PROBE
-    // side must be re-spread across cores, with the build side broadcast.
     val inter = spread(spark, tf).as("x").join(broadcast(tf).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           col("x.doc_id") < col("y.doc_id") &&

@@ -161,6 +161,45 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Multiset (bag) intersection size of two SORTED string arrays — the
+  * two-pointer merge computing Σ_tok min(tf_a, tf_b) in O(|a|+|b|), the
+  * verification step of the prefix-filtered similarity join. Inputs must
+  * be sorted with `array_sort` (binary UTF8String order — the same order
+  * the merge compares with); duplicates implement the min(tf) naturally.
+  */
+case class BagIntersect(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bag_intersect requires (array<string>, array<string>), got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BagIntersect.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.expr.BagIntersect.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BagIntersect =
+    copy(left = l, right = r)
+}
+
+object BagIntersect {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Euclidean norm with the same fold order as
   * `sqrt(aggregate(a, 0.0, (acc, x) => acc + x*x))`.
   */

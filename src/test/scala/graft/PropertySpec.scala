@@ -62,6 +62,32 @@ class PropertySpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("prefix-filtered bag-Jaccard == exhaustive token join, random corpora with planted dups") {
+    // vocabulary with a Zipf-ish head so hot tokens exercise the rarest-
+    // first prefix ordering; planted mutations create J>=0.5 pairs
+    def corpus(seed: Int): Seq[(Long, String, String)] = {
+      val r = new Random(seed)
+      def word() = if (r.nextInt(3) == 0) s"hot${r.nextInt(3)}" else s"w${r.nextInt(200)}"
+      val base = (0 until 60).map { i =>
+        (i.toLong, s"s${i % 3}", (0 until 8 + r.nextInt(20)).map(_ => word()).mkString(" "))
+      }
+      val mutated = (0 until 20).map { i =>
+        val (id, src, text) = base(r.nextInt(base.length))
+        val ws = text.split(" ").toSeq
+        val drop = r.nextInt(1 + ws.length / 4)
+        (100L + i, src, (ws.drop(drop) ++ Seq.fill(r.nextInt(3))(word())).mkString(" "))
+      }
+      base ++ mutated
+    }
+    Seq(7, 21, 99).foreach { seed =>
+      val df = corpus(seed).toDF("doc_id", "source", "text")
+      val fast = Dedup.ngramJaccardPrefixFrom(df).as[(Long, Long, Double)].collect().toSet
+      val slow = Dedup.ngramJaccardExhaustiveFrom(df).as[(Long, Long, Double)].collect().toSet
+      assert(fast == slow, s"seed=$seed prefix filter diverged:\n missing=${slow -- fast}\n extra=${fast -- slow}")
+      assert(slow.nonEmpty, s"seed=$seed fixture planted no qualifying pairs")
+    }
+  }
+
   test("minhash: identical text → identical signature; est self-similarity 1") {
     val words = (1 to 40).map(i => s"w${rnd.nextInt(30)}").mkString(" ")
     val df = Seq((1L, words), (2L, words)).toDF("doc_id", "text")
