@@ -72,6 +72,25 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batch)
   }
 
+  test("ST1 parity: transformWithState ValueState == batch row_number oracle") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = LogPipeline.st1Transform(fixture.toDF())
+        .as[(Long, Long, Long)].collect().toSet
+      val got = runStream(Seq(fixture.take(4), fixture.drop(4)), "update") { df =>
+        graft.streaming.IsNewProcessor(df.as[Event]).toDF()
+      }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("J4 parity: transformWithState event-time timers == batch lead() oracle") {
     // transformWithState timers need column families → RocksDB state store
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
