@@ -151,6 +151,26 @@ object StreamOps {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("n_name"), col("order_count"), col("order_amount"))
 
+  /** A2 streaming: product-stats windowed aggregation
+    * (`app/dws/ProductStatsApp.java:215-261`). The batch rendering keeps
+    * the reference's exact HashSet distinct (`size(collect_set)`); inside
+    * a streaming windowed agg the exact set is unavailable, so — like A3 —
+    * the streaming/scale path uses `approx_count_distinct` (HLL). Money
+    * sums stay exact decimal.
+    */
+  def a2ProductStats(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("user_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
+        count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("user_ct"), col("amount"), col("ct"))
+
   /** A4 streaming: windowed keyword stats
     * (`app/dws/KeywordStatsApp.java:64-75`): tokenize → explode → 10s
     * tumbling event-time window count keyed by (lang, keyword). The

@@ -42,4 +42,31 @@ class ProvinceStreamSpec extends SparkSpecBase {
         s"HLL count out of tolerance for $k: $gCnt vs $cnt")
     }
   }
+
+  test("streaming product stats ≈ batch (HLL distinct users, exact sums)") {
+    val d = "/root/testdata/sf0.001"
+    val src = Files.createTempDirectory("a2_src").toString
+    val ev = Tables.events(spark, d)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamOps.a2ProductStats(stream)
+      .writeStream.format("memory").queryName("a2_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("a2_out").collect()
+      .map(r => (r.getString(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val exact = graft.operators.LogPipeline.a2ProductStats(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, (cnt, amt, tot)) =>
+      val (gCnt, gAmt, gTot) = got(k)
+      assert(gAmt == amt && gTot == tot, s"sums/counts must be exact for $k")
+      assert(math.abs(gCnt - cnt) <= math.max(2L, (cnt * 0.15).toLong),
+        s"HLL distinct out of tolerance for $k: $gCnt vs $cnt")
+    }
+  }
 }
