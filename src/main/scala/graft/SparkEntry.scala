@@ -65,6 +65,7 @@ object SparkEntry {
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
     "text_repetition"      -> ((s, d) => T.repetitionScore(s, d)),
+    "text_tfidf_topk"      -> ((s, d) => T.tfidfTopK(s, d)),
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     // dedup family
@@ -410,6 +411,16 @@ SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
 CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_repeated,
 CASE WHEN len(bg) > 0 THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6)
 ELSE 0.0 END AS dup_frac FROM b""",
+
+    "text_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+FROM tf JOIN dfreq USING (tok), n WHERE doc_id < 100),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk FROM s)
+SELECT doc_id, tok, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, source, ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents

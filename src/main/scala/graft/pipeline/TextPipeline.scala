@@ -91,6 +91,33 @@ object TextPipeline {
       .filter(col("bucket") < col("cut"))
       .select(col("doc_id"), col("source"), col("bucket"))
 
+  /** Per-document top-k TF-IDF terms (classic IR weighting):
+    * score = tf · ln(N/df), rounded to 6dp for cross-engine hashing;
+    * deterministic top-k per doc (score desc, term asc). Restricted to
+    * doc_id < 100 to bound the dump; the tf/df tables are the full-corpus
+    * computation either way.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(broadcast(dfreq), "tok")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Language-ID heuristic per doc (marker-stopword score argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     spread(spark, documents(spark, dir))
