@@ -49,5 +49,29 @@ class WarehouseJobSpec extends SparkSpecBase {
     // no dirty rows in this dataset (all props parse)
     assert(!new java.io.File(s"$out/dirty").exists() ||
       spark.read.parquet(s"$out/dirty").count() == 0)
+
+    // ---- at-least-once replay idempotence (the ST8 commit contract) ----
+    // 1. committed-marker fast path: replaying the whole topic from a
+    //    FRESH checkpoint (= the worst-case redelivery) must not append
+    val factsBefore = facts.count()
+    val statsSumBefore = stats.agg(sum("total_ct")).first().getLong(0)
+    val q2 = job.start(src, Files.createTempDirectory("wh_ckpt2").toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$out/facts").count() == factsBefore,
+      "marker skip must prevent duplicate facts on replay")
+
+    // 2. crashed-before-marker path: markers gone, batch dirs still there
+    //    (crash between publish and marker) — republish must REPLACE the
+    //    batch-scoped dirs wholesale, not append to them
+    new java.io.File(out).listFiles().filter(_.getName.startsWith("_committed_"))
+      .foreach(_.delete())
+    val q3 = job.start(src, Files.createTempDirectory("wh_ckpt3").toString)
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(s"$out/facts").count() == factsBefore,
+      "wholesale batch-dir replace must prevent duplicates after a marker-less replay")
+    assert(spark.read.parquet(s"$out/stats").agg(sum("total_ct")).first().getLong(0)
+      == statsSumBefore,
+      "stats partials must be replaced, not appended, on replay")
+    assert(new java.io.File(s"$out/_committed_0").exists(), "marker rewritten after republish")
   }
 }
