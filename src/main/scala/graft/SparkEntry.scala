@@ -57,6 +57,7 @@ object SparkEntry {
     // serving SQL surface (§3.3)
     "sql_gmv_serving"      -> ((s, d) => Serving.sqlGmvByBrand(s, d)),
     "sql_keyword_lateral"  -> ((s, d) => Serving.sqlKeywordLateralView(s, d)),
+    "sql_keyword_native"   -> ((s, d) => Serving.sqlKeywordNative(s, d)),
     // UDTF / text functions (§2.7-2.8 + training-data ops)
     "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
     "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
@@ -219,6 +220,11 @@ FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 ORDER BY order_amount DESC, tm_name ASC LIMIT 5""",
 
     "sql_keyword_lateral" ->
+      s"""SELECT lang, word, COUNT(*) AS ct FROM
+(SELECT lang, unnest($TOKS) AS word FROM documents) GROUP BY lang, word""",
+
+    // native-kernel LATERAL VIEW must match the UDF rendering exactly
+    "sql_keyword_native" ->
       s"""SELECT lang, word, COUNT(*) AS ct FROM
 (SELECT lang, unnest($TOKS) AS word FROM documents) GROUP BY lang, word""",
 

@@ -53,4 +53,18 @@ object Serving {
         |FROM documents LATERAL VIEW explode(split_words(text)) w AS word
         |GROUP BY lang, word""".stripMargin)
   }
+
+  /** The same LATERAL VIEW shape through the NATIVE `graft_tokenize`
+    * kernel (registered by `GraftExtensions.injectFunction`) — identical
+    * results to the UDF rendering, but the tokenizer runs codegen'd
+    * instead of through a Scala UDF boundary. This is the form a user
+    * should write at scale.
+    */
+  def sqlKeywordNative(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT lang, word, COUNT(*) AS ct
+        |FROM documents LATERAL VIEW explode(graft_tokenize(text)) w AS word
+        |GROUP BY lang, word""".stripMargin)
+  }
 }
