@@ -18,13 +18,29 @@ object Scale {
     * one-key-dominates case (a viral item in the reference's product
     * stats, a boilerplate dup-cluster in corpus dedup).
     */
-  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salt: Int): DataFrame = {
+  /** @param saltCols columns the salt is derived from; defaults to every
+    *                  hashable (non-map) probe column. Pass a
+    *                  high-cardinality column (a unique id, an offset) when
+    *                  the probe can contain fully IDENTICAL rows under a
+    *                  hot key — identical rows hash to the same salt, which
+    *                  would re-concentrate them on one reducer. (A salt
+    *                  that distinguishes identical rows AND is stable under
+    *                  task retry cannot exist without a row identity; the
+    *                  caller is the one who knows where that identity is.)
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salt: Int,
+                 saltCols: Seq[String] = Seq.empty): DataFrame = {
     // Salt must be a deterministic function of the row itself: an id- or
     // rand-based salt recomputes differently on stage retry after a shuffle
     // fetch failure, duplicating/dropping rows against reducers that already
     // consumed the first attempt's output (the SPARK-23207 class of bug).
+    val source =
+      if (saltCols.nonEmpty) saltCols.map(col)
+      else probe.schema.fields // xxhash64 cannot hash MapType columns
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name)).toSeq
     val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(source: _*), lit(salt.toLong)).cast("int"))
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt")

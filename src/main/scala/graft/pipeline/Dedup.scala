@@ -16,6 +16,16 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Broadcast-hint a corpus-derived (checkpointed) table only when it is
+    * actually small: an unconditional `broadcast()` of a table that scales
+    * with the corpus would force driver-side collection at 100 TB. Above
+    * the bound the hint is omitted and Catalyst plans a shuffled join, as
+    * it should at scale. The row count is O(1) on a checkpointed frame.
+    */
+  private def maybeBroadcast(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
+
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint. One
     * shuffle on a 128-bit key; at 100 TB this is the cheapest possible
     * full-corpus dedup (key is 16 bytes/doc regardless of doc size).
@@ -150,16 +160,27 @@ object Dedup {
       .select(col("id"), col("id").as("lab")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed > 0) {
+      // never exit silently un-converged — labels would diverge from the
+      // transitive-closure oracle; with pointer-jumping below, rounds are
+      // O(log diameter), so this bound covers any real graph
+      iter += 1
+      require(iter <= maxIters, s"corpusClusters: no convergence in $maxIters rounds")
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nbr_lab"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+      // pointer-jumping: lab ← lab(lab) halves the remaining propagation
+      // distance each round (a 2^50-hop chain converges in ~50 rounds)
+      val jumped = prop.as("p")
+        .join(prop.select(col("id").as("jid"), col("lab").as("jlab")).as("j"),
+          col("p.lab") === col("jid"), "left")
+        .select(col("p.id").as("id"),
+          least(col("p.lab"), coalesce(col("jlab"), col("p.lab"))).as("lab"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+      changed = jumped.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lab") =!= col("o.lab")).count()
-      labels = next
-      iter += 1
+      labels = jumped
     }
     documents(spark, dir)
       .join(labels, col("doc_id") === col("id"), "left")
@@ -174,13 +195,18 @@ object Dedup {
     */
   def contamination(spark: SparkSession, dir: String, benchBound: Long = 50,
                     n: Int = 5): DataFrame = {
+    // gram arrays materialized BEFORE the explode: Generate re-evaluates
+    // its generator input per OUTPUT row, which would re-run the whole
+    // array construction once per emitted gram
     val grams = spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(when(size(col("toks")) >= n,
+        when(size(col("toks")) >= n,
           array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
             i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+          .otherwise(array().cast("array<string>")).as("gram_arr"))
+      .localCheckpoint()
+      .select(col("doc_id"), explode(col("gram_arr")).as("gram"))
     val bench = grams.filter(col("doc_id") < benchBound).select(col("gram")).distinct()
     grams.filter(col("doc_id") >= benchBound)
       .join(broadcast(bench), "gram")
@@ -280,6 +306,11 @@ object Dedup {
   def ngramJaccardPrefixFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docsIn.sparkSession
+    // The final filter (and the oracle) gate on round(J, 6), which admits
+    // J down to threshold - 5e-7 — every PRUNING bound must therefore use
+    // the slackened threshold or boundary pairs the oracle keeps would be
+    // dropped before verification.
+    val pruneT = threshold - 1e-6
     val docs = docsIn
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
     val tf = docs
@@ -296,14 +327,14 @@ object Dedup {
     // one prefix occurrence iff cum < L = total - ceil(t*total) + 1
     val prefix = tf.join(dfreq, "tok")
       .withColumn("cum", coalesce(sum(col("tf")).over(w), lit(0L)))
-      .filter(col("cum") < col("total") - ceil(col("total") * lit(threshold)) + 1)
+      .filter(col("cum") < col("total") - ceil(col("total") * lit(pruneT)) + 1)
       .select(col("doc_id"), col("source"), col("total"), col("tok"))
       .localCheckpoint()
-    val cand = spread(spark, prefix).as("x").join(broadcast(prefix).as("y"),
+    val cand = spread(spark, prefix).as("x").join(maybeBroadcast(prefix).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.total"), col("y.total")).cast("double") >=
-            greatest(col("x.total"), col("y.total")).cast("double") * lit(threshold))
+            greatest(col("x.total"), col("y.total")).cast("double") * lit(pruneT))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact verification on sorted token arrays (binary UTF8 order — the
@@ -312,11 +343,12 @@ object Dedup {
       .select(col("doc_id"), array_sort(col("toks")).as("st"),
         size(col("toks")).cast("long").as("total"))
       .localCheckpoint()
+    val sortedSmall = maybeBroadcast(sorted)
     cand
-      .join(broadcast(sorted.select(col("doc_id").as("doc_a"), col("st").as("st_a"),
-        col("total").as("total_a"))), "doc_a")
-      .join(broadcast(sorted.select(col("doc_id").as("doc_b"), col("st").as("st_b"),
-        col("total").as("total_b"))), "doc_b")
+      .join(sortedSmall.select(col("doc_id").as("doc_a"), col("st").as("st_a"),
+        col("total").as("total_a")), "doc_a")
+      .join(sortedSmall.select(col("doc_id").as("doc_b"), col("st").as("st_b"),
+        col("total").as("total_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         call_function("graft_bag_intersect", col("st_a"), col("st_b"))
           .cast("long").as("inter"),
@@ -330,6 +362,7 @@ object Dedup {
   /** The exhaustive all-shared-tokens rendering. */
   def ngramJaccardExhaustiveFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docsIn.sparkSession
+    val pruneT = threshold - 1e-6 // see ngramJaccardPrefixFrom: round(J,6) slack
     val tf = docsIn
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
@@ -337,11 +370,11 @@ object Dedup {
       .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val inter = spread(spark, tf).as("x").join(broadcast(tf).as("y"),
+    val inter = spread(spark, tf).as("x").join(maybeBroadcast(tf).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.total"), col("y.total")).cast("double") >=
-            greatest(col("x.total"), col("y.total")).cast("double") * lit(threshold))
+            greatest(col("x.total"), col("y.total")).cast("double") * lit(pruneT))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"),
         max(col("x.total")).as("total_a"), max(col("y.total")).as("total_b"))

@@ -112,7 +112,9 @@ object Similarity {
               nPlanes: Int = 8): DataFrame = {
     val base = withNorms(spark, dir)
     // embedding dimensionality, one row off the checkpointed table — fixes
-    // the literal weight-vector length for the plane dot products
+    // the literal weight-vector length for the plane dot products. A
+    // heterogeneous-dimension corpus fails loud at the graft_dot length
+    // check rather than bucketing on a truncated projection.
     val dim = base.select(size(col("embedding"))).head(1).headOption
       .map(_.getInt(0)).getOrElse(0)
     val e = base

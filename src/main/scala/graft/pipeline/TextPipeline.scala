@@ -101,7 +101,9 @@ object TextPipeline {
     import org.apache.spark.sql.expressions.Window
     val docs = spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val n = docs.count()
+    // N from the raw table: a metadata-only parquet count, not a count
+    // through the spread exchange + tokenizer projection
+    val n = documents(spark, dir).count()
     val tf = docs
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))

@@ -23,9 +23,13 @@ import org.apache.spark.sql.types._
   * callable both from the column API (`call_function`) and from
   * `spark.sql(...)`.
   *
-  * Element null contract: inputs are arrays produced by the engine's own
-  * tokenizer/hash stages and contain no null elements; null top-level
-  * inputs yield null (standard null-intolerant semantics).
+  * Null contract: null top-level inputs yield null (standard
+  * null-intolerant semantics); null ARRAY ELEMENTS — which the engine's
+  * own tokenizer/hash stages never produce, but direct SQL callers can —
+  * raise a descriptive IllegalArgumentException rather than NPE-ing the
+  * task. graft_dot/graft_eq_count also require equal lengths and fail
+  * loud on mismatch (surfacing corrupt/mixed-dimension vectors instead
+  * of silently truncating or nulling).
   */
 object Kernels {
   /** 2^61 - 1, the Mersenne prime all shingle/minhash arithmetic reduces by. */
@@ -43,6 +47,19 @@ object Kernels {
 
   /** Post-reduction modulus keeping shingle hashes in 32 bits. */
   val Mod32: Long = 4294967291L
+
+  /** Registered SQL functions must fail comprehensibly, not NPE: the
+    * engine's own pipelines never produce null array elements, but a user
+    * calling `graft_*` from SQL can.
+    */
+  def requireNoNullElements(a: org.apache.spark.sql.catalyst.util.ArrayData, fn: String): Unit = {
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"$fn: null array element at position $i")
+      i += 1
+    }
+  }
 
   /** First 8 md5 hex chars of a UTF-8 string as an unsigned 32-bit value —
     * identical to `conv(substring(md5(s),1,8),16,10)`.
@@ -79,7 +96,11 @@ private object TypeChecks {
 
 /** Left-to-right dot product of two equal-length numeric arrays, double
   * accumulation: `acc = acc + (double)a[i] * (double)b[i]` — bit-identical
-  * to `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)`.
+  * to `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` on the
+  * equal-length inputs the engine produces. Mismatched lengths raise a
+  * descriptive error (the old fold returned NULL via zip_with padding —
+  * an error surfaces corrupt/mixed-dimension embeddings instead of
+  * silently nulling scores), as do null elements.
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -89,34 +110,37 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
     else TypeChecks.arrayOfNumeric(right.dataType, "graft_dot", Seq(FloatType, DoubleType))
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  private def aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.expr.ArrayDot.compute($a, $b, $aFloat, $bFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
+object ArrayDot {
+  def compute(x: ArrayData, y: ArrayData, xFloat: Boolean, yFloat: Boolean): Double = {
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
+    Kernels.requireNoNullElements(x, "graft_dot")
+    Kernels.requireNoNullElements(y, "graft_dot")
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += TypeChecks.doubleAt(left.dataType, x, i) * TypeChecks.doubleAt(right.dataType, y, i)
+      val a = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val b = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += a * b
       i += 1
     }
     acc
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${TypeChecks.doubleGetter(left.dataType, a, i)} *
-         |    ${TypeChecks.doubleGetter(right.dataType, b, i)};
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
-    copy(left = l, right = r)
 }
 
 /** Count of positions where two long arrays agree — identical to
@@ -132,9 +156,24 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
       s"graft_eq_count requires (array<long>, array<long>), got $other")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayEqCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.expr.ArrayEqCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCount =
+    copy(left = l, right = r)
+}
+
+object ArrayEqCount {
+  def compute(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"graft_eq_count: array length mismatch ($n vs ${y.numElements()})")
+    Kernels.requireNoNullElements(x, "graft_eq_count")
+    Kernels.requireNoNullElements(y, "graft_eq_count")
     var c = 0
     var i = 0
     while (i < n) {
@@ -143,22 +182,6 @@ case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpre
     }
     c
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $c = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCount =
-    copy(left = l, right = r)
 }
 
 /** Multiset (bag) intersection size of two SORTED string arrays — the
@@ -188,6 +211,8 @@ case class BagIntersect(left: Expression, right: Expression) extends BinaryExpre
 
 object BagIntersect {
   def compute(a: ArrayData, b: ArrayData): Int = {
+    Kernels.requireNoNullElements(a, "graft_bag_intersect")
+    Kernels.requireNoNullElements(b, "graft_bag_intersect")
     val n = a.numElements(); val m = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
@@ -208,32 +233,30 @@ case class ArrayNorm(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.arrayOfNumeric(child.dataType, "graft_norm", Seq(FloatType, DoubleType))
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayNorm.compute(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.expr.ArrayNorm.compute($a, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): ArrayNorm = copy(child = c)
+}
+
+object ArrayNorm {
+  def compute(x: ArrayData, isFloat: Boolean): Double = {
+    Kernels.requireNoNullElements(x, "graft_norm")
     var acc = 0.0
     var i = 0
     while (i < x.numElements()) {
-      val v = TypeChecks.doubleAt(child.dataType, x, i)
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       acc += v * v
       i += 1
     }
     math.sqrt(acc)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val i = ctx.freshName("i"); val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
-      s"""
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = ${TypeChecks.doubleGetter(child.dataType, a, i)};
-         |  $acc += $v * $v;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(c: Expression): ArrayNorm = copy(child = c)
 }
 
 /** string → array<string>: lowercase, split on `\s+`, drop empties —
@@ -295,30 +318,30 @@ case class HashTokens(child: Expression) extends UnaryExpression {
       s"graft_hash_tokens requires array<string>, got ${other.sql}")
   }
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any): Any =
+    new GenericArrayData(HashTokens.compute(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.expr.HashTokens.compute($a));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): HashTokens = copy(child = c)
+}
+
+object HashTokens {
+  def compute(x: ArrayData): Array[Long] = {
+    Kernels.requireNoNullElements(x, "graft_hash_tokens")
     val out = new Array[Long](x.numElements())
     var i = 0
     while (i < out.length) {
       out(i) = Kernels.md5Prefix64(x.getUTF8String(i).getBytes)
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val i = ctx.freshName("i"); val out = ctx.freshName("out")
-      s"""
-         |long[] $out = new long[$a.numElements()];
-         |for (int $i = 0; $i < $out.length; $i++) {
-         |  $out[$i] = graft.plans.expr.Kernels.md5Prefix64($a.getUTF8String($i).getBytes());
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(c: Expression): HashTokens = copy(child = c)
 }
 
 /** array<long> token hashes → array<long> distinct 3-shingle hashes, the
@@ -355,6 +378,7 @@ object ShingleHashes {
     * static method keeps the generated method bodies small for JIT).
     */
   def compute(th: ArrayData): Array[Long] = {
+    Kernels.requireNoNullElements(th, "graft_shingles")
     val n = th.numElements()
     val C = Kernels.ShingleC
     val p = Kernels.MersennePrime
@@ -415,6 +439,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
 object MinHashSig {
   def compute(hs: ArrayData): Array[Long] = {
+    Kernels.requireNoNullElements(hs, "graft_minhash")
     val slots = new Array[Long](Kernels.NumHashes)
     java.util.Arrays.fill(slots, Long.MaxValue)
     val A = Kernels.CoeffA; val B = Kernels.CoeffB
@@ -458,6 +483,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
   def compute(hs: ArrayData): Long = {
+    Kernels.requireNoNullElements(hs, "graft_simhash32")
     val votes = new Array[Int](32)
     val n = hs.numElements()
     var j = 0

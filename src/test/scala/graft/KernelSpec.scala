@@ -129,6 +129,24 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("kernels fail loud on corrupt input: null elements, length mismatch") {
+    def failsWith(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(fragment)),
+        s"expected '$fragment' in: ${messages(e).mkString(" | ")}")
+    }
+    failsWith("SELECT graft_hash_tokens(array('a', CAST(NULL AS STRING)))",
+      "graft_hash_tokens: null array element")
+    failsWith("SELECT graft_dot(array(1.0D), array(1.0D, 2.0D))",
+      "graft_dot: array length mismatch")
+    failsWith("SELECT graft_eq_count(array(1L), array(1L, 2L))",
+      "graft_eq_count: array length mismatch")
+    failsWith("SELECT graft_bag_intersect(array('a', CAST(NULL AS STRING)), array('a'))",
+      "graft_bag_intersect: null array element")
+  }
+
   test("kernels usable from spark.sql (registered SQL functions)") {
     val r = spark.sql(
       "SELECT graft_simhash32(graft_hash_tokens(array('a','b'))) AS s, " +
