@@ -171,12 +171,16 @@ object Dedup {
       val prop = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
       // pointer-jumping: lab ← lab(lab) halves the remaining propagation
-      // distance each round (a 2^50-hop chain converges in ~50 rounds)
-      val jumped = prop.as("p")
-        .join(prop.select(col("id").as("jid"), col("lab").as("jlab")).as("j"),
-          col("p.lab") === col("jid"), "left")
-        .select(col("p.id").as("id"),
-          least(col("p.lab"), coalesce(col("jlab"), col("p.lab"))).as("lab"))
+      // distance each round (a 2^50-hop chain converges in ~50 rounds).
+      // Skipped in round 1: near-dup clusters are usually shallow enough
+      // that plain propagation converges immediately, and the jump join
+      // would be pure overhead there.
+      val jumped = (if (iter == 1) prop
+        else prop.as("p")
+          .join(prop.select(col("id").as("jid"), col("lab").as("jlab")).as("j"),
+            col("p.lab") === col("jid"), "left")
+          .select(col("p.id").as("id"),
+            least(col("p.lab"), coalesce(col("jlab"), col("p.lab"))).as("lab")))
         .localCheckpoint()
       changed = jumped.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lab") =!= col("o.lab")).count()
