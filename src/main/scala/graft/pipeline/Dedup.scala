@@ -153,6 +153,15 @@ object Dedup {
                      maxIters: Int = 20): DataFrame = {
     val pairs = minhashLsh(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    clusterLabels(pairs, documents(spark, dir).select(col("doc_id")), maxIters)
+  }
+
+  /** Core component labeling: `pairs(doc_a, doc_b)` is the undirected edge
+    * list, `docs(doc_id)` the full node universe; returns
+    * (doc_id, cluster_id = component-min doc_id), singletons self-labeled.
+    */
+  def clusterLabels(pairsIn: DataFrame, docs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val pairs = pairsIn.localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -186,7 +195,7 @@ object Dedup {
         .filter(col("n.lab") =!= col("o.lab")).count()
       labels = jumped
     }
-    documents(spark, dir)
+    docs
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
   }

@@ -88,6 +88,48 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("cluster labels == driver union-find on random graphs incl. a 100-hop chain") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      (0L until n.toLong).map(i => i -> i).toMap.map { case (i, _) => i -> find(i) }
+        .groupBy(_._2).flatMap { case (_, m) => val lab = m.keys.min; m.keys.map(_ -> lab) }
+    }
+    val cases = Seq(
+      // the convergence stressor: one 100-hop chain (previously capped at 20 rounds)
+      (120, (0L until 99L).map(i => (i, i + 1))),
+      // random sparse graph
+      (80, { val r = new Random(5); (1 to 60).map(_ => (r.nextInt(80).toLong, r.nextInt(80).toLong)).filter(p => p._1 != p._2) }),
+      // no edges at all
+      (10, Seq.empty[(Long, Long)]))
+    cases.foreach { case (n, edges) =>
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      else edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clusterLabels(pairs, docs).as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges), s"n=$n edges=${edges.size}")
+    }
+  }
+
+  test("graft_bag_intersect == driver-side multiset-min on random sorted bags") {
+    val r = new Random(11)
+    val rows = (1 to 60).map { _ =>
+      val a = (1 to r.nextInt(30)).map(_ => s"t${r.nextInt(12)}").sorted
+      val b = (1 to r.nextInt(30)).map(_ => s"t${r.nextInt(12)}").sorted
+      (a, b)
+    }
+    val got = rows.toDF("a", "b")
+      .select(call_function("graft_bag_intersect", $"a", $"b")).as[Int].collect()
+    rows.zip(got).foreach { case ((a, b), g) =>
+      val expect = (a.groupBy(identity).view.mapValues(_.size).toMap.toSeq.map {
+        case (t, ca) => math.min(ca, b.count(_ == t))
+      }).sum
+      assert(g == expect, s"a=$a b=$b")
+    }
+  }
+
   test("minhash: identical text → identical signature; est self-similarity 1") {
     val words = (1 to 40).map(i => s"w${rnd.nextInt(30)}").mkString(" ")
     val df = Seq((1L, words), (2L, words)).toDF("doc_id", "text")
