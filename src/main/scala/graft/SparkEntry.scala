@@ -32,6 +32,7 @@ object SparkEntry {
     "j2_interval_join_asym"-> ((s, d) => R.j2IntervalJoinAsym(s, d)),
     "j3_dim_enrich"        -> ((s, d) => R.j3DimEnrich(s, d)),
     "j4_bounce_detect"     -> ((s, d) => L.j4BounceDetect(s, d)),
+    "j6_asof_join"         -> ((s, d) => R.j6AsofJoin(s, d)),
     // projections / filters / transforms (§2.2)
     "p1_parse_clean"       -> ((s, d) => L.p1ParseClean(s, d)),
     "p2_delete_filter"     -> ((s, d) => L.p2DeleteFilter(s, d)),
@@ -195,6 +196,13 @@ lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_ts FROM e)
 SELECT event_id, user_id, strftime(tss, '%Y-%m-%d %H:%M:%S') AS visit_ts FROM w
 WHERE event_type = 'view' AND ((next_type = 'view' AND next_ts <= tss + INTERVAL 10 MINUTE)
 OR next_ts IS NULL OR next_ts > tss + INTERVAL 10 MINUTE)""",
+
+    "j6_asof_join" ->
+      s"""WITH v AS (SELECT user_id, $ETS AS ts, MAX(event_id) AS view_id FROM events
+WHERE event_type = 'view' GROUP BY user_id, $ETS),
+c AS (SELECT event_id AS click_id, user_id, $ETS AS ts FROM events WHERE event_type = 'click')
+SELECT click_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, view_id
+FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""",
 
     "p1_parse_clean" ->
       """SELECT event_id, user_id, event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -117,6 +117,44 @@ object Relational {
         dec(col("pay_amount")).cast("double").as("pay_amount"))
   }
 
+  /** J6 (beyond-reference): AS-OF join — for each click, the LATEST view
+    * of the same user at or before it (the canonical "operator Spark
+    * lacks"; the sessionization primitive the reference approximates with
+    * keyed state).
+    *
+    * Spark-first rendering: no per-row point lookups — tag both sides,
+    * union, and take `last(view, ignoreNulls)` over a (user, ts, tag)
+    * ordered window. ONE shuffle on the key, linear scan per key,
+    * streaming-friendly ordering (views sort before clicks at equal ts so
+    * a same-instant view is visible, matching ASOF's `>=`). Views are
+    * pre-deduplicated to max event_id per (user, ts) so tie-breaks are
+    * deterministic in both engines; the oracle is DuckDB's NATIVE
+    * `ASOF JOIN`.
+    */
+  def j6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val tagged = views
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("view_id"), lit(null).cast("long").as("click_id"))
+      .unionByName(clicks.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("view_id"), col("click_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("matched_view").isNotNull)
+      .select(col("click_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("matched_view").as("view_id"))
+  }
+
   /** J3: dimension-enrichment chain — orders → customer → nation → region,
     * all dims broadcast (left joins keep unmatched facts, matching
     * `DimAsyncFunction.java:49-51` which passes rows through un-enriched on

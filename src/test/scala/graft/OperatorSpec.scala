@@ -99,6 +99,27 @@ class OperatorSpec extends SparkSpecBase {
       s"columns not pruned:\n$plan")
   }
 
+  test("J6 as-of join: latest at-or-before view, equal-ts visible, unmatched dropped") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:05:00"), 1L, "view"),   // latest before click 3
+      (3L, ts("2024-01-01 00:06:00"), 1L, "click"),  // → view 2
+      (4L, ts("2024-01-01 00:07:00"), 1L, "click"),  // → view 2 (reused)
+      (5L, ts("2024-01-01 00:08:00"), 2L, "view"),
+      (6L, ts("2024-01-01 00:08:00"), 2L, "click"),  // equal ts → view 5 visible
+      (7L, ts("2024-01-01 00:01:00"), 3L, "click"))  // no prior view → dropped
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("asof").toString
+    ev.withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.j6AsofJoin(spark, tmp)
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L), (4L, 2L), (6L, 5L)))
+  }
+
   test("dedup/ANN plan shapes: broadcasts where expected, kernels in codegen") {
     import graft.pipeline.{Dedup, Similarity}
     // ngram pair stage: small tf build side must broadcast (probe side is
