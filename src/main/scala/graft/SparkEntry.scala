@@ -54,6 +54,9 @@ object SparkEntry {
     "a5_gmv_by_day"        -> ((s, d) => R.a5GmvByDay(s, d)),
     "a5_top_brands"        -> ((s, d) => R.a5TopBrands(s, d)),
     "a6_session_window"    -> ((s, d) => L.a6SessionWindows(s, d)),
+    "a8_percentiles"       -> ((s, d) => R.a8Percentiles(s, d)),
+    "a9_rollup"            -> ((s, d) => R.a9Rollup(s, d)),
+    "a10_pivot"            -> ((s, d) => R.a10Pivot(s, d)),
     "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
     // serving SQL surface (§3.3)
     "sql_gmv_serving"      -> ((s, d) => Serving.sqlGmvByBrand(s, d)),
@@ -312,6 +315,30 @@ OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE THEN 
 s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
 SELECT strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS stt, user_id, COUNT(*) AS events_ct,
 CAST(SUM(${DEC("value")}) AS DOUBLE) AS value_sum FROM s GROUP BY user_id, sid""",
+
+    "a8_percentiles" ->
+      s"""SELECT event_type,
+round(quantile_cont(value, 0.5), 6) AS p50,
+round(quantile_cont(value, 0.95), 6) AS p95,
+round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
+
+    "a9_rollup" ->
+      s"""SELECT r_name, n_name,
+CAST(GROUPING(r_name) AS BIGINT) AS g_region, CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue, COUNT(*) AS line_ct
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)""",
+
+    "a10_pivot" ->
+      s"""SELECT strftime($ETS, '%Y-%m-%d') AS dt,
+SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view_ct,
+SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click_ct,
+SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_ct,
+SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup_ct,
+SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error_ct
+FROM events GROUP BY dt""",
 
     "a7_sliding_window" ->
       s"""WITH e AS (SELECT time_bucket(INTERVAL '5 minutes', $ETS, TIMESTAMP '1970-01-01') AS tb, event_type FROM events),

@@ -117,6 +117,55 @@ object Relational {
         dec(col("pay_amount")).cast("double").as("pay_amount"))
   }
 
+  /** A8 (beyond-reference): exact interpolated percentiles of order value
+    * per event type — the analytics staple (`percentile` is exact, unlike
+    * `approx_percentile`, so it hash-matches DuckDB's `quantile_cont`).
+    */
+  def a8Percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("q"))
+      .select(col("event_type"),
+        round(element_at(col("q"), 1), 6).as("p50"),
+        round(element_at(col("q"), 2), 6).as("p95"),
+        round(element_at(col("q"), 3), 6).as("p99"))
+
+  /** A9 (beyond-reference): ROLLUP over (region, nation) revenue with the
+    * grouping marker — OLAP subtotal/grand-total semantics.
+    */
+  def a9Rollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg( // grouping() markers must be aggregate expressions of the rollup
+        grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("line_ct"))
+      .select(col("r_name"), col("n_name"), col("g_region"), col("g_nation"),
+        col("revenue"), col("line_ct"))
+
+  /** A10 (beyond-reference): pivot — daily event counts, one column per
+    * event type (explicit value list so the schema is static, the
+    * scale-safe form: an unbounded pivot would collect distinct values to
+    * the driver).
+    */
+  def a10Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"))
+      .groupBy(col("dt"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .count()
+      .select(col("dt"),
+        coalesce(col("view"), lit(0L)).as("view_ct"),
+        coalesce(col("click"), lit(0L)).as("click_ct"),
+        coalesce(col("purchase"), lit(0L)).as("purchase_ct"),
+        coalesce(col("signup"), lit(0L)).as("signup_ct"),
+        coalesce(col("error"), lit(0L)).as("error_ct"))
+
   /** J6 (beyond-reference): AS-OF join — for each click, the LATEST view
     * of the same user at or before it (the canonical "operator Spark
     * lacks"; the sessionization primitive the reference approximates with
