@@ -57,6 +57,9 @@ object SparkEntry {
     "a8_percentiles"       -> ((s, d) => R.a8Percentiles(s, d)),
     "a9_rollup"            -> ((s, d) => R.a9Rollup(s, d)),
     "a10_pivot"            -> ((s, d) => R.a10Pivot(s, d)),
+    "a11_window_funcs"     -> ((s, d) => R.a11WindowFuncs(s, d)),
+    "p9_set_ops"           -> ((s, d) => R.p9SetOps(s, d)),
+    "j7_semi_anti"         -> ((s, d) => R.j7SemiAnti(s, d)),
     "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
     // serving SQL surface (§3.3)
     "sql_gmv_serving"      -> ((s, d) => Serving.sqlGmvByBrand(s, d)),
@@ -339,6 +342,29 @@ SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_ct,
 SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup_ct,
 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error_ct
 FROM events GROUP BY dt""",
+
+    "a11_window_funcs" ->
+      s"""SELECT event_id, user_id, strftime($ETS, '%Y-%m-%d %H:%M:%S') AS ets,
+lag(event_type) OVER w AS prev_type,
+CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+round(cume_dist() OVER w, 6) AS cume,
+CAST(rank() OVER w AS BIGINT) AS rnk
+FROM events WHERE user_id < 200
+WINDOW w AS (PARTITION BY user_id ORDER BY $ETS, event_id)""",
+
+    "p9_set_ops" ->
+      """SELECT 'view_and_purchase' AS cohort, user_id FROM
+(SELECT user_id FROM events WHERE event_type = 'view'
+ INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'view_no_click', user_id FROM
+(SELECT user_id FROM events WHERE event_type = 'view'
+ EXCEPT SELECT user_id FROM events WHERE event_type = 'click')""",
+
+    "j7_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
 
     "a7_sliding_window" ->
       s"""WITH e AS (SELECT time_bucket(INTERVAL '5 minutes', $ETS, TIMESTAMP '1970-01-01') AS tb, event_type FROM events),

@@ -166,6 +166,51 @@ object Relational {
         coalesce(col("signup"), lit(0L)).as("signup_ct"),
         coalesce(col("error"), lit(0L)).as("error_ct"))
 
+  /** A11 (beyond-reference): the remaining analytic window-function family
+    * over per-user event sequences — lag, ntile, cume_dist, rank — with
+    * deterministic ordering (ts, event_id).
+    */
+  def a11WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("user_id") < 200) // bound the dump; full-corpus plan identical
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ets"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 6).as("cume"),
+        rank().over(w).cast("long").as("rnk"))
+  }
+
+  /** P9 (beyond-reference): set operations — users who viewed AND
+    * purchased (INTERSECT), viewed but never clicked (EXCEPT), tagged and
+    * unioned into one result.
+    */
+  def p9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def usersOf(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    val both = usersOf("view").intersect(usersOf("purchase"))
+      .select(lit("view_and_purchase").as("cohort"), col("user_id"))
+    val quiet = usersOf("view").except(usersOf("click"))
+      .select(lit("view_no_click").as("cohort"), col("user_id"))
+    both.unionByName(quiet)
+  }
+
+  /** J7 (beyond-reference): semi/anti joins — customers WITH orders
+    * (left_semi) that have NO 'F'-status order (left_anti), the
+    * exists/not-exists pattern Catalyst plans without materializing the
+    * right side's columns.
+    */
+  def j7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
   /** J6 (beyond-reference): AS-OF join — for each click, the LATEST view
     * of the same user at or before it (the canonical "operator Spark
     * lacks"; the sessionization primitive the reference approximates with
