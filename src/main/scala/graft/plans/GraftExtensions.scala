@@ -72,6 +72,34 @@ class ApproxDistinctRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Scale-mode rewrite of exact interpolated percentiles into t-digest
+  * sketches: `percentile(x, p)` keeps O(n) per-group state (it buffers
+  * every value), the wrong trade at 100 TB; under
+  * `spark.graft.approxPercentile=true` it becomes
+  * `approx_percentile(x, p)` (bounded sketch state, same result shape) —
+  * the same swap pattern as `ApproxDistinctRule` for distinct counts.
+  * Only frequency-1 percentiles (the common form) are rewritten.
+  */
+class ApproxPercentileRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.approxPercentile", "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(
+              Percentile(child, pct, Literal(1L, _), _, _, false), _, false, _, _) =>
+            ae.copy(aggregateFunction = new ApproximatePercentile(child, pct,
+              Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY)))
+        }
+    }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -87,6 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new ApproxDistinctRule)
+    ext.injectOptimizerRule(_ => new ApproxPercentileRule)
     // Native codegen kernels (see graft.plans.expr) as SQL functions, so
     // both the column API (call_function) and spark.sql can use them.
     ext.injectFunction(fn("graft_tokenize", 1, a => TokenizeWords(a(0))))

@@ -151,6 +151,31 @@ object StreamOps {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("n_name"), col("order_count"), col("order_amount"))
 
+  /** J6 streaming: AS-OF join — keyed ValueState holds the latest 'view'
+    * per user; each 'click' emits (click, latest view at or before it).
+    * The streaming rendering of `Relational.j6AsofJoin` (same at-or-before
+    * and equal-ts-visible semantics; batch dedups equal-ts views to max
+    * event_id, mirrored here by processing sorted (ts, event_id)).
+    */
+  case class AsofRow(click_id: Long, user_id: Long, click_ts: String, view_id: Long)
+
+  def j6AsofJoin(events: Dataset[Event]): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[AsofRow]
+          sorted.foreach { e =>
+            if (e.event_type == "view") state.update(e.event_id)
+            else if (e.event_type == "click" && state.exists)
+              out += AsofRow(e.event_id, user, fmt(e.ts), state.get)
+          }
+          out.result().iterator
+      }
+  }
+
   /** A2 streaming: product-stats windowed aggregation
     * (`app/dws/ProductStatsApp.java:215-261`). The batch rendering keeps
     * the reference's exact HashSet distinct (`size(collect_set)`); inside

@@ -25,6 +25,31 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("scale mode rewrites exact percentile to t-digest sketch; off by default") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = (1 to 2000).map(i => (i % 4, i.toDouble)).toDF("k", "v")
+
+      s.conf.set("spark.graft.approxPercentile", "false")
+      val exact = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("p50"))
+      assert(exact.queryExecution.optimizedPlan.toString.contains("percentile("))
+      val exactRows = exact.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+      s.conf.set("spark.graft.approxPercentile", "true")
+      val approx = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("p50"))
+      val plan = approx.queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx") || plan.contains("approx_percentile"),
+        s"not rewritten:\n$plan")
+      val approxRows = approx.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(approxRows.keySet == exactRows.keySet)
+      // t-digest at default accuracy is near-exact on 500 values per group
+      exactRows.foreach { case (k, v) =>
+        assert(math.abs(approxRows(k) - v) <= math.max(2.0, v * 0.02), s"k=$k: ${approxRows(k)} vs $v")
+      }
+      s.conf.set("spark.graft.approxPercentile", "false")
+    }
+  }
+
   test("scale mode rewrites exact set distinct to HLL sketch; off by default") {
     withExtSession { s =>
       import s.implicits._

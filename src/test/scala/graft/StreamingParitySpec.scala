@@ -113,6 +113,22 @@ class StreamingParitySpec extends SparkSpecBase {
     }
   }
 
+  test("J6 parity: streaming as-of state == batch union-window rendering") {
+    // fixture with views preceding clicks across users; reuse Event shape
+    val asofFx = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "view", 0),
+      Event(2, ts("2024-01-01 00:05:00"), 1, "view", 0),
+      Event(3, ts("2024-01-01 00:06:00"), 1, "click", 0), // → view 2
+      Event(4, ts("2024-01-01 00:07:00"), 1, "click", 0), // → view 2
+      Event(5, ts("2024-01-01 00:08:00"), 2, "view", 0),
+      Event(6, ts("2024-01-01 00:08:00"), 2, "click", 0), // equal ts → view 5
+      Event(7, ts("2024-01-01 00:01:00"), 3, "click", 0)) // no prior view
+    val got = runStream(Seq(asofFx.take(3), asofFx.drop(3)), "update") { df =>
+      StreamOps.j6AsofJoin(df.as[Event]).toDF()
+    }.map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((3L, 2L), (4L, 2L), (6L, 5L)))
+  }
+
   test("ST2 parity: watermarked dropDuplicates == batch distinct") {
     val batch = fixture.map(e => (e.user_id, e.ts.toString.take(10))).toSet
     val got = runStream(Seq(fixture.take(3), fixture.drop(3)), "append") { df =>
