@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.Scale.maybeBroadcast
 
 /** Relational core: scans, filters, joins (equi / interval / dim-enrichment),
   * aggregations, top-K serving queries.
@@ -49,7 +50,9 @@ object Relational {
     val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(spark, dir)
     val l = lineitem(spark, dir)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer scales with the corpus (1/10 of orders): size-gated hint,
+    // never unconditional — at 100× the gate drops it and AQE decides
+    o.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
@@ -70,7 +73,7 @@ object Relational {
     val o = orders(spark, dir)
     val l = lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -261,7 +264,7 @@ object Relational {
     val c = customer(spark, dir).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val n = nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
     val r = region(spark, dir).select("r_regionkey", "r_name")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+    o.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"),
@@ -280,7 +283,7 @@ object Relational {
     val o = orders(spark, dir)
     val c = customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = nation(spark, dir).select("n_nationkey", "n_name")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(window(col("o_orderdate"), "7 days"), col("n_name"))
       .agg(
@@ -307,7 +310,8 @@ object Relational {
   def a5TopBrands(spark: SparkSession, dir: String): DataFrame = {
     val p = part(spark, dir).select("p_partkey", "p_brand")
     lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // part scales with SF too (200k×SF rows) — gate it like customer
+      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("order_amount"))
       .orderBy(col("order_amount").desc, col("p_brand").asc)

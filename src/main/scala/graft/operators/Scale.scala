@@ -46,6 +46,31 @@ object Scale {
     saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Broadcast-hint `df` only when Catalyst's own size estimate says it is
+    * genuinely small. An explicit `broadcast()` hint BYPASSES the planner's
+    * size check — at 100× data it forces a multi-GB collect to the driver
+    * and an executor-OOM build side rather than degrading to a shuffled
+    * join. So the hint must be conditional on size: below `maxBytes` the
+    * plan gets the hint (identical to today at test SF); above it the hint
+    * is omitted and Catalyst/AQE plans the join for what the table is.
+    *
+    * The estimate is `optimizedPlan.stats.sizeInBytes` — the same statistic
+    * `autoBroadcastJoinThreshold` consults (file sizes at the scan,
+    * propagated through projections/filters/aggregates, and preserved
+    * across `localCheckpoint` since SPARK-39748). Reading it is driver-side
+    * plan metadata: no job, no action, nothing in the timed query.
+    */
+  val BroadcastGateConf = "spark.graft.broadcastGateBytes"
+  val BroadcastGateDefault: Long = 100L << 20
+
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = -1L): DataFrame = {
+    val bound =
+      if (maxBytes > 0) maxBytes
+      else df.sparkSession.conf.get(BroadcastGateConf, BroadcastGateDefault.toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bound)) broadcast(df)
+    else df
+  }
+
   /** Pre-partition two frames on the join key so a subsequent join needs
     * no exchange of its own (both children arrive hash-partitioned) —
     * the API-level stand-in for bucketed tables when writing through the

@@ -16,14 +16,15 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  /** Broadcast-hint a corpus-derived (checkpointed) table only when it is
-    * actually small: an unconditional `broadcast()` of a table that scales
-    * with the corpus would force driver-side collection at 100 TB. Above
-    * the bound the hint is omitted and Catalyst plans a shuffled join, as
-    * it should at scale. The row count is O(1) on a checkpointed frame.
+  /** Broadcast-hint a corpus-derived table only when it is actually small:
+    * an unconditional `broadcast()` of a table that scales with the corpus
+    * would force driver-side collection at 100 TB. Gated on Catalyst's
+    * byte estimate (`Scale.maybeBroadcast`) — the earlier row-count gate
+    * both mis-measured (2M rows of token ARRAYS is multi-GB) and paid an
+    * extra `count()` job inside every timed query.
     */
-  private def maybeBroadcast(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
-    if (df.count() <= maxRows) broadcast(df) else df
+  private def maybeBroadcast(df: DataFrame): DataFrame =
+    graft.operators.Scale.maybeBroadcast(df)
 
 
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint. One

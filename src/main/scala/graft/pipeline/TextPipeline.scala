@@ -111,7 +111,9 @@ object TextPipeline {
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok").asc)
-    tf.join(broadcast(dfreq), "tok")
+    // dfreq is vocabulary-sized — it grows with the corpus, so the hint is
+    // size-gated, not unconditional (Scale.maybeBroadcast)
+    tf.join(graft.operators.Scale.maybeBroadcast(dfreq), "tok")
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), col("tok"),
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))

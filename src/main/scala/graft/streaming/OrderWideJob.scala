@@ -36,7 +36,10 @@ class OrderWideJob(spark: SparkSession, outDir: String) {
               l_shipdate >= o_orderdate AND
               l_shipdate <= o_orderdate + INTERVAL 30 DAYS"""))
     joined
-      .join(broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+      // customer scales with the corpus: size-gated hint (nation is a
+      // fixed-cardinality dim, its unconditional hint is safe)
+      .join(graft.operators.Scale.maybeBroadcast(
+          customer.select("c_custkey", "c_name", "c_nationkey")),
         col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"), "left")

@@ -41,6 +41,53 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
   }
 
+  private def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty
+
+  test("maybeBroadcast: hint is size-gated, never unconditional") {
+    // Range stats = 8 bytes/row: 100 rows hints, 200M rows (~1.6 GB) must not
+    val small = spark.range(100).toDF("id")
+    val big = spark.range(200L * 1000 * 1000).toDF("id")
+    assert(hinted(Scale.maybeBroadcast(small)), "small frame should carry the hint")
+    assert(!hinted(Scale.maybeBroadcast(big)),
+      "sf-scaling frame must NOT carry a broadcast hint — an explicit hint " +
+        "bypasses the planner's size check and OOMs at 100x")
+    // returns the identical frame when the gate closes (no plan rewrite)
+    assert(Scale.maybeBroadcast(big) eq big)
+  }
+
+  test("maybeBroadcast gate survives localCheckpoint (stats propagate)") {
+    val ckpt = Tables.documents(spark, sf("documents")).localCheckpoint()
+    val sz = ckpt.queryExecution.optimizedPlan.stats.sizeInBytes
+    // if LogicalRDD lost its origin stats this would be defaultSizeInBytes
+    // (huge) and every checkpointed dedup intermediate would silently stop
+    // broadcasting — pin the propagation
+    assert(sz > 0 && sz < BigInt(Scale.BroadcastGateDefault),
+      s"checkpointed stats not propagated: $sz")
+    assert(hinted(Scale.maybeBroadcast(ckpt)))
+  }
+
+  test("sf-scaling joins degrade to shuffle joins when the gate closes (100TB posture)") {
+    // Simulate the 100TB regime: close the gate, assert the headline
+    // relational queries plan WITHOUT a broadcast hint on customer/part and
+    // still produce identical results via shuffle joins — graceful
+    // degradation, not an OOM'd forced broadcast.
+    val dir = sf("any")
+    def q3() = operators.Relational.q3TopRevenue(spark, dir)
+    def a5() = operators.Relational.a5TopBrands(spark, dir)
+    val before3 = q3().collect().map(_.toSeq).toSeq
+    val before5 = a5().collect().map(_.toSeq).toSeq
+    spark.conf.set(Scale.BroadcastGateConf, "1")
+    try {
+      assert(!hinted(q3()), "q3 must drop the customer hint under the closed gate")
+      assert(!hinted(a5()), "a5 must drop the part hint under the closed gate")
+      assert(q3().collect().map(_.toSeq).toSeq == before3)
+      assert(a5().collect().map(_.toSeq).toSeq == before5)
+    } finally spark.conf.unset(Scale.BroadcastGateConf)
+  }
+
   test("salted join returns exactly the plain-join rows under skew") {
     // pathological skew: 90% of probe rows share one key
     val probe = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong % 50, i))
