@@ -6,6 +6,29 @@ package graft
   * visible in the output, not folded into a plausible timing.
   */
 object Bench {
+
+  /** Execute a query's FULL physical plan. `df.count()` lets Catalyst
+    * rewrite to `count(1)` over pruned columns, so projection-only queries
+    * (fingerprints, token counts, simhash tables…) would time their parquet
+    * scan and skip the expression work being benchmarked. `toRdd.count()`
+    * runs the exact physical plan of the dataframe — every projection
+    * evaluated, every row materialized — without collecting to the driver.
+    */
+  private def exec(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
+  /** Between-query isolation: localCheckpoint blocks from the finished
+    * query otherwise linger until the async ContextCleaner notices the
+    * GC'd RDDs, evicting storage memory DURING the next query's timed
+    * window (the round-2 "4× regression on cheap queries" class).
+    * Explicit blocking unpersist drains them deterministically, off the
+    * clock.
+    */
+  private def dropCheckpointBlocks(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -24,32 +47,50 @@ object Bench {
       "p8_explode_json", "a4_keyword_stats", "sql_keyword_lateral",
       "a1_visitor_stats", "a6_session_window", "text_ngram_freq",
       "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-      "dedup_clusters", "dedup_embedding", "ann_brute_topk", "ann_lsh_topk")
+      "dedup_ngram_prefix", "dedup_clusters", "dedup_embedding",
+      "ann_brute_topk", "ann_lsh_topk", "text_fingerprints")
     warmQueries.foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir).count()
+      try { exec(SparkEntry.queries(q)(spark, warmDir)); () }
       catch { case _: Throwable => }
     }
-    System.gc()
+    dropCheckpointBlocks(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { exec(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // between-query isolation (untimed): drop refs to the finished
-      // query's localCheckpoint blocks so the ContextCleaner can release
-      // storage memory before the next query, not during it
-      System.gc()
+      dropCheckpointBlocks(spark) // untimed; see scaladoc
       name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Scale-mode appendix: the documented 100 TB profile (README "Scale
+    // mode") — sketch rewrites on — re-timing the queries whose plans the
+    // rules change. Approximate results, so they are NOT the oracle-gated
+    // numbers above; the appendix records the switch works and what it buys.
+    val scaleQueries = Seq("a2_product_stats", "a3_province_stats", "a8_percentiles")
+    spark.conf.set("spark.graft.approxDistinct", "true")
+    spark.conf.set("spark.graft.approxPercentile", "true")
+    val scaleResults = scaleQueries.map { name =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { exec(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] scale-mode $name failed: ${e.getMessage}"); false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      dropCheckpointBlocks(spark)
+      name -> (if (ok) elapsed else -1.0)
+    }
+    spark.conf.set("spark.graft.approxDistinct", "false")
+    spark.conf.set("spark.graft.approxPercentile", "false")
+    def toJson(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"failed":$failed,"scale_mode":${toJson(scaleResults)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

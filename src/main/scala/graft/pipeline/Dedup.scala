@@ -316,60 +316,93 @@ object Dedup {
   def ngramJaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardPrefixFrom(spread(spark, documents(spark, dir)), threshold)
 
-  /** Core prefix-filtered join over any (doc_id, source, text) frame. */
+  /** Core prefix-filtered join over any (doc_id, source, text) frame.
+    *
+    * The prefix is computed IN-ROW, not with a `Window.partitionBy(doc_id)`
+    * pass: the old rendering paid a full-corpus sort-shuffle of every token
+    * OCCURRENCE row just to rank each doc's tokens by global df. Here the
+    * per-doc (tok, tf) bag is a run-length pass over the already-sorted
+    * token array (`graft_bag_counts` — no tf shuffle at all), global df is
+    * attached with one join (map-side below the broadcast gate), and the
+    * prefix slice — sort the doc's DISTINCT tokens by (df, tok), keep
+    * occurrences while cum < L — happens inside one codegen'd projection
+    * (`graft_prefix_tokens`). Shuffles: dfreq agg (+ df join above the
+    * gate) + the collect-back groupBy, vs tf agg + df join + window sort
+    * before; and the window sorted all occurrence rows where the kernel
+    * sorts each doc's distinct tokens.
+    */
   def ngramJaccardPrefixFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docsIn.sparkSession
     // The final filter (and the oracle) gate on round(J, 6), which admits
     // J down to threshold - 5e-7 — every PRUNING bound must therefore use
-    // the slackened threshold or boundary pairs the oracle keeps would be
+    // the slackened threshold or boundary pairs the oracle kept would be
     // dropped before verification.
     val pruneT = threshold - 1e-6
-    val docs = docsIn
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-    val tf = docs
+    // tokenize + sort ONCE per doc; the checkpointed frame serves candidate
+    // generation (bag) and verification (twice). localCheckpoint rather
+    // than persist: its MATERIALIZED size statistics are what lets the
+    // byte gate broadcast the small sides below (a lazy persist only has
+    // estimates, which disables the broadcasts and regresses every
+    // downstream join to SMJ — measured 20% slower end-to-end). bag is
+    // materialized here so the explode below reads a column instead of
+    // re-running the kernel per emitted row (Generate re-evaluates its
+    // input per OUTPUT row).
+    val base = docsIn
+      .select(col("doc_id"), col("source"), array_sort(tokens(col("text"))).as("st"))
       .select(col("doc_id"), col("source"),
-        size(col("toks")).cast("long").as("total"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+        size(col("st")).cast("long").as("total"),
+        call_function("graft_bag_counts", col("st")).as("bag"))
+      .localCheckpoint()
+    val bag = base
+      .select(col("doc_id"), col("source"), col("total"), explode(col("bag")).as("b"))
+      .select(col("doc_id"), col("source"), col("total"),
+        col("b.tok").as("tok"), col("b.tf").as("tf"))
     // global document frequency = the prefix order (rarest first, token
     // tie-break keeps the order total and engine-independent)
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // cum = occurrences of strictly-earlier tokens; a tf row holds at least
-    // one prefix occurrence iff cum < L = total - ceil(t*total) + 1
-    val prefix = tf.join(dfreq, "tok")
-      .withColumn("cum", coalesce(sum(col("tf")).over(w), lit(0L)))
-      .filter(col("cum") < col("total") - ceil(col("total") * lit(pruneT)) + 1)
-      .select(col("doc_id"), col("source"), col("total"), col("tok"))
-      .localCheckpoint()
-    val cand = spread(spark, prefix).as("x").join(maybeBroadcast(prefix).as("y"),
+    val dfreq = bag.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // a doc's prefix holds the occurrences at cum < L = total - ceil(t*total) + 1
+    // in (df, tok) order — sliced in-row after collecting the doc's
+    // (df, tok, tf) pairs back into one row
+    val prefixArr = bag.join(maybeBroadcast(dfreq), "tok")
+      .groupBy(col("doc_id"), col("source"), col("total"))
+      .agg(collect_list(struct(col("df"), col("tok"), col("tf"))).as("pairs"))
+      .select(col("doc_id"), col("source"), col("total"),
+        call_function("graft_prefix_tokens", col("pairs"),
+          col("total") - ceil(col("total") * lit(pruneT)) + 1).as("ptoks"))
+      .localCheckpoint() // consumed by both sides of the pair join
+    val prefix = prefixArr
+      .select(col("doc_id"), col("source"), col("total"), explode(col("ptoks")).as("tok"))
+    // re-spread the probe — BY doc_id, not round-robin: AQE coalesces the
+    // small collect-back aggregate to ~1 partition, and the pair join
+    // below fans out ~100×, so it must run on all cores; hashing on doc_id
+    // keeps each doc's prefix rows in ONE partition so the distinct's
+    // map-side partial aggregation collapses a pair's duplicate candidates
+    // (one per shared prefix token) BEFORE the exchange
+    val cand = prefix
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")).as("x")
+      .join(maybeBroadcast(prefix).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.total"), col("y.total")).cast("double") >=
             greatest(col("x.total"), col("y.total")).cast("double") * lit(pruneT))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on sorted token arrays (binary UTF8 order — the
-    // order graft_bag_intersect merges with)
-    val sorted = docs
-      .select(col("doc_id"), array_sort(col("toks")).as("st"),
-        size(col("toks")).cast("long").as("total"))
-      .localCheckpoint()
+    // exact verification by two-pointer merge over the run-length BAGS —
+    // O(distinct_a + distinct_b) per pair vs O(total_a + total_b) for the
+    // occurrence-array merge; identical Σ min(tf) by construction
+    val sorted = base.select(col("doc_id"), col("bag"), col("total"))
     val sortedSmall = maybeBroadcast(sorted)
-    cand
-      .join(sortedSmall.select(col("doc_id").as("doc_a"), col("st").as("st_a"),
+    // explicit fan-out for the verify stage: the deduped candidate set is
+    // BYTE-small (two longs per row) so AQE coalesces it to ~1 partition,
+    // but each row costs a bag merge — CPU the byte heuristic can't see
+    spread(spark, cand)
+      .join(sortedSmall.select(col("doc_id").as("doc_a"), col("bag").as("bag_a"),
         col("total").as("total_a")), "doc_a")
-      .join(sortedSmall.select(col("doc_id").as("doc_b"), col("st").as("st_b"),
+      .join(sortedSmall.select(col("doc_id").as("doc_b"), col("bag").as("bag_b"),
         col("total").as("total_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        call_function("graft_bag_intersect", col("st_a"), col("st_b"))
-          .cast("long").as("inter"),
-        col("total_a"), col("total_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("total_a") + col("total_b") - col("inter")).cast("double"), 6).as("jaccard"))
+        call_function("graft_bag_jaccard", col("bag_a"), col("bag_b"),
+          col("total_a"), col("total_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

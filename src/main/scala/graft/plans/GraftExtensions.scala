@@ -122,6 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_dot", 2, a => ArrayDot(a(0), a(1))))
     ext.injectFunction(fn("graft_eq_count", 2, a => ArrayEqCount(a(0), a(1))))
     ext.injectFunction(fn("graft_bag_intersect", 2, a => BagIntersect(a(0), a(1))))
+    ext.injectFunction(fn("graft_bag_counts", 1, a => BagCounts(a(0))))
+    ext.injectFunction(fn("graft_bag_intersect_counts", 2, a => BagIntersectCounts(a(0), a(1))))
+    ext.injectFunction(fn("graft_bag_jaccard", 4, a => BagJaccard(a(0), a(1), a(2), a(3))))
+    ext.injectFunction(fn("graft_prefix_tokens", 2, a => PrefixTokens(a(0), a(1))))
     ext.injectFunction(fn("graft_norm", 1, a => ArrayNorm(a(0))))
     ext.injectFunction(fn("graft_hash_tokens", 1, a => HashTokens(a(0))))
     ext.injectFunction(fn("graft_shingles", 1, a => ShingleHashes(a(0))))

@@ -411,6 +411,240 @@ object ShingleHashes {
   }
 }
 
+/** Bag intersection over two run-length encoded bags (SORTED
+  * array<struct<tok:string, tf:long>>, the `graft_bag_counts` output):
+  * Σ_tok min(tf_a, tf_b) by two-pointer merge over DISTINCT tokens —
+  * O(|distinct A| + |distinct B|) per pair where `graft_bag_intersect`
+  * walks every occurrence. On repetitive corpora (distinct ≪ total) this
+  * is the verification kernel's whole cost model.
+  */
+case class BagIntersectCounts(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(a, b)), _) =>
+      a.dataType == StringType && b.dataType == LongType
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bag_intersect_counts requires two array<struct<string,long>>, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BagIntersectCounts.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.expr.BagIntersectCounts.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BagIntersectCounts =
+    copy(left = l, right = r)
+}
+
+object BagIntersectCounts {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException("graft_bag_intersect_counts: null array element")
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (cmp == 0) {
+        c += math.min(ra.getLong(1), rb.getLong(1)); i += 1; j += 1
+      }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Fused bag Jaccard: round(Σmin / (total_a + total_b − Σmin), 6) over two
+  * run-length bags in ONE merge pass. As separate expressions the Σmin
+  * merge is inlined twice by CollapseProject (numerator + denominator) and
+  * the threshold filter pushed into the join condition doubles it again —
+  * four merges per surviving pair; this kernel does one per evaluation.
+  * Rounding replicates Spark's `Round` on doubles exactly
+  * (BigDecimal HALF_UP at scale 6), so oracle hashes are unchanged.
+  */
+case class BagJaccard(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third, fourth)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = DoubleType
+  private def bagOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(a, b)), _) =>
+      a.dataType == StringType && b.dataType == LongType
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bagOk(first.dataType) && bagOk(second.dataType) &&
+        third.dataType == LongType && fourth.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_bag_jaccard requires (array<struct<string,long>>, array<struct<string,long>>, long, long), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input); val b = second.eval(input)
+    val ta = third.eval(input); val tb = fourth.eval(input)
+    if (a == null || b == null || ta == null || tb == null) null
+    else BagJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      ta.asInstanceOf[Long], tb.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |boolean ${ev.isNull} = $nullCheck;
+        |double ${ev.value} = -1.0;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.plans.expr.BagJaccard.compute(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BagJaccard =
+    BagJaccard(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+object BagJaccard {
+  def compute(a: ArrayData, b: ArrayData, totalA: Long, totalB: Long): Double = {
+    val inter = BagIntersectCounts.compute(a, b)
+    val raw = inter.toDouble / (totalA + totalB - inter).toDouble
+    // Spark Round(double, 6) semantics: BigDecimal HALF_UP at scale 6,
+    // NaN/Infinity passed through (BigDecimal.valueOf would throw)
+    if (raw.isNaN || raw.isInfinite) raw
+    else java.math.BigDecimal.valueOf(raw)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** SORTED array<string> → array<struct<tok:string, tf:long>>: run-length
+  * encode the token bag in one O(n) pass — the in-row replacement for the
+  * per-occurrence `explode` → `groupBy(doc_id, tok).count()` shuffle of
+  * term frequencies. Input must be `array_sort`ed (binary UTF8 order, the
+  * same order `graft_bag_intersect` merges with); an out-of-order input
+  * fails loud rather than silently splitting runs into wrong counts.
+  */
+case class BagCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("tok", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bag_counts requires array<string>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    BagCounts.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  graft.plans.expr.BagCounts.compute($a);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): BagCounts = copy(child = c)
+}
+
+object BagCounts {
+  def compute(st: ArrayData): GenericArrayData = {
+    Kernels.requireNoNullElements(st, "graft_bag_counts")
+    val n = st.numElements()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      val t = st.getUTF8String(i)
+      var j = i + 1
+      var cmp = 0
+      while (j < n && { cmp = t.compareTo(st.getUTF8String(j)); cmp == 0 }) j += 1
+      if (j < n && cmp > 0)
+        throw new IllegalArgumentException(
+          s"graft_bag_counts: input not sorted at position $j (run-length counts would be wrong)")
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](t, (j - i).toLong)))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** (array<struct<df:long, tok:string, tf:long>>, limit) → array<string>:
+  * sort a document's distinct tokens by (df asc, tok asc) — global
+  * rarest-first prefix order, token tie-break keeps it total — then emit
+  * tokens while the running occurrence count stays below `limit`
+  * (L = total − ⌈t·total⌉ + 1, the PPJoin prefix length). The in-row
+  * replacement for a full-corpus `Window.partitionBy(doc_id)` sort-shuffle
+  * over every token row: the sort is per-document over its DISTINCT
+  * tokens, inside one codegen'd projection.
+  */
+case class PrefixTokens(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StructType(Array(a, b, c)), _), LongType)
+      if a.dataType == LongType && b.dataType == StringType && c.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_prefix_tokens requires (array<struct<long,string,long>>, long), got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PrefixTokens.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  graft.plans.expr.PrefixTokens.compute($a, $b);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PrefixTokens =
+    copy(left = l, right = r)
+}
+
+object PrefixTokens {
+  def compute(pairs: ArrayData, limit: Long): GenericArrayData = {
+    val n = pairs.numElements()
+    val dfs = new Array[Long](n)
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val tfs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (pairs.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_prefix_tokens: null array element at position $i")
+      val r = pairs.getStruct(i, 3)
+      dfs(i) = r.getLong(0); toks(i) = r.getUTF8String(1); tfs(i) = r.getLong(2)
+      i += 1
+    }
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      dfs(a) < dfs(b) || (dfs(a) == dfs(b) && toks(a).compareTo(toks(b)) < 0)
+    }
+    val out = new java.util.ArrayList[Any](n)
+    var cum = 0L
+    var k = 0
+    while (k < n && cum < limit) {
+      val j = order(k)
+      out.add(toks(j))
+      cum += tfs(j)
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** array<long> shingle hashes → 64-slot MinHash signature:
   * `slot_i = min over h of (A_i * h + B_i) % p`, slots initialized to
   * Long.MaxValue — identical to the 64-slot `aggregate` fold, without the

@@ -129,6 +129,68 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("graft_bag_counts == transform(array_distinct, filter-count) on sorted arrays") {
+    val df = texts.toDF("text")
+      .select(array_sort(graft.functions.TextFunctions.tokens(col("text"))).as("st"))
+    val fold = transform(array_distinct(col("st")),
+      t => struct(t.as("tok"), size(filter(col("st"), x => x === t)).cast("long").as("tf")))
+    val out = df.select(call_function("graft_bag_counts", col("st")).as("k"), fold.as("f"))
+    out.collect().foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+  }
+
+  test("graft_bag_intersect_counts(bags) == graft_bag_intersect(occurrences)") {
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    val df = pairs.toDF("ta", "tb").select(
+      array_sort(graft.functions.TextFunctions.tokens(col("ta"))).as("sa"),
+      array_sort(graft.functions.TextFunctions.tokens(col("tb"))).as("sb"))
+    val out = df.select(
+      call_function("graft_bag_intersect_counts",
+        call_function("graft_bag_counts", col("sa")),
+        call_function("graft_bag_counts", col("sb"))).as("k"),
+      call_function("graft_bag_intersect", col("sa"), col("sb")).cast("long").as("f"))
+    out.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_bag_jaccard == round(intersect / (ta+tb-intersect), 6), bit-identical") {
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    val df = pairs.toDF("ta", "tb").select(
+      call_function("graft_bag_counts",
+        array_sort(graft.functions.TextFunctions.tokens(col("ta")))).as("ba"),
+      call_function("graft_bag_counts",
+        array_sort(graft.functions.TextFunctions.tokens(col("tb")))).as("bb"),
+      size(graft.functions.TextFunctions.tokens(col("ta"))).cast("long").as("na"),
+      size(graft.functions.TextFunctions.tokens(col("tb"))).cast("long").as("nb"))
+      .filter(col("na") + col("nb") > 0)
+    val inter = call_function("graft_bag_intersect_counts", col("ba"), col("bb"))
+    val fold = round(inter.cast("double") /
+      (col("na") + col("nb") - inter).cast("double"), 6)
+    val out = df.select(
+      call_function("graft_bag_jaccard", col("ba"), col("bb"), col("na"), col("nb")).as("k"),
+      fold.as("f"))
+    out.collect().foreach(r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("graft_prefix_tokens: (df,tok)-sorted slice while cum < limit") {
+    // pairs (df, tok, tf): sorted order c(df1) < a(df2) < b(df2 tok tie);
+    // cum 0 -> 2 -> 5 crosses limit 3 after 'a'
+    val r = spark.sql(
+      "SELECT graft_prefix_tokens(array(" +
+        "named_struct('df', 2L, 'tok', 'b', 'tf', 1L)," +
+        "named_struct('df', 1L, 'tok', 'c', 'tf', 2L)," +
+        "named_struct('df', 2L, 'tok', 'a', 'tf', 3L)), 3L) AS p, " +
+      "graft_prefix_tokens(array(named_struct('df', 1L, 'tok', 'x', 'tf', 1L)), 0L) AS empty, " +
+      "graft_prefix_tokens(array(" +
+        "named_struct('df', 2L, 'tok', 'b', 'tf', 1L)," +
+        "named_struct('df', 1L, 'tok', 'c', 'tf', 2L)), 100L) AS full").first()
+    assert(r.getSeq[String](0) == Seq("c", "a"))
+    assert(r.getSeq[String](1) == Seq.empty[String])
+    assert(r.getSeq[String](2) == Seq("c", "b"))
+  }
+
   test("kernels fail loud on corrupt input: null elements, length mismatch") {
     def failsWith(sql: String, fragment: String): Unit = {
       val e = intercept[Exception] { spark.sql(sql).collect() }
@@ -145,6 +207,8 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
       "graft_eq_count: array length mismatch")
     failsWith("SELECT graft_bag_intersect(array('a', CAST(NULL AS STRING)), array('a'))",
       "graft_bag_intersect: null array element")
+    failsWith("SELECT graft_bag_counts(array('b', 'a', 'b'))",
+      "graft_bag_counts: input not sorted")
   }
 
   test("kernels usable from spark.sql (registered SQL functions)") {
