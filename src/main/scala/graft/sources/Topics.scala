@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Where a topic's data physically lives: the resolved reader/writer
+  * configuration as DATA, so specs can assert the kafka wiring without a
+  * broker (none exists in the test container) and jobs can apply it
+  * mechanically.
+  */
+case class TopicSource(format: String, options: Map[String, String],
+                       path: Option[String])
+case class TopicSink(format: String, options: Map[String, String],
+                     path: Option[String], partitionCols: Seq[String])
+
+/** Topic-addressed transport — the Spark rendering of the reference's
+  * `MyKafkaUtil` (`utils/MyKafkaUtil.java:46-55` consumer, `:25-38` fixed
+  * and dynamic producers): every layer hop (ODS→DWD→DWM→DWS) is a named
+  * topic. With a broker configured (`spark.graft.kafka.bootstrap`, or the
+  * `broker` constructor arg) a topic resolves to the real
+  * `.format("kafka")` code path — `subscribe` on the read side, `topic`
+  * option (or per-row `topic` COLUMN for the dynamic S5 sink) on the
+  * write side, values as JSON-encoded rows. Without a broker it resolves
+  * to the parquet-dir replay contract the tests run (dir ≈ topic; a topic
+  * named by absolute path maps to that directory).
+  *
+  * Delivery semantics in kafka mode are the reference's own: at-least-once
+  * producers + idempotent/keyed consumers downstream (SURVEY §2.1 S5 — the
+  * reference's "exactly-once" dynamic producer is configured
+  * AT_LEAST_ONCE in `MyKafkaUtil.java:37`).
+  */
+class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None) {
+
+  def resolvedBroker: Option[String] =
+    broker.orElse(Option(spark.conf.get("spark.graft.kafka.bootstrap", "")).filter(_.nonEmpty))
+
+  private def dirOf(topic: String): String =
+    if (topic.startsWith("/")) topic else s"$baseDir/$topic"
+
+  def source(topic: String): TopicSource = resolvedBroker match {
+    case Some(b) => TopicSource("kafka", Map(
+      "kafka.bootstrap.servers" -> b,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      // a compacted/expired offset must fail the query loud, not skip data
+      "failOnDataLoss" -> "true"), None)
+    case None => TopicSource("parquet", Map.empty, Some(dirOf(topic)))
+  }
+
+  def sink(topic: String): TopicSink = resolvedBroker match {
+    case Some(b) => TopicSink("kafka",
+      Map("kafka.bootstrap.servers" -> b, "topic" -> topic), None, Seq.empty)
+    case None => TopicSink("parquet", Map.empty, Some(dirOf(topic)), Seq.empty)
+  }
+
+  /** S5 dynamic sink: destination per ROW. Kafka routes on a `topic`
+    * column (no fixed `topic` option — `MyKafkaUtil.java:29-38`'s
+    * per-record topic serializer); the dir rendering is `partitionBy`.
+    */
+  def dynamicSink(topicCol: String, dir: String): TopicSink = resolvedBroker match {
+    case Some(b) => TopicSink("kafka",
+      Map("kafka.bootstrap.servers" -> b), None, Seq(topicCol))
+    case None => TopicSink("parquet", Map.empty, Some(dir), Seq(topicCol))
+  }
+
+  /** Streaming read of a topic, rows restored to `schema`. Kafka mode
+    * parses the JSON `value` payload; dir mode reads the parquet "topic".
+    */
+  def readStream(topic: String, schema: StructType): DataFrame = {
+    val s = source(topic)
+    s.format match {
+      case "kafka" =>
+        val reader: DataStreamReader =
+          s.options.foldLeft(spark.readStream.format("kafka")) {
+            case (r, (k, v)) => r.option(k, v)
+          }
+        reader.load()
+          .select(from_json(col("value").cast("string"), schema).as("v"))
+          .select(col("v.*"))
+      case _ => spark.readStream.schema(schema).parquet(s.path.get)
+    }
+  }
+
+  /** Configure (not start) a streaming write to a fixed topic. Kafka mode
+    * JSON-encodes the row into `value`.
+    */
+  def writeStream(df: DataFrame, topic: String, checkpointDir: String): DataStreamWriter[Row] = {
+    val s = sink(topic)
+    val w = s.format match {
+      case "kafka" =>
+        val encoded = df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+        s.options.foldLeft(encoded.writeStream.format("kafka")) {
+          case (wr, (k, v)) => wr.option(k, v)
+        }
+      case _ => df.writeStream.format("parquet").option("path", s.path.get)
+    }
+    w.option("checkpointLocation", checkpointDir).outputMode("append")
+  }
+
+  /** Batch (foreachBatch) write through a dynamic sink: rows carry their
+    * destination in `topicCol`. Kafka mode keys messages by the topic
+    * column and JSON-encodes the rest; dir mode partitions by it.
+    */
+  def writeBatchDynamic(df: DataFrame, topicCol: String, dir: String): Unit = {
+    val s = dynamicSink(topicCol, dir)
+    s.format match {
+      case "kafka" =>
+        val payload = df.columns.filterNot(_ == topicCol).map(col).toIndexedSeq
+        val encoded = df.select(col(topicCol).as("topic"), to_json(struct(payload: _*)).as("value"))
+        s.options.foldLeft(encoded.write.format("kafka")) {
+          case (wr, (k, v)) => wr.option(k, v)
+        }.save()
+      case _ =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy(s.partitionCols: _*).parquet(s.path.get)
+    }
+  }
+}

@@ -15,6 +15,11 @@ import org.apache.spark.sql.types._
   */
 class OrderWideJob(spark: SparkSession, outDir: String) {
 
+  /** Topic transport (S3/S4): kafka code path when a broker is configured,
+    * parquet-dir replay otherwise — `utils/MyKafkaUtil.java:46-55`.
+    */
+  val topics = new graft.sources.Topics(spark, outDir)
+
   val ordersSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
@@ -48,21 +53,17 @@ class OrderWideJob(spark: SparkSession, outDir: String) {
         col("c_name"), col("n_name"))
   }
 
-  def start(ordersDir: String, lineitemDir: String, dimDir: String,
+  def start(ordersTopic: String, lineitemTopic: String, dimDir: String,
             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val orders = spark.readStream.schema(ordersSchema).parquet(ordersDir)
+    val orders = topics.readStream(ordersTopic, ordersSchema)
       .withWatermark("o_orderdate", "0 seconds")
-    val lineitem = spark.readStream.schema(lineitemSchema).parquet(lineitemDir)
+    val lineitem = topics.readStream(lineitemTopic, lineitemSchema)
       .withWatermark("l_shipdate", "0 seconds")
     val customer = graft.Tables.customer(spark, dimDir) // static side, re-read per batch
     val nation = graft.Tables.nation(spark, dimDir)
 
-    transform(orders, lineitem, customer, nation)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$outDir/order_wide")
+    topics.writeStream(transform(orders, lineitem, customer, nation),
+        "order_wide", checkpointDir)
       .start()
   }
 }

@@ -18,6 +18,9 @@ import org.apache.spark.sql.types._
   */
 class PaymentWideJob(spark: SparkSession, outDir: String) {
 
+  /** Topic transport (S3/S4) — kafka when a broker is configured. */
+  val topics = new graft.sources.Topics(spark, outDir)
+
   val paymentSchema: StructType = StructType(Seq(
     StructField("pay_id", LongType), StructField("p_orderkey", LongType),
     StructField("pay_ts", TimestampType), StructField("pay_amount", DoubleType)))
@@ -39,19 +42,14 @@ class PaymentWideJob(spark: SparkSession, outDir: String) {
         col("l_linenumber"), col("o_orderdate"), col("o_totalprice"),
         col("c_name"), col("n_name"))
 
-  def start(paymentsDir: String, orderWideDir: String,
+  def start(paymentsTopic: String, orderWideTopic: String,
             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val payments = spark.readStream.schema(paymentSchema).parquet(paymentsDir)
+    val payments = topics.readStream(paymentsTopic, paymentSchema)
       .withWatermark("pay_ts", "0 seconds")
-    val orderWide = spark.readStream.schema(orderWideSchema).parquet(orderWideDir)
+    val orderWide = topics.readStream(orderWideTopic, orderWideSchema)
       .withWatermark("o_orderdate", "0 seconds")
 
-    transform(payments, orderWide)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$outDir/payment_wide")
+    topics.writeStream(transform(payments, orderWide), "payment_wide", checkpointDir)
       .start()
   }
 }

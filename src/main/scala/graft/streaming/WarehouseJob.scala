@@ -4,19 +4,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.LogPipeline
-import graft.sources.DimStore
+import graft.sources.{DimStore, Topics}
 
 /** End-to-end streaming warehouse: the reference's ODS→DWD→DWS topology as
-  * ONE Structured Streaming query over a file-source "topic" (parquet dir ≈
-  * Kafka topic, per SURVEY §7.0), with a `foreachBatch` fan-out that plays
+  * ONE Structured Streaming query over a topic source (`Topics` — real
+  * `.format("kafka")` when a broker is configured, parquet-dir replay
+  * otherwise, per SURVEY §7.0), with a `foreachBatch` fan-out that plays
   * the role of the reference's per-layer jobs:
   *
   *  - SP1 log split (`BaseLogApp.java:100-138`): one parent frame persisted,
   *    three filtered children to three sinks;
   *  - SP2/ST3 config routing (`TableProcessFunction.java:126-153` +
   *    broadcast state): the routing config is re-read every micro-batch —
-  *    the Spark rendering of Flink broadcast-state refresh — and rows go to
-  *    "kafka" (fact dirs) or "hbase" (DimStore upsert) accordingly;
+  *    the Spark rendering of Flink broadcast-state refresh — so a config
+  *    row inserted between batches N and N+1 routes batch N+1, exactly the
+  *    reference's CDC-fed `table_process` behavior (`BaseDBApp.java:63-85`).
+  *    Config rows carry (sink_pk, sink_columns) like the reference's
+  *    `TableProcess` bean, honored by the dim path;
   *  - A1 windowed stats (`VisitorStatsApp.java:127-168`) appended to the
   *    stats sink (S7's ClickHouse `foreachBatch` JDBC write, parquet here).
   *
@@ -29,32 +33,55 @@ import graft.sources.DimStore
   * appending duplicates; the `_committed_<id>` marker is just the fast-path
   * skip for the already-fully-committed case. Dim upserts are keyed and
   * idempotent, so replaying them is safe. Readers of the sinks see an
-  * extra `batch` partition column recording provenance.
+  * extra `batch` partition column recording provenance. (In kafka mode the
+  * fact fan-out is the reference's own at-least-once dynamic producer —
+  * `Topics.writeBatchDynamic`, topic per row — with idempotent consumers
+  * downstream, matching `MyKafkaUtil.java:37`.)
   *
   * Stats-sink contract: rows in `stats/` are PER-BATCH PARTIALS keyed by
   * (stt, edt, event_type) — the reference's incremental ClickHouse appends
   * behave the same way — so downstream consumers must re-aggregate
   * (sum the measures grouping by the key) when a window spans batches.
+  *
+  * @param configDir when set, the routing config is re-read from this
+  *                  parquet dir every micro-batch (the mutable, CDC-fed
+  *                  `table_process` table); when None, a built-in default
+  *                  config is used.
   */
-class WarehouseJob(spark: SparkSession, outDir: String) {
+class WarehouseJob(spark: SparkSession, outDir: String,
+                   configDir: Option[String] = None) {
+
+  val topics = new Topics(spark, outDir)
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Routing config — in the reference a MySQL `table_process` CDC feed; a
-    * small table re-loadable per batch here (swap for a JDBC/Delta read in
-    * production; the per-batch refresh IS the broadcast-state semantics).
+  /** Config-misroute protection: a fact-sized stream routed to the dim
+    * (hbase) side indicates a broken config row — fail the batch loud
+    * instead of grinding a giant keyed upsert (`spark.graft.maxDimBatchRows`).
     */
-  def loadConfig(): DataFrame = {
-    import spark.implicits._
-    Seq(
-      ("view", "kafka", "dwd_page_log"),
-      ("click", "kafka", "dwd_click_log"),
-      ("purchase", "hbase", "dim_order"),
-      ("signup", "hbase", "dim_user"))
-      .toDF("source_type", "sink_type", "sink_table")
+  def maxDimBatchRows: Long =
+    spark.conf.get("spark.graft.maxDimBatchRows", "100000").toLong
+
+  /** Routing config — the reference's MySQL `table_process` CDC feed
+    * (`TableProcessFunction.java:45-63`): (source event type → sink kind,
+    * sink table, and for dim sinks the primary key + column list to
+    * honor, `TableProcessFunction.java:66-122`). Re-loaded per batch from
+    * `configDir` when set — config mutations are observed on the next
+    * micro-batch, the broadcast-state refresh semantics.
+    */
+  def loadConfig(): DataFrame = configDir match {
+    case Some(d) if new java.io.File(d).exists => spark.read.parquet(d)
+    case _ =>
+      import spark.implicits._
+      Seq(
+        ("view", "kafka", "dwd_page_log", null, null),
+        ("click", "kafka", "dwd_click_log", null, null),
+        ("purchase", "hbase", "dim_order", "user_id", "user_id,ts,value"),
+        ("signup", "hbase", "dim_user", "user_id", "user_id,ts,value"))
+        .toDF("source_type", "sink_type", "sink_table", "sink_pk", "sink_columns")
   }
 
   /** Delete `dir` recursively if present. */
@@ -76,9 +103,9 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
     }
   }
 
-  def start(sourceDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  def start(sourceTopic: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val dims = new DimStore(spark, s"$outDir/dim")
-    val raw = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    val raw = topics.readStream(sourceTopic, eventSchema)
 
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -98,24 +125,40 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
             .parquet(s"$staging/dirty")
           val clean = parsed.filter(col("k").isNotNull)
 
-          // SP2/ST3: config re-read + route (broadcast join, inner = drop unknown)
-          val routed = clean.join(broadcast(loadConfig()),
-            col("event_type") === col("source_type"))
-          routed.filter(col("sink_type") === "kafka")
-            .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
-            .write.mode(SaveMode.Overwrite).partitionBy("sink_table")
-            .parquet(s"$staging/facts") // S5: dynamic per-row topic
-          routed.filter(col("sink_type") === "hbase")
-            .groupBy(col("user_id"), col("sink_table"))
-            .agg(max(col("ts")).as("ts"), count(lit(1)).as("cnt"))
-            .collect() // tiny dim batches
-            .groupBy(_.getString(1))
-            .foreach { case (table, rows) =>
-              import spark.implicits._
-              val df = rows.toSeq
-                .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
-                .toDF("user_id", "ts", "cnt")
-              dims.upsert(table, df, "user_id", "ts") // S8: keyed upsert (idempotent)
+          // SP2/ST3: config re-read + route (broadcast join, inner = drop
+          // unknown); config is tiny by contract — only IT is collected
+          val cfg = loadConfig().localCheckpoint(true)
+          val routed = clean.join(broadcast(cfg.drop("sink_pk", "sink_columns")),
+            col("event_type") === col("source_type")).persist()
+          if (topics.resolvedBroker.isDefined)
+            // S5 kafka mode: the reference's dynamic at-least-once producer
+            topics.writeBatchDynamic(
+              routed.filter(col("sink_type") === "kafka")
+                .select("event_id", "ts", "user_id", "event_type", "value", "sink_table"),
+              "sink_table", s"$staging/facts")
+          else
+            routed.filter(col("sink_type") === "kafka")
+              .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
+              .write.mode(SaveMode.Overwrite).partitionBy("sink_table")
+              .parquet(s"$staging/facts") // S5: dynamic per-row topic
+
+          // S8/S9: dim sinks, honoring each config row's (pk, columns) —
+          // `TableProcessFunction.java:66-122`. The DATA never reaches the
+          // driver (keyed distributed upsert); only config rows do.
+          cfg.filter(col("sink_type") === "hbase")
+            .select("sink_table", "sink_pk", "sink_columns").collect()
+            .foreach { c =>
+              val (table, pk) = (c.getString(0), c.getString(1))
+              val cols = c.getString(2).split(",").map(_.trim).filter(_.nonEmpty)
+              require(pk != null && cols.contains(pk),
+                s"dim config for $table: sink_pk '$pk' must be one of sink_columns")
+              val rows = routed.filter(col("sink_table") === table)
+                .select(cols.map(col).toIndexedSeq: _*)
+              val n = rows.count()
+              require(n <= maxDimBatchRows,
+                s"dim batch for $table has $n rows (> $maxDimBatchRows): " +
+                  "fact-sized stream routed to a dim sink — check the routing config")
+              if (n > 0) dims.upsert(table, rows, pk, "ts")
             }
 
           // DWS: A1 visitor stats over the clean stream (per-batch PARTIAL
@@ -130,6 +173,7 @@ class WarehouseJob(spark: SparkSession, outDir: String) {
           marker.getParentFile.mkdirs()
           marker.createNewFile()
           rmTree(staging)
+          routed.unpersist()
         } finally ev.unpersist()
         }
         ()
