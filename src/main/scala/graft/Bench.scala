@@ -70,8 +70,7 @@ object Bench {
     // rules change. Approximate results, so they are NOT the oracle-gated
     // numbers above; the appendix records the switch works and what it buys.
     val scaleQueries = Seq("a2_product_stats", "a3_province_stats", "a8_percentiles")
-    spark.conf.set("spark.graft.approxDistinct", "true")
-    spark.conf.set("spark.graft.approxPercentile", "true")
+    graft.operators.Scale.scaleMode(spark) // the one-switch 100 TB profile
     val scaleResults = scaleQueries.map { name =>
       val t0 = System.nanoTime()
       val ok =
@@ -83,8 +82,7 @@ object Bench {
       dropCheckpointBlocks(spark)
       name -> (if (ok) elapsed else -1.0)
     }
-    spark.conf.set("spark.graft.approxDistinct", "false")
-    spark.conf.set("spark.graft.approxPercentile", "false")
+    graft.operators.Scale.scaleMode(spark, on = false)
     def toJson(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

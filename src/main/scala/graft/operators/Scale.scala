@@ -71,6 +71,19 @@ object Scale {
     else df
   }
 
+  /** The 100 TB configuration as ONE switch (README "Scale mode"):
+    * `spark.graft.scaleMode=true` — settable here, per session, or via
+    * `spark-submit --conf` — turns on every sketch rewrite at once
+    * (`ApproxDistinctRule`: exact `size(collect_set)` → HLL;
+    * `ApproxPercentileRule`: exact `percentile` → t-digest). The
+    * per-rule flags (`spark.graft.approxDistinct` / `approxPercentile`)
+    * still override individually. Oracle-gated runs keep it off — scale
+    * mode trades exactness for O(1) per-group state, which is the right
+    * trade only at corpus scale.
+    */
+  def scaleMode(spark: org.apache.spark.sql.SparkSession, on: Boolean = true): Unit =
+    spark.conf.set("spark.graft.scaleMode", on.toString)
+
   /** Pre-partition two frames on the join key so a subsequent join needs
     * no exchange of its own (both children arrive hash-partitioned) —
     * the API-level stand-in for bucketed tables when writing through the

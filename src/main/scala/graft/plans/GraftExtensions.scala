@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.LongType
   */
 class ApproxDistinctRule extends Rule[LogicalPlan] {
 
+  // specific flag wins; otherwise the one-switch profile flag
+  // spark.graft.scaleMode enables every sketch rewrite at once
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.approxDistinct", "false").toBoolean
+    conf.getConfString("spark.graft.approxDistinct",
+      conf.getConfString("spark.graft.scaleMode", "false")).toBoolean
 
   private def hll(child: Expression, filter: Option[Expression]): Expression =
     AggregateExpression(HyperLogLogPlusPlus(child), Complete, isDistinct = false, filter)
@@ -85,7 +88,8 @@ class ApproxPercentileRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.approxPercentile", "false").toBoolean
+    conf.getConfString("spark.graft.approxPercentile",
+      conf.getConfString("spark.graft.scaleMode", "false")).toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan

@@ -50,6 +50,34 @@ class ExtensionSpec extends SparkSpecBase {
     }
   }
 
+  test("spark.graft.scaleMode is the one-switch profile: both rules flip together") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = (1 to 500).map(i => (i % 3, i % 53, i.toDouble)).toDF("k", "u", "v")
+      def plans(): (String, String) = (
+        df.groupBy("k").agg(size(collect_set($"u")).as("ct"))
+          .queryExecution.optimizedPlan.toString,
+        df.groupBy("k").agg(expr("percentile(v, 0.5)").as("p50"))
+          .queryExecution.optimizedPlan.toString)
+
+      graft.operators.Scale.scaleMode(s)
+      val (d1, p1) = plans()
+      assert(d1.contains("approx_count_distinct") && !d1.contains("collect_set"))
+      assert(p1.contains("percentile_approx") || p1.contains("approx_percentile"))
+
+      // specific flag overrides the profile flag individually
+      s.conf.set("spark.graft.approxDistinct", "false")
+      val (d2, p2) = plans()
+      assert(d2.contains("collect_set"), "specific off-flag must win over scaleMode")
+      assert(p2.contains("percentile_approx") || p2.contains("approx_percentile"))
+      s.conf.unset("spark.graft.approxDistinct")
+
+      graft.operators.Scale.scaleMode(s, on = false)
+      val (d3, p3) = plans()
+      assert(d3.contains("collect_set") && p3.contains("percentile("))
+    }
+  }
+
   test("scale mode rewrites exact set distinct to HLL sketch; off by default") {
     withExtSession { s =>
       import s.implicits._
