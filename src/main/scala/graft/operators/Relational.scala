@@ -135,21 +135,32 @@ object Relational {
 
   /** A9 (beyond-reference): ROLLUP over (region, nation) revenue with the
     * grouping marker — OLAP subtotal/grand-total semantics.
+    *
+    * Two-level: aggregate to the FINEST rollup grain first (25
+    * region×nation rows), then rollup the tiny aggregate. `rollup`'s
+    * Expand multiplies its INPUT by the number of grouping sets, so
+    * expanding the full join output triples the aggregation work at any
+    * scale; decimal sums and counts re-aggregate losslessly
+    * (Σ of partial Σ, Σ of partial counts).
     */
-  def a9Rollup(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
+  def a9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = lineitem(spark, dir)
       .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
-      .join(region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .join(maybeBroadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev"), count(lit(1)).as("ct"))
+    perNation
       .rollup(col("r_name"), col("n_name"))
       .agg( // grouping() markers must be aggregate expressions of the rollup
         grouping(col("r_name")).cast("long").as("g_region"),
         grouping(col("n_name")).cast("long").as("g_nation"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
-        count(lit(1)).as("line_ct"))
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(col("ct")).as("line_ct"))
       .select(col("r_name"), col("n_name"), col("g_region"), col("g_nation"),
         col("revenue"), col("line_ct"))
+  }
 
   /** A10 (beyond-reference): pivot — daily event counts, one column per
     * event type (explicit value list so the schema is static, the

@@ -17,12 +17,23 @@ object Serving {
   /** Register every warehouse table as a temp view for SQL access.
     * `events` goes through its normalizing loader (ns-long → µs timestamp)
     * so the SQL surface sees the same schema every engine query sees.
+    *
+    * Idempotent per data dir (a session-scoped marker): a real serving
+    * layer registers its catalog once at startup, not per query —
+    * re-registering re-lists and re-infers parquet schemas for all ten
+    * tables on the driver, which is pure per-query overhead. Passing a
+    * DIFFERENT dir re-registers.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    AllTables.foreach {
-      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
-      case t        => Tables.table(spark, dir, t).createOrReplaceTempView(t)
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val marker = "graft.serving.viewsDir"
+    if (!spark.conf.getOption(marker).contains(dir)) {
+      AllTables.foreach {
+        case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+        case t        => Tables.table(spark, dir, t).createOrReplaceTempView(t)
+      }
+      spark.conf.set(marker, dir)
     }
+  }
 
   /** GMV-by-trademark serving query (`ProductStatsMapper.java:26`,
     * default limit 5 `SugarController.java:26`) — as literal SQL text, the
