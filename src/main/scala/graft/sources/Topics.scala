@@ -100,6 +100,28 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
     w.option("checkpointLocation", checkpointDir).outputMode("append")
   }
 
+  /** S7 JDBC batch sink resolution — the reference's ClickHouse
+    * `foreachBatch` JDBC writes (`utils/ClickHouseUtil.java`): with
+    * `spark.graft.jdbc.url` configured the batch goes through
+    * `DataFrameWriter.jdbc` (append; driver class from
+    * `spark.graft.jdbc.driver` if set); otherwise to the parquet dir the
+    * tests read. Same shape as the kafka flag: the wiring exists and is
+    * spec-assertable without a database in the container.
+    */
+  def resolvedJdbcUrl: Option[String] =
+    Option(spark.conf.get("spark.graft.jdbc.url", "")).filter(_.nonEmpty)
+
+  def writeBatchJdbc(df: DataFrame, table: String, dir: String): Unit =
+    resolvedJdbcUrl match {
+      case Some(url) =>
+        val props = new java.util.Properties()
+        Option(spark.conf.get("spark.graft.jdbc.driver", "")).filter(_.nonEmpty)
+          .foreach(props.setProperty("driver", _))
+        df.write.mode(org.apache.spark.sql.SaveMode.Append).jdbc(url, table, props)
+      case None =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$table")
+    }
+
   /** Batch (foreachBatch) write through a dynamic sink: rows carry their
     * destination in `topicCol`. Kafka mode keys messages by the topic
     * column and JSON-encodes the rest; dir mode partitions by it.

@@ -162,9 +162,14 @@ class WarehouseJob(spark: SparkSession, outDir: String,
             }
 
           // DWS: A1 visitor stats over the clean stream (per-batch PARTIAL
-          // rows keyed by (stt,edt,event_type) — see class doc contract)
-          LogPipeline.a1Transform(clean)
-            .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats") // S7
+          // rows keyed by (stt,edt,event_type) — see class doc contract).
+          // S7: JDBC (ClickHouse-style) appends when spark.graft.jdbc.url
+          // is configured, staged parquet otherwise.
+          if (topics.resolvedJdbcUrl.isDefined)
+            topics.writeBatchJdbc(LogPipeline.a1Transform(clean), "visitor_stats", outDir)
+          else
+            LogPipeline.a1Transform(clean)
+              .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
 
           // Publish: batch-scoped dirs replaced wholesale → replay-safe.
           publish(new java.io.File(staging, "dirty"), new java.io.File(s"$outDir/dirty/batch=$batchId"))

@@ -65,6 +65,26 @@ class TopicsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.kafka.bootstrap", "")
   }
 
+  test("jdbc-mode batch sink goes through DataFrameWriter.jdbc (fails only at driver lookup)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.jdbc.url", "jdbc:nosuchdb://nowhere/stats")
+    try {
+      val t = new Topics(spark, "/base")
+      assert(t.resolvedJdbcUrl.contains("jdbc:nosuchdb://nowhere/stats"))
+      // no JDBC driver for the scheme exists in the container: the write
+      // must get as far as java.sql.DriverManager — proving .jdbc is
+      // genuinely wired, not just described
+      val e = intercept[Exception] {
+        t.writeBatchJdbc(Seq((1L, "a")).toDF("k", "v"), "stats", "/unused")
+      }
+      def messages(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ messages(x.getCause)
+      assert(messages(e).exists(m =>
+        m.toLowerCase.contains("driver") || m.toLowerCase.contains("jdbc")),
+        s"expected JDBC driver lookup failure, got: ${messages(e).mkString(" | ")}")
+    } finally spark.conf.set("spark.graft.jdbc.url", "")
+  }
+
   test("kafka-mode readStream builds a kafka DataStreamReader (fails only at broker lookup)") {
     // no kafka connector jar in the container: constructing the reader via
     // the kafka code path must get as far as the DataSource lookup —
