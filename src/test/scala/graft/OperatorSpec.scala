@@ -149,4 +149,36 @@ class OperatorSpec extends SparkSpecBase {
     assert(sig.linesIterator.exists(l => l.contains("minhashsig") && l.trim.matches("""^\+?-?\s*\*\(\d+\).*""")),
       s"kernel projection not inside a whole-stage codegen span:\n$sig")
   }
+
+  test("round-3 plan shapes: in-row PPJoin prefix, two-level rollup, serving views registered once") {
+    import graft.pipeline.Dedup
+    import graft.operators.{Relational, Serving}
+
+    // PPJoin prefix: the whole point of the rewrite is NO full-corpus
+    // window sort-shuffle and NO per-occurrence tf aggregation — the
+    // prefix comes from in-row kernels
+    val prefixDf = Dedup.ngramJaccardPrefix(spark, sf("documents"))
+    prefixDf.collect()
+    val prefix = prefixDf.queryExecution.executedPlan.toString
+    assert(!prefix.contains("Window"), s"window pass crept back into the prefix join:\n$prefix")
+    assert(!prefix.contains("SortMergeJoin"),
+      s"pair/verify joins must broadcast at test SF:\n$prefix")
+    assert(prefix.toLowerCase.contains("bagjaccard"),
+      s"fused verify kernel missing:\n$prefix")
+
+    // a9 rollup: Expand must sit ABOVE the per-(region, nation) aggregate
+    // (two-level rollup) — expanding the raw join output triples the
+    // aggregation work for nothing
+    val a9Df = Relational.a9Rollup(spark, sf("lineitem"))
+    a9Df.collect()
+    val a9 = a9Df.queryExecution.executedPlan.toString
+    val expandIdx = a9.indexOf("Expand")
+    assert(expandIdx > 0, s"rollup lost its Expand:\n$a9")
+    assert(a9.indexOf("HashAggregate", expandIdx) > 0,
+      s"no aggregate BELOW the Expand — rollup is expanding raw join rows:\n$a9")
+
+    // serving views: second query against the same dir must not re-register
+    Serving.sqlGmvByBrand(spark, sf("lineitem")).collect()
+    assert(spark.conf.getOption("graft.serving.viewsDir").contains(sf("lineitem")))
+  }
 }
