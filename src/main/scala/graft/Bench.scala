@@ -54,11 +54,11 @@ object Bench {
       catch { case _: Throwable => }
     }
     dropCheckpointBlocks(spark)
-    // min of N timed passes per query (default 2, override
+    // min of N timed passes per query (default 3, override
     // SPARK_GRAFT_BENCH_REPS): single-pass timings on this rig vary ±30%
     // run-to-run (GC pauses, CPU noise) — the minimum is the standard
     // JMH-style estimator of the query's actual cost
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

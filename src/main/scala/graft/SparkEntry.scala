@@ -76,6 +76,8 @@ object SparkEntry {
     "text_tfidf_topk"      -> ((s, d) => T.tfidfTopK(s, d)),
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
+    "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
+    "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
     // dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_sig"    -> ((s, d) => Dedup.minhashSigExploded(s, d)),
@@ -88,6 +90,7 @@ object SparkEntry {
     "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
+    "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     // similarity search
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -411,6 +414,17 @@ FROM documents""",
       s"""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
 ${MD5P("text")} AS fp64 FROM documents""",
 
+    "text_pii_redact" ->
+      """SELECT doc_id,
+regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers
+FROM documents""",
+
+    "text_length_hist" ->
+      s"""SELECT lang, CAST(floor(len($TOKS) / 10) * 10 AS BIGINT) AS bucket, COUNT(*) AS ct
+FROM documents GROUP BY lang, bucket""",
+
     "multimodal_features" ->
       """SELECT doc_id, lang AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
 md5(text) AS content_hash FROM documents""",
@@ -515,6 +529,16 @@ SELECT doc_a, doc_b, CAST(len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i)
 FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1)) <= 3""",
 
     "dedup_ngram_jaccard" -> OracleNgramJaccard,
+
+    "dedup_containment" ->
+      s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
+(SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
+tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS inter
+FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6) AS overlap
+FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6) >= 0.8""",
 
     // the prefix-filtered join must produce the IDENTICAL pair set — same
     // oracle, independently gated

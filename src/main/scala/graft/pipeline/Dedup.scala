@@ -432,6 +432,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Bag-overlap (containment) near-dup pairs: overlap = Σ min(tf) /
+    * min(|A|, |B|) ≥ t within `source` blocks — the asymmetric companion
+    * to Jaccard that catches a small document CONTAINED in a larger one
+    * (quote inclusion, benchmark leakage), which a Jaccard threshold
+    * misses because the union is dominated by the larger doc. No
+    * length-band prune: small-inside-large is exactly the signal.
+    */
+  def bagOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val tf = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("total"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    spread(spark, tf).as("x").join(maybeBroadcast(tf).as("y"),
+        col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"),
+        max(col("x.total")).as("total_a"), max(col("y.total")).as("total_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          least(col("total_a"), col("total_b")).cast("double"), 6).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   // ---- Embedding cosine near-dup --------------------------------------------
 
   /** Embedding-cosine near-dup pairs, blocked on `label` (stand-in for a

@@ -158,6 +158,39 @@ object TextPipeline {
       fingerprint(col("text")).as("fp"),
       md5Prefix64(col("text")).as("fp64"))
 
+  /** PII patterns shared by the redaction op and its oracle: kept to the
+    * regex subset where Java regex (Spark) and RE2 (DuckDB) agree —
+    * character classes + bounded repetition, no backreferences/lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  /** PII scrubbing — the pass a training corpus runs before anything else:
+    * redact email addresses and long digit runs (ids, phone numbers),
+    * keeping per-doc match counts so the filter rate is observable. One
+    * narrow projection; at 100 TB this is pure map-side work.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, documents(spark, dir)).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        LongNumberPattern, "<NUM>").as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongNumberPattern), lit(0)))
+        .cast("long").as("n_long_numbers"))
+
+  /** Token-length histogram per language (bucket width 10) — the corpus
+    * shape statistic every length-filter threshold is tuned against.
+    * One narrow projection + one tiny grouped aggregate.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(col("lang"),
+        (floor(size(tokens(col("text"))) / 10) * 10).cast("long").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+
   /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
     * The decode/feature-extract step is a STUB (no image/audio libs in this
     * container): features here are byte-length and content hash — the

@@ -67,6 +67,42 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(TextPipeline.repetitionScore(spark, dir).count() > 0)
   }
 
+  test("pii redaction: no pattern survives, counts reconcile, clean docs untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe+spam@example.com or 5551234567 now"),
+      (2L, "order 123456 and 99999 are short, 1234567890123 is not"),
+      (3L, "clean text with no pii at all"))
+      .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextPipeline.piiRedact(spark, tmp)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // nothing matching the patterns survives in clean_text
+    out.foreach { case (_, clean, _, _) =>
+      assert(!clean.matches(s".*${TextPipeline.EmailPattern}.*"), clean)
+      assert(!clean.matches(".*[0-9]{6,}.*"), clean)
+    }
+    assert(out(0)._3 == 1 && out(0)._4 == 1) // one email, one long number
+    assert(out(1)._3 == 0 && out(1)._4 == 2) // 123456 and the 13-digit run
+    assert(out(2)._2 == "clean text with no pii at all" && out(2)._3 == 0 && out(2)._4 == 0)
+  }
+
+  test("bag overlap: containment catches small-inside-large that Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val small = (1 to 10).map(i => s"w$i").mkString(" ") // fully contained
+    val df = Seq((1L, big), (2L, small))
+      .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("ovl").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ovl = Dedup.bagOverlap(spark, tmp, 0.8).as[(Long, Long, Double)].collect()
+    assert(ovl.toSeq == Seq((1L, 2L, 1.0)), s"containment must flag the pair: ${ovl.toSeq}")
+    // the same pair is invisible to Jaccard at 0.5: J = 10/40 = 0.25
+    val jac = Dedup.ngramJaccard(spark, tmp, 0.5).count()
+    assert(jac == 0, "Jaccard 0.5 must NOT flag it — that asymmetry is the op's reason to exist")
+  }
+
   test("stratified sample: deterministic, honors per-source rates") {
     val s1 = TextPipeline.stratifiedSample(spark, dir).collect().map(_.getLong(0)).sorted
     val s2 = TextPipeline.stratifiedSample(spark, dir).collect().map(_.getLong(0)).sorted
