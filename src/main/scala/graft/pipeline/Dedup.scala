@@ -178,8 +178,12 @@ object Dedup {
       require(iter <= maxIters, s"corpusClusters: no convergence in $maxIters rounds")
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nbr_lab"))
+      // old label carried through the round: the convergence check below
+      // is then a filter over the checkpointed frame, not another
+      // join-against-previous-labels shuffle per iteration
       val prop = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .select(col("id"), col("lab").as("old_lab"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
       // pointer-jumping: lab ← lab(lab) halves the remaining propagation
       // distance each round (a 2^50-hop chain converges in ~50 rounds).
       // Skipped in round 1: near-dup clusters are usually shallow enough
@@ -189,12 +193,11 @@ object Dedup {
         else prop.as("p")
           .join(prop.select(col("id").as("jid"), col("lab").as("jlab")).as("j"),
             col("p.lab") === col("jid"), "left")
-          .select(col("p.id").as("id"),
+          .select(col("p.id").as("id"), col("p.old_lab").as("old_lab"),
             least(col("p.lab"), coalesce(col("jlab"), col("p.lab"))).as("lab")))
         .localCheckpoint()
-      changed = jumped.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lab") =!= col("o.lab")).count()
-      labels = jumped
+      changed = jumped.filter(col("lab") =!= col("old_lab")).count()
+      labels = jumped.select(col("id"), col("lab"))
     }
     docs
       .join(labels, col("doc_id") === col("id"), "left")

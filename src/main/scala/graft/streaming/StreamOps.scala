@@ -122,6 +122,22 @@ object StreamOps {
       .select(col("user_id"), col("ts"), to_date(col("ts")).as("dt"))
       .dropDuplicatesWithinWatermark("user_id", "dt")
 
+  /** Streaming corpus ingest with exact-dup suppression — the streaming
+    * face of `Dedup.exact`: every incoming document is keyed by its
+    * normalized-text fingerprint and only the FIRST arrival of each
+    * fingerprint survives into the training corpus. State is one
+    * 32-hex-char key per distinct text (the cheapest possible dedup state,
+    * independent of document size). Documents carrying an event-time
+    * column should add `.withWatermark` +
+    * `dropDuplicatesWithinWatermark` (the ST2 machinery) to bound state
+    * by ingest-time TTL; the `documents` test table has no timestamp, so
+    * the core op keeps exact unbounded semantics.
+    */
+  def streamingExactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .dropDuplicates("fp")
+
   /** A1 streaming: watermarked 10s tumbling-window visitor stats — the
     * same transform as batch (`LogPipeline.a1Transform`) with a watermark
     * bound; append mode emits each window once, like Flink's

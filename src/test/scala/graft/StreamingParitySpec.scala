@@ -11,6 +11,7 @@ import graft.streaming.StreamOps.Event
 case class LSide(l_key: Long, l_ts: Timestamp)
 case class RSide(r_key: Long, r_ts: Timestamp)
 case class DocEv(ts: Timestamp, lang: String, text: String)
+case class Doc(doc_id: Long, source: String, lang: String, text: String)
 
 /** Stream-batch parity: each stateful streaming rendering must produce the
   * same rows as its batch oracle on the same input (SURVEY §5.2).
@@ -180,6 +181,35 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
     val got = spark.table(name).collect().map(_.toSeq).toSet.filterNot(_(2) == "zz")
     assert(got == batch)
+  }
+
+  test("corpus-ingest dedup parity: streaming first-arrival == batch exact, one row per fingerprint") {
+    val docs = Seq(
+      Doc(1, "web", "en", "the quick brown fox"),
+      Doc(2, "web", "en", "THE  QUICK brown   fox"), // same fp after normalization
+      Doc(3, "web", "en", "a different document"),
+      Doc(4, "book", "en", "the quick brown fox"),   // same text again
+      Doc(5, "web", "en", "a different document"))
+    // batch truth: Dedup.exact over the same rows → distinct fingerprints
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
+    docs.toDF().write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchFps = graft.pipeline.Dedup.exact(spark, tmp)
+      .select("fp").as[String].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val name = s"dedupsink${System.nanoTime()}"
+    val q = StreamOps.streamingExactDedup(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(docs.take(3)); q.processAllAvailable()
+      input.addData(docs.drop(3)); q.processAllAvailable() // replays across batches suppressed
+    } finally q.stop()
+    val got = spark.table(name).collect()
+    assert(got.map(_.getAs[String]("fp")).toSet == batchFps, "same distinct-fingerprint set")
+    assert(got.length == batchFps.size, "exactly one surviving doc per fingerprint")
+    // first arrival survives: doc 1 (not 2/4), doc 3 (not 5)
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
   }
 
   test("J1 parity: stream-stream interval join == batch range join") {
