@@ -88,6 +88,27 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.conf.unset(Scale.BroadcastGateConf)
   }
 
+  test("dedup family degrades to shuffle joins under a closed gate, identical output (100TB posture)") {
+    // The near-dup joins are where a forced broadcast would hurt most at
+    // corpus scale: close the gate and assert the whole family plans
+    // hint-free (SMJ candidate/verify joins) with bit-identical results.
+    val dir = sf("documents")
+    def queries: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "prefix" -> (() => pipeline.Dedup.ngramJaccardPrefix(spark, dir)),
+      "exhaustive" -> (() => pipeline.Dedup.ngramJaccard(spark, dir)),
+      "containment" -> (() => pipeline.Dedup.bagOverlap(spark, dir)),
+      "lsh" -> (() => pipeline.Dedup.minhashLsh(spark, dir)))
+    val open = queries.map { case (n, q) => n -> q().collect().map(_.toSeq).toSet }
+    spark.conf.set(Scale.BroadcastGateConf, "1")
+    try {
+      queries.foreach { case (n, q) =>
+        assert(!hinted(q()), s"$n must carry no broadcast hint under the closed gate")
+        assert(q().collect().map(_.toSeq).toSet == open(n),
+          s"$n results must be identical via shuffle joins")
+      }
+    } finally spark.conf.unset(Scale.BroadcastGateConf)
+  }
+
   test("salted join returns exactly the plain-join rows under skew") {
     // pathological skew: 90% of probe rows share one key
     val probe = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong % 50, i))
