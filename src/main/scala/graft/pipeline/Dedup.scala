@@ -299,13 +299,15 @@ object Dedup {
     *     candidates are generated from PREFIX rows only, which excludes
     *     the high-df tokens that explode a naive token join;
     *  3. candidates (plus the min ≥ t·max length band, also necessary for
-    *     J ≥ t) are verified EXACTLY with a two-pointer sorted-array merge
-    *     (`graft_bag_intersect`), not a token-row aggregation.
+    *     J ≥ t) are verified EXACTLY with a two-pointer merge over the
+    *     run-length BAGS (`graft_bag_jaccard`), not a token-row
+    *     aggregation — O(distinct_a + distinct_b) per pair.
     *
     * Identical output to the exhaustive join (property-tested; gated by
-    * the same DuckDB oracle as `dedup_ngram_jaccard`). At scale the wins compound:
-    * the candidate shuffle carries only rare-token prefix rows, and
-    * verification is O(|A|+|B|) per surviving pair with no shuffle.
+    * the same DuckDB oracle as `dedup_ngram_jaccard`). At scale the wins
+    * compound: the candidate shuffle carries only rare-token prefix rows,
+    * and verification is per-pair in-row with no shuffle — measured 2.3×
+    * faster than the exhaustive join at 50k docs, gap widening with size.
     */
   /** Default rendering for blocked, moderate-cardinality corpora: the
     * exhaustive token join (one shuffle, one agg) has the fewest stages
@@ -442,8 +444,13 @@ object Dedup {
     * misses because the union is dominated by the larger doc. No
     * length-band prune: small-inside-large is exactly the signal.
     */
-  def bagOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val tf = spread(spark, documents(spark, dir))
+  def bagOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    bagOverlapFrom(spread(spark, documents(spark, dir)), threshold)
+
+  /** Core containment join over any (doc_id, source, text) frame. */
+  def bagOverlapFrom(docsIn: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docsIn.sparkSession
+    val tf = docsIn
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("total"), explode(col("toks")).as("tok"))

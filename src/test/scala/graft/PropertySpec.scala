@@ -88,6 +88,44 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bag overlap (containment) == driver-side multiset reference on random corpora") {
+    def reference(rows: Seq[(Long, String, String)], t: Double): Set[(Long, Long, Double)] = {
+      def bag(s: String): Map[String, Int] =
+        s.toLowerCase.split("\\s+").filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length).toMap
+      val docs = rows.map { case (id, src, text) => (id, src, bag(text)) }
+      (for {
+        (ia, sa, ba) <- docs; (ib, sb, bb) <- docs
+        if sa == sb && ia < ib && ba.nonEmpty && bb.nonEmpty
+        inter = ba.keySet.intersect(bb.keySet).toSeq.map(k => math.min(ba(k), bb(k))).sum
+        ovl = BigDecimal(inter.toDouble / math.min(ba.values.sum, bb.values.sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if inter > 0 && ovl >= t
+      } yield (ia, ib, ovl)).toSet
+    }
+    def corpus(seed: Int): Seq[(Long, String, String)] = {
+      val r = new Random(seed)
+      def word() = s"w${r.nextInt(30)}"
+      val base = (0 until 50).map { i =>
+        (i.toLong, s"s${i % 3}", (0 until 5 + r.nextInt(25)).map(_ => word()).mkString(" "))
+      }
+      // planted containments: strict subsets of existing docs
+      val contained = (0 until 15).map { i =>
+        val (id, src, text) = base(r.nextInt(base.length))
+        val ws = text.split(" ").toSeq
+        (200L + i, src, r.shuffle(ws).take(math.max(1, ws.length / 2)).mkString(" "))
+      }
+      base ++ contained
+    }
+    Seq(5, 42).foreach { seed =>
+      val rows = corpus(seed)
+      val got = Dedup.bagOverlapFrom(rows.toDF("doc_id", "source", "text"), 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = reference(rows, 0.8)
+      assert(got == want, s"seed=$seed containment diverged:\n missing=${want -- got}\n extra=${got -- want}")
+      assert(want.nonEmpty, s"seed=$seed fixture planted no qualifying pairs")
+    }
+  }
+
   test("cluster labels == driver union-find on random graphs incl. a 100-hop chain") {
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
