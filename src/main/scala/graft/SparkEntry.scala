@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
+    "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
     // similarity search
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -150,6 +151,19 @@ FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.do
 SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) AS jaccard
 FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
 WHERE round(CAST(inter AS DOUBLE) / CAST(ta.total + tb.total - inter AS DOUBLE), 6) >= 0.5"""
+
+  /** Shared by the exhaustive and prefix-filtered containment renderings —
+    * both must match it bit-for-bit.
+    */
+  private val OracleContainment =
+    s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
+(SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
+tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS inter
+FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6) AS overlap
+FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6) >= 0.8"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -530,15 +544,8 @@ FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1
 
     "dedup_ngram_jaccard" -> OracleNgramJaccard,
 
-    "dedup_containment" ->
-      s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
-(SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
-tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
-inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(SUM(LEAST(x.tf, y.tf)) AS BIGINT) AS inter
-FROM tf x JOIN tf y ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY doc_a, doc_b)
-SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6) AS overlap
-FROM inter JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
-WHERE round(CAST(inter AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6) >= 0.8""",
+    "dedup_containment" -> OracleContainment,
+    "dedup_containment_prefix" -> OracleContainment,
 
     // the prefix-filtered join must produce the IDENTICAL pair set — same
     // oracle, independently gated

@@ -469,6 +469,70 @@ object Dedup {
       .filter(col("overlap") >= threshold)
   }
 
+  def bagOverlapPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    bagOverlapPrefixFrom(spread(spark, documents(spark, dir)), threshold)
+
+  /** Prefix-filtered containment join — the 100 TB rendering of
+    * `bagOverlapFrom`, identical output (property-tested, same oracle).
+    *
+    * For a qualifying pair with |A| ≤ |B|: inter ≥ ⌈t·|A|⌉, so by the
+    * prefix lemma the SMALLER doc's (|A| − ⌈t·|A|⌉ + 1)-prefix (global
+    * rarest-first df order) must share a token with B — B's side is
+    * unrestricted, but is joined at DISTINCT-token granularity (the
+    * run-length bag rows), not per occurrence. Roles are fixed by
+    * (total, doc_id) order so each unordered pair generates once; exact
+    * verification is the fused `graft_bag_overlap` bag merge. Same in-row
+    * prefix machinery as `ngramJaccardPrefixFrom`.
+    */
+  def bagOverlapPrefixFrom(docsIn: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docsIn.sparkSession
+    val pruneT = threshold - 1e-6 // round(·,6) slack, see ngramJaccardPrefixFrom
+    val base = docsIn
+      .select(col("doc_id"), col("source"), array_sort(tokens(col("text"))).as("st"))
+      .select(col("doc_id"), col("source"),
+        size(col("st")).cast("long").as("total"),
+        call_function("graft_bag_counts", col("st")).as("bag"))
+      .localCheckpoint()
+    val bagRows = base
+      .select(col("doc_id"), col("source"), col("total"), explode(col("bag")).as("b"))
+      .select(col("doc_id"), col("source"), col("total"),
+        col("b.tok").as("tok"), col("b.tf").as("tf"))
+    val dfreq = bagRows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefixArr = bagRows.join(maybeBroadcast(dfreq), "tok")
+      .groupBy(col("doc_id"), col("source"), col("total"))
+      .agg(collect_list(struct(col("df"), col("tok"), col("tf"))).as("pairs"))
+      .select(col("doc_id"), col("source"), col("total"),
+        call_function("graft_prefix_tokens", col("pairs"),
+          col("total") - ceil(col("total") * lit(pruneT)) + 1).as("ptoks"))
+      .localCheckpoint()
+    val prefix = prefixArr
+      .select(col("doc_id"), col("source"), col("total"), explode(col("ptoks")).as("tok"))
+    // smaller-doc prefix probes larger-doc token sets; doc_id repartition
+    // for map-side candidate dedup (see ngramJaccardPrefixFrom)
+    val tokSet = bagRows.select(col("doc_id"), col("source"), col("total"), col("tok"))
+    val cand = prefix
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")).as("x")
+      .join(maybeBroadcast(tokSet).as("y"),
+        col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
+          (col("x.total") < col("y.total") ||
+            (col("x.total") === col("y.total") && col("x.doc_id") < col("y.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val sorted = base.select(col("doc_id"), col("bag"), col("total"))
+    val sortedSmall = maybeBroadcast(sorted)
+    // explicit verify fan-out: byte-small input, CPU-heavy per row
+    spread(spark, cand)
+      .join(sortedSmall.select(col("doc_id").as("doc_a"), col("bag").as("bag_a"),
+        col("total").as("total_a")), "doc_a")
+      .join(sortedSmall.select(col("doc_id").as("doc_b"), col("bag").as("bag_b"),
+        col("total").as("total_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("graft_bag_overlap", col("bag_a"), col("bag_b"),
+          col("total_a"), col("total_b")).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   // ---- Embedding cosine near-dup --------------------------------------------
 
   /** Embedding-cosine near-dup pairs, blocked on `label` (stand-in for a

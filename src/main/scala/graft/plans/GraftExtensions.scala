@@ -129,6 +129,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_bag_counts", 1, a => BagCounts(a(0))))
     ext.injectFunction(fn("graft_bag_intersect_counts", 2, a => BagIntersectCounts(a(0), a(1))))
     ext.injectFunction(fn("graft_bag_jaccard", 4, a => BagJaccard(a(0), a(1), a(2), a(3))))
+    ext.injectFunction(fn("graft_bag_overlap", 4, a => BagOverlap(a(0), a(1), a(2), a(3))))
     ext.injectFunction(fn("graft_prefix_tokens", 2, a => PrefixTokens(a(0), a(1))))
     ext.injectFunction(fn("graft_norm", 1, a => ArrayNorm(a(0))))
     ext.injectFunction(fn("graft_hash_tokens", 1, a => HashTokens(a(0))))

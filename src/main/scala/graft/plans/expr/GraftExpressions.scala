@@ -519,15 +519,79 @@ case class BagJaccard(first: Expression, second: Expression,
 }
 
 object BagJaccard {
-  def compute(a: ArrayData, b: ArrayData, totalA: Long, totalB: Long): Double = {
-    val inter = BagIntersectCounts.compute(a, b)
-    val raw = inter.toDouble / (totalA + totalB - inter).toDouble
-    // Spark Round(double, 6) semantics: BigDecimal HALF_UP at scale 6,
-    // NaN/Infinity passed through (BigDecimal.valueOf would throw)
+  /** Spark Round(double, 6) semantics: BigDecimal HALF_UP at scale 6,
+    * NaN/Infinity passed through (BigDecimal.valueOf would throw).
+    */
+  def round6(raw: Double): Double =
     if (raw.isNaN || raw.isInfinite) raw
     else java.math.BigDecimal.valueOf(raw)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(a: ArrayData, b: ArrayData, totalA: Long, totalB: Long): Double =
+    round6({
+      val inter = BagIntersectCounts.compute(a, b)
+      inter.toDouble / (totalA + totalB - inter).toDouble
+    })
+}
+
+/** Fused bag OVERLAP (containment) coefficient:
+  * round(Σmin / min(total_a, total_b), 6) in one merge pass — the verify
+  * kernel of the prefix-filtered containment join, same single-pass
+  * rationale as `graft_bag_jaccard`.
+  */
+case class BagOverlap(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third, fourth)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = DoubleType
+  private def bagOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(a, b)), _) =>
+      a.dataType == StringType && b.dataType == LongType
+    case _ => false
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bagOk(first.dataType) && bagOk(second.dataType) &&
+        third.dataType == LongType && fourth.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_bag_overlap requires (array<struct<string,long>>, array<struct<string,long>>, long, long), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input); val b = second.eval(input)
+    val ta = third.eval(input); val tb = fourth.eval(input)
+    if (a == null || b == null || ta == null || tb == null) null
+    else BagOverlap.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      ta.asInstanceOf[Long], tb.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |boolean ${ev.isNull} = $nullCheck;
+        |double ${ev.value} = -1.0;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.plans.expr.BagOverlap.compute(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BagOverlap =
+    BagOverlap(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+object BagOverlap {
+  def compute(a: ArrayData, b: ArrayData, totalA: Long, totalB: Long): Double =
+    BagJaccard.round6(
+      BagIntersectCounts.compute(a, b).toDouble / math.min(totalA, totalB).toDouble)
 }
 
 /** SORTED array<string> → array<struct<tok:string, tf:long>>: run-length

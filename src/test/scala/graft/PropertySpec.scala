@@ -123,6 +123,10 @@ class PropertySpec extends SparkSpecBase {
       val want = reference(rows, 0.8)
       assert(got == want, s"seed=$seed containment diverged:\n missing=${want -- got}\n extra=${got -- want}")
       assert(want.nonEmpty, s"seed=$seed fixture planted no qualifying pairs")
+      // the prefix-filtered scale rendering must be indistinguishable
+      val fast = Dedup.bagOverlapPrefixFrom(rows.toDF("doc_id", "source", "text"), 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == want, s"seed=$seed prefix containment diverged:\n missing=${want -- fast}\n extra=${fast -- want}")
     }
   }
 
