@@ -174,6 +174,26 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("graft_bag_overlap == round(intersect / least(ta, tb), 6), bit-identical") {
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    val df = pairs.toDF("ta", "tb").select(
+      call_function("graft_bag_counts",
+        array_sort(graft.functions.TextFunctions.tokens(col("ta")))).as("ba"),
+      call_function("graft_bag_counts",
+        array_sort(graft.functions.TextFunctions.tokens(col("tb")))).as("bb"),
+      size(graft.functions.TextFunctions.tokens(col("ta"))).cast("long").as("na"),
+      size(graft.functions.TextFunctions.tokens(col("tb"))).cast("long").as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+    val inter = call_function("graft_bag_intersect_counts", col("ba"), col("bb"))
+    val fold = round(inter.cast("double") / least(col("na"), col("nb")).cast("double"), 6)
+    val out = df.select(
+      call_function("graft_bag_overlap", col("ba"), col("bb"), col("na"), col("nb")).as("k"),
+      fold.as("f"))
+    out.collect().foreach(r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("graft_prefix_tokens: (df,tok)-sorted slice while cum < limit") {
     // pairs (df, tok, tf): sorted order c(df1) < a(df2) < b(df2 tok tie);
     // cum 0 -> 2 -> 5 crosses limit 3 after 'a'
