@@ -18,22 +18,36 @@ object Serving {
     * `events` goes through its normalizing loader (ns-long → µs timestamp)
     * so the SQL surface sees the same schema every engine query sees.
     *
-    * Idempotent per data dir (a session-scoped marker): a real serving
-    * layer registers its catalog once at startup, not per query —
-    * re-registering re-lists and re-infers parquet schemas for all ten
-    * tables on the driver, which is pure per-query overhead. Passing a
-    * DIFFERENT dir re-registers.
+    * Idempotent per data STATE, not just per dir: a view's parquet file
+    * listing is pinned at registration, so a marker keyed on the dir alone
+    * would leave the SQL surface permanently blind to files appended or
+    * rewritten under the same path. The marker therefore carries a
+    * signature of the ten tables' file sets (path + mtime + length — one
+    * driver-side directory listing, no job); unchanged data skips the
+    * full re-register + schema re-inference, changed data re-registers.
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     val marker = "graft.serving.viewsDir"
-    if (!spark.conf.getOption(marker).contains(dir)) {
+    val state = s"$dir@${dirSignature(dir)}"
+    if (!spark.conf.getOption(marker).contains(state)) {
       AllTables.foreach {
         case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
         case t        => Tables.table(spark, dir, t).createOrReplaceTempView(t)
       }
-      spark.conf.set(marker, dir)
+      spark.conf.set(marker, state)
     }
   }
+
+  /** Hash of the table files' (name, mtime, size) under `dir` — the
+    * freshness check `registerViews` keys on. A table may be a single
+    * parquet file or a directory of part-files; both are walked one level.
+    */
+  private def dirSignature(dir: String): Long =
+    AllTables.flatMap { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+      files.map(x => s"${x.getPath}:${x.lastModified}:${x.length}")
+    }.mkString("|").hashCode.toLong
 
   /** GMV-by-trademark serving query (`ProductStatsMapper.java:26`,
     * default limit 5 `SugarController.java:26`) — as literal SQL text, the

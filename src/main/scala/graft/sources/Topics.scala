@@ -27,10 +27,20 @@ case class TopicSink(format: String, options: Map[String, String],
   * to the parquet-dir replay contract the tests run (dir ≈ topic; a topic
   * named by absolute path maps to that directory).
   *
-  * Delivery semantics in kafka mode are the reference's own: at-least-once
-  * producers + idempotent/keyed consumers downstream (SURVEY §2.1 S5 — the
-  * reference's "exactly-once" dynamic producer is configured
-  * AT_LEAST_ONCE in `MyKafkaUtil.java:37`).
+  * Delivery semantics in kafka mode: at-least-once producers +
+  * idempotent/keyed consumers downstream. This is a deliberate DIVERGENCE
+  * from the reference, whose dynamic producer is transactional —
+  * `FlinkKafkaProducer.Semantic.EXACTLY_ONCE` at `utils/MyKafkaUtil.java:37`
+  * (its fixed-topic producer at `:25` is the at-least-once default).
+  * Rationale: Spark's Kafka sink has no two-phase-commit hook tied to the
+  * checkpoint, so producer-side transactions cannot span a micro-batch
+  * retry; the engine instead makes every downstream consumer keyed and
+  * idempotent (dim upserts, batch-dir publishes) — the end-to-end result
+  * the reference's transactions buy, by the means Spark supports. For
+  * brokers that enforce transactional producers, set
+  * `spark.graft.kafka.transactional.id`: the sinks then pass
+  * `kafka.transactional.id` (+ `kafka.enable.idempotence`) through to the
+  * producer config — per-connection transactions, not checkpoint-spanning.
   */
 class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None) {
 
@@ -39,6 +49,16 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
 
   private def dirOf(topic: String): String =
     if (topic.startsWith("/")) topic else s"$baseDir/$topic"
+
+  /** Producer-side transactional options (see class doc): empty unless
+    * `spark.graft.kafka.transactional.id` is configured.
+    */
+  private def txnOptions: Map[String, String] =
+    Option(spark.conf.get("spark.graft.kafka.transactional.id", ""))
+      .filter(_.nonEmpty)
+      .map(id => Map("kafka.transactional.id" -> id,
+        "kafka.enable.idempotence" -> "true"))
+      .getOrElse(Map.empty)
 
   def source(topic: String): TopicSource = resolvedBroker match {
     case Some(b) => TopicSource("kafka", Map(
@@ -52,7 +72,8 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
 
   def sink(topic: String): TopicSink = resolvedBroker match {
     case Some(b) => TopicSink("kafka",
-      Map("kafka.bootstrap.servers" -> b, "topic" -> topic), None, Seq.empty)
+      Map("kafka.bootstrap.servers" -> b, "topic" -> topic) ++ txnOptions,
+      None, Seq.empty)
     case None => TopicSink("parquet", Map.empty, Some(dirOf(topic)), Seq.empty)
   }
 
@@ -62,7 +83,7 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
     */
   def dynamicSink(topicCol: String, dir: String): TopicSink = resolvedBroker match {
     case Some(b) => TopicSink("kafka",
-      Map("kafka.bootstrap.servers" -> b), None, Seq(topicCol))
+      Map("kafka.bootstrap.servers" -> b) ++ txnOptions, None, Seq(topicCol))
     case None => TopicSink("parquet", Map.empty, Some(dir), Seq(topicCol))
   }
 
@@ -107,17 +128,42 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
     * `spark.graft.jdbc.driver` if set); otherwise to the parquet dir the
     * tests read. Same shape as the kafka flag: the wiring exists and is
     * spec-assertable without a database in the container.
+    *
+    * Replay idempotence: `foreachBatch` is at-least-once, and a plain
+    * append replayed after a crash double-counts — so when the caller
+    * passes its `batchId`, every row is stamped with a `graft_batch_id`
+    * provenance column and the write is delete-then-insert per batch id
+    * (the DELETE is a no-op on the first attempt and removes a crashed
+    * attempt's partial rows on replay). The reference leans on
+    * ClickHouse's ReplacingMergeTree for the same property; stamping the
+    * batch id makes the contract engine-side and portable to any JDBC
+    * target. Callers without a batch id (ad-hoc exports) get the plain
+    * append, documented at-least-once.
     */
   def resolvedJdbcUrl: Option[String] =
     Option(spark.conf.get("spark.graft.jdbc.url", "")).filter(_.nonEmpty)
 
-  def writeBatchJdbc(df: DataFrame, table: String, dir: String): Unit =
+  def writeBatchJdbc(df: DataFrame, table: String, dir: String,
+                     batchId: Long = -1L): Unit =
     resolvedJdbcUrl match {
       case Some(url) =>
         val props = new java.util.Properties()
         Option(spark.conf.get("spark.graft.jdbc.driver", "")).filter(_.nonEmpty)
           .foreach(props.setProperty("driver", _))
-        df.write.mode(org.apache.spark.sql.SaveMode.Append).jdbc(url, table, props)
+        val out =
+          if (batchId >= 0) df.withColumn("graft_batch_id", lit(batchId))
+          else df
+        if (batchId >= 0) {
+          // driver-side single-statement cleanup; table may not exist yet
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            val st = conn.createStatement()
+            try st.executeUpdate(s"DELETE FROM $table WHERE graft_batch_id = $batchId")
+            catch { case _: java.sql.SQLException => () }
+            finally st.close()
+          } finally conn.close()
+        }
+        out.write.mode(org.apache.spark.sql.SaveMode.Append).jdbc(url, table, props)
       case None =>
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/$table")
     }

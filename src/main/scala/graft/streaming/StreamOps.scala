@@ -124,19 +124,41 @@ object StreamOps {
 
   /** Streaming corpus ingest with exact-dup suppression — the streaming
     * face of `Dedup.exact`: every incoming document is keyed by its
-    * normalized-text fingerprint and only the FIRST arrival of each
-    * fingerprint survives into the training corpus. State is one
-    * 32-hex-char key per distinct text (the cheapest possible dedup state,
-    * independent of document size). Documents carrying an event-time
-    * column should add `.withWatermark` +
-    * `dropDuplicatesWithinWatermark` (the ST2 machinery) to bound state
-    * by ingest-time TTL; the `documents` test table has no timestamp, so
-    * the core op keeps exact unbounded semantics.
+    * normalized-text fingerprint and one document per fingerprint survives
+    * into the training corpus. State is one 32-hex-char key per distinct
+    * text (the cheapest possible dedup state, independent of document
+    * size).
+    *
+    * Survivor contract: ACROSS micro-batches the earliest batch wins (the
+    * state store already holds the fingerprint when a later batch re-sees
+    * it). WITHIN a micro-batch `dropDuplicates` keeps one ARBITRARY row
+    * per fingerprint — the batch's rows land in multiple partitions and
+    * no intra-batch order exists to be "first" by. Callers that need a
+    * deterministic champion (e.g. min doc_id) should dedup the corpus
+    * batch-side (`Dedup.exact` picks `min(doc_id)`) or carry an ordering
+    * column and re-select downstream.
     */
   def streamingExactDedup(docs: DataFrame): DataFrame =
     docs
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
       .dropDuplicates("fp")
+
+  /** Bounded-state variant for UNBOUNDED corpus ingest: identical
+    * suppression keyed on the fingerprint, but state is evicted once the
+    * watermark passes a fingerprint's ingest time (the ST2 TTL machinery —
+    * `dropDuplicatesWithinWatermark`, the analog of the reference's
+    * 24h-TTL keyed state in `app/dwm/UniqueVisitApp.java:62-66`). The
+    * trade is explicit: a duplicate arriving more than `watermark` of
+    * event-time after its original is re-admitted — at 100 TB of rolling
+    * ingest that re-admission window is the price of O(window) rather
+    * than O(corpus) state.
+    */
+  def streamingExactDedupTtl(docs: DataFrame, tsCol: String = "ts",
+                             watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 
   /** A1 streaming: watermarked 10s tumbling-window visitor stats — the
     * same transform as batch (`LogPipeline.a1Transform`) with a watermark

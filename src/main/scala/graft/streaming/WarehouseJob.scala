@@ -116,6 +116,9 @@ class WarehouseJob(spark: SparkSession, outDir: String,
         val staging = new java.io.File(s"$outDir/_staging/$batchId")
         rmTree(staging) // stale staging from a crashed prior attempt
         val ev = batch.persist() // SP1: one materialization, many children
+        // released in the finally below even when the batch fails (a leaked
+        // persisted frame accumulates storage blocks over a long stream)
+        var routed: Option[DataFrame] = None
         try {
           // DWD: parse + dirty split (P1)
           // try_cast: malformed $.k routes to dirty (null) instead of
@@ -126,18 +129,25 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           val clean = parsed.filter(col("k").isNotNull)
 
           // SP2/ST3: config re-read + route (broadcast join, inner = drop
-          // unknown); config is tiny by contract — only IT is collected
-          val cfg = loadConfig().localCheckpoint(true)
-          val routed = clean.join(broadcast(cfg.drop("sink_pk", "sink_columns")),
+          // unknown); config is tiny by contract — only IT is collected.
+          // Collected ONCE into a local relation (not localCheckpoint'd:
+          // checkpoint blocks for a per-batch frame would need explicit
+          // release every batch or they accumulate over a long stream).
+          val cfgSrc = loadConfig()
+          val cfgRows = cfgSrc.collect()
+          val cfg = spark.createDataFrame(
+            java.util.Arrays.asList(cfgRows: _*), cfgSrc.schema)
+          val r = clean.join(broadcast(cfg.drop("sink_pk", "sink_columns")),
             col("event_type") === col("source_type")).persist()
+          routed = Some(r)
           if (topics.resolvedBroker.isDefined)
             // S5 kafka mode: the reference's dynamic at-least-once producer
             topics.writeBatchDynamic(
-              routed.filter(col("sink_type") === "kafka")
+              r.filter(col("sink_type") === "kafka")
                 .select("event_id", "ts", "user_id", "event_type", "value", "sink_table"),
               "sink_table", s"$staging/facts")
           else
-            routed.filter(col("sink_type") === "kafka")
+            r.filter(col("sink_type") === "kafka")
               .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
               .write.mode(SaveMode.Overwrite).partitionBy("sink_table")
               .parquet(s"$staging/facts") // S5: dynamic per-row topic
@@ -145,15 +155,20 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           // S8/S9: dim sinks, honoring each config row's (pk, columns) —
           // `TableProcessFunction.java:66-122`. The DATA never reaches the
           // driver (keyed distributed upsert); only config rows do.
-          cfg.filter(col("sink_type") === "hbase")
-            .select("sink_table", "sink_pk", "sink_columns").collect()
+          cfgRows.filter(_.getAs[String]("sink_type") == "hbase")
             .foreach { c =>
-              val (table, pk) = (c.getString(0), c.getString(1))
-              val cols = c.getString(2).split(",").map(_.trim).filter(_.nonEmpty)
+              val table = c.getAs[String]("sink_table")
+              val pk = c.getAs[String]("sink_pk")
+              // null-safe BEFORE split: a NULL sink_columns must hit the
+              // loud config-error message below, not an NPE
+              val cols = Option(c.getAs[String]("sink_columns"))
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq.empty)
               require(pk != null && cols.contains(pk),
-                s"dim config for $table: sink_pk '$pk' must be one of sink_columns")
-              val rows = routed.filter(col("sink_table") === table)
-                .select(cols.map(col).toIndexedSeq: _*)
+                s"dim config for $table: sink_pk '$pk' must be one of sink_columns " +
+                  s"'${cols.mkString(",")}' (both non-null)")
+              val rows = r.filter(col("sink_table") === table)
+                .select(cols.map(col): _*)
               val n = rows.count()
               require(n <= maxDimBatchRows,
                 s"dim batch for $table has $n rows (> $maxDimBatchRows): " +
@@ -166,7 +181,10 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           // S7: JDBC (ClickHouse-style) appends when spark.graft.jdbc.url
           // is configured, staged parquet otherwise.
           if (topics.resolvedJdbcUrl.isDefined)
-            topics.writeBatchJdbc(LogPipeline.a1Transform(clean), "visitor_stats", outDir)
+            // batchId ⇒ stamped delete-then-insert: replay-idempotent like
+            // the staged parquet publish (see Topics.writeBatchJdbc)
+            topics.writeBatchJdbc(LogPipeline.a1Transform(clean), "visitor_stats",
+              outDir, batchId)
           else
             LogPipeline.a1Transform(clean)
               .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
@@ -178,8 +196,10 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           marker.getParentFile.mkdirs()
           marker.createNewFile()
           rmTree(staging)
-          routed.unpersist()
-        } finally ev.unpersist()
+        } finally {
+          routed.foreach(_.unpersist())
+          ev.unpersist()
+        }
         }
         ()
       }

@@ -12,6 +12,7 @@ case class LSide(l_key: Long, l_ts: Timestamp)
 case class RSide(r_key: Long, r_ts: Timestamp)
 case class DocEv(ts: Timestamp, lang: String, text: String)
 case class Doc(doc_id: Long, source: String, lang: String, text: String)
+case class DocTs(doc_id: Long, text: String, ts: Timestamp)
 
 /** Stream-batch parity: each stateful streaming rendering must produce the
   * same rows as its batch oracle on the same input (SURVEY §5.2).
@@ -208,8 +209,49 @@ class StreamingParitySpec extends SparkSpecBase {
     val got = spark.table(name).collect()
     assert(got.map(_.getAs[String]("fp")).toSet == batchFps, "same distinct-fingerprint set")
     assert(got.length == batchFps.size, "exactly one surviving doc per fingerprint")
-    // first arrival survives: doc 1 (not 2/4), doc 3 (not 5)
-    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    // earliest BATCH wins (the contract): the quick-fox fp's survivor is a
+    // batch-1 row (1 or 2 — intra-batch pick is arbitrary), never batch-2's
+    // doc 4; "a different document" appeared in batch 1 only as doc 3.
+    val byFp = got.map(r => r.getAs[String]("fp") -> r.getAs[Long]("doc_id")).toMap
+    val foxFp = got.collect { case r if Set(1L, 2L, 4L)(r.getAs[Long]("doc_id")) => r.getAs[String]("fp") }.head
+    assert(Set(1L, 2L)(byFp(foxFp)), "batch-1 arrival survives, batch-2 replay suppressed")
+    assert(byFp(batchFps.find(_ != foxFp).get) == 3L, "doc 3 (batch 1) beats doc 5 (batch 2)")
+  }
+
+  test("corpus-ingest dedup with watermark TTL: in-window dups suppressed under out-of-order replay, state bounded") {
+    // DocTs rows carry ingest time; watermark 10 minutes.
+    val t0 = ts("2024-01-01 00:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DocTs]
+    val name = s"ttlsink${System.nanoTime()}"
+    val q = StreamOps.streamingExactDedupTtl(input.toDF(), "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: original + an OUT-OF-ORDER in-window duplicate (earlier ts)
+      input.addData(Seq(
+        DocTs(1, "alpha beta", at(5)),
+        DocTs(2, "alpha  BETA", at(2)),   // same fp, out of order, in window
+        DocTs(3, "gamma delta", at(5))))
+      q.processAllAvailable()
+      // batch 2: replay inside the window → suppressed by state
+      input.addData(Seq(DocTs(4, "alpha beta", at(8))))
+      q.processAllAvailable()
+      // batch 3: advance watermark far past the fps' ts → state evicted
+      input.addData(Seq(DocTs(5, "watermark pusher", at(60))))
+      q.processAllAvailable()
+      // batch 4: same text AFTER eviction → re-admitted (the documented trade)
+      input.addData(Seq(DocTs(6, "alpha beta", at(55))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+    val fox = got.filter(r => Set(1L, 2L, 4L, 6L)(r.getAs[Long]("doc_id")))
+    // exactly one in-window survivor (1 or 2; intra-batch pick arbitrary)
+    // plus the post-eviction re-admission of doc 6
+    assert(fox.map(_.getAs[Long]("doc_id")).toSet.intersect(Set(1L, 2L)).size == 1)
+    assert(!fox.map(_.getAs[Long]("doc_id")).contains(4L), "in-window replay suppressed")
+    assert(fox.map(_.getAs[Long]("doc_id")).contains(6L), "post-TTL duplicate re-admitted")
+    assert(got.map(_.getAs[Long]("doc_id")).toSet.contains(3L))
   }
 
   test("J1 parity: stream-stream interval join == batch range join") {
