@@ -84,12 +84,30 @@ object Bench {
       name -> timed(s"scale-mode $name", SparkEntry.queries(name))
     }
     graft.operators.Scale.scaleMode(spark, on = false)
-    def toJson(rs: Iterable[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Reporting contract (round-3 directive): the driver captures only the
+    // TAIL of stdout, so `BENCH_r03.json` shipped with the front of the
+    // one-line JSON truncated ("parsed": null) and the total lost. Two
+    // channels now make that impossible:
+    //  1. the full (unrounded, incl. scale-mode appendix) JSON is WRITTEN
+    //     to `BENCH_FULL.json` in the working directory — BASELINE.md is
+    //     regenerated from this file, never from an unlogged run;
+    //  2. the driver line is printed LAST, with per-query seconds rounded
+    //     to 4 decimals and the appendix left to the file, keeping the
+    //     line ~1.9 KB — well inside the driver's tail-capture window.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def toJson(rs: Iterable[(String, Double)], f: Double => String): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"failed":$failed,"scale_mode":${toJson(scaleResults)},"sf":"$sfDir"}""")
+    def line(f: Double => String, appendix: String): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(results, f)},"failed":$failed$appendix,"sf":"$sfDir"}"""
+    val full = line(_.toString, s""","scale_mode":${toJson(scaleResults, _.toString)}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // nothing after this print: it must be the last stdout line
+    println(line(fmt, ""))
   }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep benchmark: the 10× corpus evidence for the prefix-filtered
+  * dedup joins, recorded as a first-class artifact instead of prose.
+  *
+  * Replicates the sf `documents` table `SPARK_GRAFT_SCALE_FACTOR` times
+  * (default 10 → ~50k docs at sf0.1) with doc_ids shifted per replica —
+  * same construction as the round-3 one-off smoke — then times the
+  * prefix-filtered joins against their exhaustive twins and asserts the
+  * output pair sets are IDENTICAL (count + two-way `except`). Writes
+  * `BENCH_SCALE.json` to the working directory and prints the same JSON
+  * as the last stdout line.
+  *
+  * Why this exists: the exhaustive joins are the documented winners at toy
+  * SF, the prefix joins at corpus scale. sf0.1 sits near the crossover, so
+  * a single-SF number cannot show the design property that matters at
+  * 100 TB — sub-quadratic candidate growth. This sweep does.
+  */
+object BenchScale {
+
+  private def exec(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
+  private def drop(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val spark = GraftSession.get()
+    // the sweep measures the prefix MACHINERY: disable the toy-scale
+    // crossover so the prefix path never silently re-routes to the
+    // exhaustive plan it is being compared against
+    spark.conf.set(operators.Scale.PrefixCrossoverConf, "0")
+
+    // Two scaling regimes, SPARK_GRAFT_SCALE_REGIME:
+    //  - "linear" (default): each replica gets its own source suffix, so
+    //    the corpus grows 10× while BLOCK sizes stay fixed — the realistic
+    //    ingest model (new sources arrive over time; qualifying pairs grow
+    //    linearly).
+    //  - "quadratic": replicas share the original sources, so every block
+    //    grows 10× and the qualifying pair set grows ~100× — the worst-case
+    //    block-blowup stress.
+    // Replica doc_ids shifted far past any real id in both regimes.
+    val regime = sys.env.getOrElse("SPARK_GRAFT_SCALE_REGIME", "linear")
+    def scaledDocs = {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text"))
+      (0 until factor)
+        .map { i =>
+          val src = if (regime == "quadratic") col("source")
+            else concat(col("source"), lit(s"_r$i"))
+          docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            src.as("source"), col("text"))
+        }
+        .reduce(_ union _)
+    }
+
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "ngram_prefix"        -> (() => pipeline.Dedup.ngramJaccardPrefixFrom(scaledDocs)),
+      "ngram_exhaustive"    -> (() => pipeline.Dedup.ngramJaccardExhaustiveFrom(scaledDocs)),
+      "containment_prefix"  -> (() => pipeline.Dedup.bagOverlapPrefixFrom(scaledDocs)),
+      "containment_exhaustive" -> (() => pipeline.Dedup.bagOverlapFrom(scaledDocs)))
+
+    // warm the code paths once at base scale so JIT/codegen is off the clock
+    variants.foreach { case (_, fn) =>
+      try { exec(fn().limit(1)); () } catch { case _: Throwable => }
+    }
+    drop(spark)
+
+    val times = variants.map { case (name, fn) =>
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        exec(fn())
+        val dt = (System.nanoTime() - t0) / 1e9
+        drop(spark)
+        dt
+      }.min
+      name -> t
+    }
+
+    // pair-set equality prefix vs exhaustive, both families: the speedup is
+    // only evidence if the outputs are the same set. One family at a time,
+    // blocks released between, so the four pair sets (and their lineage
+    // checkpoints) are never all pinned at once.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    def family(prefix: => org.apache.spark.sql.DataFrame,
+               exhaustive: => org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      val p = pairs(prefix)
+      val e = pairs(exhaustive)
+      val n = e.count()
+      val eq = p.count() == n && p.except(e).isEmpty && e.except(p).isEmpty
+      drop(spark)
+      (n, eq)
+    }
+    val (jaccardPairs, jaccardEqual) = family(
+      pipeline.Dedup.ngramJaccardPrefixFrom(scaledDocs),
+      pipeline.Dedup.ngramJaccardExhaustiveFrom(scaledDocs))
+    val (containPairs, containEqual) = family(
+      pipeline.Dedup.bagOverlapPrefixFrom(scaledDocs),
+      pipeline.Dedup.bagOverlapFrom(scaledDocs))
+
+    val json = {
+      val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"scale_sweep","regime":"$regime","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
+        s""""times_sec":$ts,"jaccard_pairs":$jaccardPairs,"containment_pairs":$containPairs,""" +
+        s""""jaccard_pairs_equal":$jaccardEqual,"containment_pairs_equal":$containEqual}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_SCALE_$regime.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+  }
+}

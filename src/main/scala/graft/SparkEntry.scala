@@ -48,6 +48,7 @@ object SparkEntry {
     "st2_daily_uv"         -> ((s, d) => L.st2DailyUv(s, d)),
     // aggregations (§2.5)
     "a1_visitor_stats"     -> ((s, d) => L.a1VisitorStats(s, d)),
+    "a1_visitor_stats_4d"  -> ((s, d) => L.a1VisitorStats4d(s, d)),
     "a2_product_stats"     -> ((s, d) => L.a2ProductStats(s, d)),
     "a3_province_stats"    -> ((s, d) => R.a3ProvinceStats(s, d)),
     "a4_keyword_stats"     -> ((s, d) => T.a4KeywordStats(s, d)),
@@ -296,6 +297,17 @@ CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_c
 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_ct,
 CAST(SUM(CASE WHEN event_type = 'signup' AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
 COUNT(*) AS total_ct FROM e GROUP BY w, event_type""",
+
+    "a1_visitor_stats_4d" ->
+      s"""WITH base AS (SELECT *, CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY $ETS, event_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_new FROM events),
+e AS (SELECT time_bucket(INTERVAL '10 seconds', $ETS, TIMESTAMP '1970-01-01') AS w,
+user_id % 10 AS ar, event_type AS ch, is_new, event_id % 3 AS vc, event_type FROM base)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+strftime(w + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+ar, ch, is_new, vc,
+CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_ct,
+COUNT(*) AS total_ct FROM e GROUP BY w, ar, ch, is_new, vc""",
 
     "a2_product_stats" ->
       s"""WITH e AS (SELECT time_bucket(INTERVAL '1 day', $ETS, TIMESTAMP '1970-01-01') AS w, event_type, user_id, value FROM events)

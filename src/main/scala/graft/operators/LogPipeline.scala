@@ -178,6 +178,38 @@ object LogPipeline {
   def j4BounceDetect(spark: SparkSession, dir: String): DataFrame =
     j4Transform(events(spark, dir))
 
+  /** J4, the reference's ALTERNATE pattern form: `times(2).consecutive()`
+    * (`app/dwm/UserJumpDetailApp.java:83-92`) instead of `begin().next()` —
+    * "two strictly consecutive session starts within the window" plus the
+    * timeout side-output. Semantically the same match set; rendered here as
+    * a genuinely different plan (rank + rn→rn+1 self-join pairs consecutive
+    * events, the relational shape of `consecutive()`) and parity-tested
+    * equal to `j4Transform`'s `lead()` rendering. The self-join broadcasts/
+    * SMJs on (user_id, rn) — at scale both renderings shuffle once on
+    * user_id; `lead()` remains the cheaper default (no second join input).
+    */
+  def j4Times2Transform(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tss").asc, col("event_id").asc)
+    val ranked = ev
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("tss"))
+      .withColumn("rn", row_number().over(w))
+    val follow = ranked.select(col("user_id").as("f_uid"), col("rn").as("f_rn"),
+      col("event_type").as("f_type"), col("tss").as("f_tss"))
+    ranked.as("a")
+      .join(follow, col("a.user_id") === col("f_uid") && col("a.rn") + 1 === col("f_rn"),
+        "left")
+      .filter(col("a.event_type") === "view")
+      .filter(
+        // consecutive(×2) branch: the immediately-following event is
+        // another session start inside the window
+        (col("f_type") === "view" &&
+          col("f_tss") <= col("a.tss") + expr("INTERVAL 10 MINUTES")) ||
+        // timeout branch: nothing follows within the window
+        col("f_tss").isNull || col("f_tss") > col("a.tss") + expr("INTERVAL 10 MINUTES"))
+      .select(col("a.event_id").as("event_id"), col("a.user_id").as("user_id"),
+        date_format(col("a.tss"), "yyyy-MM-dd HH:mm:ss").as("visit_ts"))
+  }
+
   /** A1: visitor stats — keyed 10s tumbling event-time window with summed 0/1
     * measures (`app/dws/VisitorStatsApp.java:127-168`), window bounds
     * formatted to stt/edt exactly as the reference's WindowFunction stamps
@@ -204,6 +236,43 @@ object LogPipeline {
 
   def a1VisitorStats(spark: SparkSession, dir: String): DataFrame =
     a1Transform(events(spark, dir))
+
+  /** A1, 4-dimension key parity: the reference keys VisitorStats by
+    * (ar, ch, is_new, vc) — area, channel, new-visitor flag, version code
+    * (`app/dws/VisitorStatsApp.java:127-136`) — with is_new supplied by the
+    * DWM correction (`BaseLogApp.java:71-96`). The fixture has no
+    * area/channel/version columns, so the dims are derived deterministically
+    * (ar = user_id mod 10, ch = event_type, vc = event_id mod 3); is_new
+    * comes from the ST1 transform feeding the window agg, the same DWM→DWS
+    * chain as the reference. The OPERATOR is the point: a multi-column
+    * grouped tumbling window downstream of a keyed correction — partial+
+    * final hash agg on the compound key, one shuffle.
+    */
+  def a1Transform4d(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("ts"), col("event_type"),
+        pmod(col("user_id"), lit(10L)).as("ar"),
+        col("event_type").as("ch"),
+        col("is_new"),
+        pmod(col("event_id"), lit(3L)).as("vc"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("pv_ct"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("order_ct"))
+      .groupBy(window(col("ts"), "10 seconds"),
+        col("ar"), col("ch"), col("is_new"), col("vc"))
+      .agg(sum(col("pv_ct")).as("pv_ct"),
+        sum(col("order_ct")).as("order_ct"),
+        count(lit(1)).as("total_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("ar"), col("ch"), col("is_new"), col("vc"),
+        col("pv_ct"), col("order_ct"), col("total_ct"))
+  }
+
+  def a1VisitorStats4d(spark: SparkSession, dir: String): DataFrame =
+    a1Transform4d(events(spark, dir))
 
   /** A6 (beyond-reference windowing): session windows — Spark's
     * `session_window` with a 30-minute gap per user. The batch oracle is

@@ -71,6 +71,30 @@ object Scale {
     else df
   }
 
+  /** Skew flag for the exhaustive dedup joins (`Dedup.sharedTokenJoin`):
+    * 0/1 = plain blocked join (default); k > 1 = salt the (source, tok)
+    * block key k ways through `saltedJoin`, for corpora where ONE block
+    * dominates (a single-source corpus is the pathological case) and
+    * AQE's skew splitting isn't enough. Output is identical either way
+    * (spec-asserted).
+    */
+  val DedupSaltConf = "spark.graft.dedup.saltBuckets"
+
+  /** Crossover bound for the prefix-filtered dedup joins
+    * (`Dedup.ngramJaccardPrefixFrom` / `bagOverlapPrefixFrom`): an input
+    * whose plan-stats estimate is at or below this many bytes runs the
+    * EXHAUSTIVE token join — at toy corpus sizes its single join+agg beats
+    * the prefix machinery's extra fixed stages (df aggregation, candidate
+    * dedup, verify joins), while above the bound the prefix path's
+    * sub-quadratic candidate generation wins by a widening margin
+    * (recorded in BENCH_SCALE.json). Same adaptive-by-size philosophy as
+    * the broadcast gate; output is identical on either side of the bound
+    * (property-tested + one oracle). Set to 0 to force the prefix
+    * machinery (the scale sweep does).
+    */
+  val PrefixCrossoverConf = "spark.graft.prefixCrossoverBytes"
+  val PrefixCrossoverDefault: Long = 2L << 20
+
   /** The 100 TB configuration as ONE switch (README "Scale mode"):
     * `spark.graft.scaleMode=true` — settable here, per session, or via
     * `spark-submit --conf` — turns on every sketch rewrite at once

@@ -38,16 +38,25 @@ object Serving {
     }
   }
 
-  /** Hash of the table files' (name, mtime, size) under `dir` — the
+  /** MD5 digest of the table files' (name, mtime, size) under `dir` — the
     * freshness check `registerViews` keys on. A table may be a single
-    * parquet file or a directory of part-files; both are walked one level.
+    * parquet file or a directory of part-files; both are walked one level,
+    * sorted for a deterministic listing. A full 128-bit digest, not
+    * `String.hashCode`: a 32-bit hash collision (or a same-length rewrite
+    * inside one mtime tick colliding with a stale 32-bit value) would
+    * silently leave stale views — the exact failure this marker exists to
+    * prevent.
     */
-  private def dirSignature(dir: String): Long =
-    AllTables.flatMap { t =>
+  private def dirSignature(dir: String): String = {
+    val listing = AllTables.flatMap { t =>
       val f = new java.io.File(s"$dir/$t.parquet")
       val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
       files.map(x => s"${x.getPath}:${x.lastModified}:${x.length}")
-    }.mkString("|").hashCode.toLong
+    }.sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 
   /** GMV-by-trademark serving query (`ProductStatsMapper.java:26`,
     * default limit 5 `SugarController.java:26`) — as literal SQL text, the

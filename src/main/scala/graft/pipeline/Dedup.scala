@@ -319,7 +319,8 @@ object Dedup {
     ngramJaccardExhaustiveFrom(spread(spark, documents(spark, dir)), threshold)
 
   def ngramJaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    ngramJaccardPrefixFrom(spread(spark, documents(spark, dir)), threshold)
+    // no spread: bagTable hash-partitions by doc_id itself
+    ngramJaccardPrefixFrom(documents(spark, dir), threshold)
 
   /** Core prefix-filtered join over any (doc_id, source, text) frame.
     *
@@ -336,70 +337,133 @@ object Dedup {
     * before; and the window sorted all occurrence rows where the kernel
     * sorts each doc's distinct tokens.
     */
+  /** (doc_id, source, text) → the checkpointed per-doc run-length bag frame
+    * every prefix join starts from: (doc_id, source, total, bag). Tokenize +
+    * sort + run-length encode ONCE per doc. localCheckpoint rather than
+    * persist: its MATERIALIZED size statistics are what lets the byte gate
+    * broadcast the small sides downstream (a lazy persist only has
+    * estimates, which disables the broadcasts and regresses every
+    * downstream join to SMJ — measured 20% slower end-to-end).
+    * Hash-partitioned by doc_id so a doc's candidate rows stay physically
+    * clustered — the pair dedup's map-side partial aggregation then
+    * collapses a pair's duplicate candidates inside one partition before
+    * the exchange.
+    */
+  private def bagTable(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    docsIn
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), array_sort(tokens(col("text"))).as("st"))
+      .select(col("doc_id"), col("source"),
+        size(col("st")).cast("long").as("total"),
+        call_function("graft_bag_counts", col("st")).as("bag"))
+      .localCheckpoint()
+  }
+
+  /** Adaptive exhaustive-vs-prefix crossover (see `Scale.PrefixCrossoverConf`):
+    * below the byte bound the exhaustive token join — fewer stages, no
+    * df machinery — is the measured winner; above it the prefix join's
+    * sub-quadratic candidate generation pays for its fixed stages many
+    * times over (measured 2.3× at 50k docs, widening). The decision reads
+    * Catalyst's plan-stats estimate of the input: driver-side metadata,
+    * no job, same statistic the broadcast gate consults.
+    */
+  private def belowPrefixCrossover(docsIn: DataFrame): Boolean = {
+    val bound = docsIn.sparkSession.conf
+      .get(graft.operators.Scale.PrefixCrossoverConf,
+        graft.operators.Scale.PrefixCrossoverDefault.toString).toLong
+    docsIn.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bound)
+  }
+
+  /** Prefix probe rows (doc_id, source, total, tok) for a PPJoin-style
+    * candidate join: one SKINNY row per PREFIX token of each doc — no
+    * payload rides along, so the candidate join and its map-side pair
+    * dedup move nothing but ids, lengths, and tokens. (A variant carrying
+    * the bags through the join for fused in-join verification was measured:
+    * it wins only while the fattened build side still fits the broadcast
+    * gate, and collapses to a pathological many-duplicate-key SMJ the
+    * moment it doesn't — exactly at the scale the prefix path exists for.)
+    *
+    * df attachment is adaptive on vocab size, same byte gate as the
+    * broadcast decisions:
+    *  - small vocab (the common case — even web-scale corpora have
+    *    vocabularies orders of magnitude below the corpus): ONE sorted
+    *    (tok, df) vocab row is cross-joined by broadcast and the prefix
+    *    sliced in-row by `graft_prefix_tokens_vocab` (binary-search df
+    *    lookup). No per-occurrence df join, no collect-back aggregation.
+    *  - above the gate: per-token df join + collect-back groupBy, the
+    *    shuffle rendering that never materializes the vocab in one row.
+    */
+  private def prefixProbe(base: DataFrame, pruneT: Double): DataFrame = {
+    val dfreq = base
+      .select(explode(col("bag")).as("b")).select(col("b.tok").as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val limit = col("total") - ceil(col("total") * lit(pruneT)) + 1
+    val gate = base.sparkSession.conf
+      .get(graft.operators.Scale.BroadcastGateConf,
+        graft.operators.Scale.BroadcastGateDefault.toString).toLong
+    if (dfreq.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate)) {
+      // vocab as one sorted row; localCheckpoint: (a) the dfreq aggregation
+      // runs once however many times the probe plan is consumed, and (b)
+      // the checkpointed row gives the probe plan MATERIALIZED stats, which
+      // the byte gate needs to broadcast the pair join's build side
+      // (measured: without it the gate loses the estimate and the pair
+      // join regresses to SMJ — 4.0 s vs 2.3 s)
+      val vocab = dfreq
+        .agg(sort_array(collect_list(struct(col("tok"), col("df")))).as("vocab"))
+        .localCheckpoint()
+      base.join(broadcast(vocab))
+        .select(col("doc_id"), col("source"), col("total"),
+          explode(call_function("graft_prefix_tokens_vocab",
+            col("bag"), col("vocab"), limit)).as("tok"))
+    } else {
+      val bagRows = base
+        .select(col("doc_id"), col("source"), col("total"), explode(col("bag")).as("b"))
+        .select(col("doc_id"), col("source"), col("total"),
+          col("b.tok").as("tok"), col("b.tf").as("tf"))
+      bagRows.join(dfreq, "tok")
+        .groupBy(col("doc_id"), col("source"), col("total"))
+        .agg(collect_list(struct(col("df"), col("tok"), col("tf"))).as("pairs"))
+        .select(col("doc_id"), col("source"), col("total"),
+          explode(call_function("graft_prefix_tokens", col("pairs"), limit)).as("tok"))
+    }
+  }
+
   def ngramJaccardPrefixFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // toy-scale crossover: identical output through the exhaustive plan
+    // (spread first — a toy input is typically one parquet split, and the
+    // exhaustive tokenize stage must still run on all cores)
+    if (belowPrefixCrossover(docsIn))
+      return ngramJaccardExhaustiveFrom(spread(docsIn.sparkSession, docsIn), threshold)
     val spark = docsIn.sparkSession
     // The final filter (and the oracle) gate on round(J, 6), which admits
     // J down to threshold - 5e-7 — every PRUNING bound must therefore use
     // the slackened threshold or boundary pairs the oracle kept would be
     // dropped before verification.
     val pruneT = threshold - 1e-6
-    // tokenize + sort ONCE per doc; the checkpointed frame serves candidate
-    // generation (bag) and verification (twice). localCheckpoint rather
-    // than persist: its MATERIALIZED size statistics are what lets the
-    // byte gate broadcast the small sides below (a lazy persist only has
-    // estimates, which disables the broadcasts and regresses every
-    // downstream join to SMJ — measured 20% slower end-to-end). bag is
-    // materialized here so the explode below reads a column instead of
-    // re-running the kernel per emitted row (Generate re-evaluates its
-    // input per OUTPUT row).
-    val base = docsIn
-      .select(col("doc_id"), col("source"), array_sort(tokens(col("text"))).as("st"))
-      .select(col("doc_id"), col("source"),
-        size(col("st")).cast("long").as("total"),
-        call_function("graft_bag_counts", col("st")).as("bag"))
-      .localCheckpoint()
-    val bag = base
-      .select(col("doc_id"), col("source"), col("total"), explode(col("bag")).as("b"))
-      .select(col("doc_id"), col("source"), col("total"),
-        col("b.tok").as("tok"), col("b.tf").as("tf"))
-    // global document frequency = the prefix order (rarest first, token
-    // tie-break keeps the order total and engine-independent)
-    val dfreq = bag.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // a doc's prefix holds the occurrences at cum < L = total - ceil(t*total) + 1
-    // in (df, tok) order — sliced in-row after collecting the doc's
-    // (df, tok, tf) pairs back into one row
-    val prefixArr = bag.join(maybeBroadcast(dfreq), "tok")
-      .groupBy(col("doc_id"), col("source"), col("total"))
-      .agg(collect_list(struct(col("df"), col("tok"), col("tf"))).as("pairs"))
-      .select(col("doc_id"), col("source"), col("total"),
-        call_function("graft_prefix_tokens", col("pairs"),
-          col("total") - ceil(col("total") * lit(pruneT)) + 1).as("ptoks"))
-      .localCheckpoint() // consumed by both sides of the pair join
-    val prefix = prefixArr
-      .select(col("doc_id"), col("source"), col("total"), explode(col("ptoks")).as("tok"))
-    // re-spread the probe — BY doc_id, not round-robin: AQE coalesces the
-    // small collect-back aggregate to ~1 partition, and the pair join
-    // below fans out ~100×, so it must run on all cores; hashing on doc_id
-    // keeps each doc's prefix rows in ONE partition so the distinct's
-    // map-side partial aggregation collapses a pair's duplicate candidates
-    // (one per shared prefix token) BEFORE the exchange
-    val cand = prefix
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")).as("x")
-      .join(maybeBroadcast(prefix).as("y"),
+    val base = bagTable(docsIn)
+    val probe = prefixProbe(base, pruneT)
+    // skinny candidate join → map-side-collapsed pair dedup (a doc's
+    // candidate rows are physically clustered by bagTable's partitioning,
+    // so the distinct's partial aggregate removes the per-shared-token
+    // duplicates before the exchange; the exchange then carries each
+    // candidate pair once, as two longs)
+    val cand = probe.as("x")
+      .join(maybeBroadcast(probe).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.total"), col("y.total")).cast("double") >=
             greatest(col("x.total"), col("y.total")).cast("double") * lit(pruneT))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification by two-pointer merge over the run-length BAGS —
-    // O(distinct_a + distinct_b) per pair vs O(total_a + total_b) for the
-    // occurrence-array merge; identical Σ min(tf) by construction
+    // exact verification by the fused `graft_bag_jaccard` two-pointer merge
+    // over the run-length BAGS — O(distinct_a + distinct_b) per pair, once
+    // per deduped pair. Explicit fan-out first: the deduped candidate set
+    // is BYTE-small (two longs per row) so AQE coalesces it to ~1
+    // partition, but each row costs a bag merge — CPU the byte heuristic
+    // can't see.
     val sorted = base.select(col("doc_id"), col("bag"), col("total"))
     val sortedSmall = maybeBroadcast(sorted)
-    // explicit fan-out for the verify stage: the deduped candidate set is
-    // BYTE-small (two longs per row) so AQE coalesces it to ~1 partition,
-    // but each row costs a bag merge — CPU the byte heuristic can't see
     spread(spark, cand)
       .join(sortedSmall.select(col("doc_id").as("doc_a"), col("bag").as("bag_a"),
         col("total").as("total_a")), "doc_a")
@@ -411,9 +475,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The shared-token pair join both exhaustive renderings run: probe ⋈
+    * build on the (source, tok) block key with `extraCond` (role/band
+    * predicates) on top, output renamed to x_- and y_-prefixed columns.
+    *
+    * Skew flag (`Scale.DedupSaltConf`, 0 = off): a corpus dominated by ONE
+    * block — the single-source pathological case PLANS.md names — lands
+    * every pair of that block on one reducer under the plain shuffle join.
+    * With saltBuckets = k the block key is salted through
+    * `Scale.saltedJoin`: the build side replicates k ways, the probe side
+    * scatters by a deterministic row hash (doc_id, tok — distinct under a
+    * hot block), and the hot block's work spreads over k reducers. Same
+    * rows by construction (spec-asserted under a one-block corpus). The
+    * broadcast-gated fast path is skipped when salting — salting exists
+    * precisely for the build-side-too-big-to-broadcast regime.
+    */
+  private def sharedTokenJoin(tf: DataFrame, extraCond: Column): DataFrame = {
+    val spark = tf.sparkSession
+    val saltN = spark.conf
+      .get(graft.operators.Scale.DedupSaltConf, "0").toInt
+    val xSide = spread(spark, tf).select(
+      col("doc_id").as("x_doc_id"), col("source").as("x_source"),
+      col("total").as("x_total"), col("tok").as("x_tok"), col("tf").as("x_tf"))
+    val ySide = tf.select(
+      col("doc_id").as("y_doc_id"), col("source").as("y_source"),
+      col("total").as("y_total"), col("tok").as("y_tok"), col("tf").as("y_tf"))
+    if (saltN > 1) {
+      // STRUCT block key: exact (source, tok) equality, no separator games
+      val blk = (s: String) => struct(col(s + "_source"), col(s + "_tok"))
+      graft.operators.Scale.saltedJoin(
+          xSide.withColumn("__blk", blk("x")),
+          ySide.withColumn("__blk", blk("y")),
+          "__blk", saltN, saltCols = Seq("x_doc_id", "x_tok"))
+        .filter(extraCond)
+        .drop("__blk")
+    } else
+      xSide.join(maybeBroadcast(ySide),
+        col("x_source") === col("y_source") && col("x_tok") === col("y_tok") && extraCond)
+  }
+
   /** The exhaustive all-shared-tokens rendering. */
   def ngramJaccardExhaustiveFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val spark = docsIn.sparkSession
     val pruneT = threshold - 1e-6 // see ngramJaccardPrefixFrom: round(J,6) slack
     val tf = docsIn
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
@@ -422,14 +524,13 @@ object Dedup {
       .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val inter = spread(spark, tf).as("x").join(maybeBroadcast(tf).as("y"),
-        col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.total"), col("y.total")).cast("double") >=
-            greatest(col("x.total"), col("y.total")).cast("double") * lit(pruneT))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"),
-        max(col("x.total")).as("total_a"), max(col("y.total")).as("total_b"))
+    val inter = sharedTokenJoin(tf,
+        col("x_doc_id") < col("y_doc_id") &&
+          least(col("x_total"), col("y_total")).cast("double") >=
+            greatest(col("x_total"), col("y_total")).cast("double") * lit(pruneT))
+      .groupBy(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"))
+      .agg(sum(least(col("x_tf"), col("y_tf"))).as("inter"),
+        max(col("x_total")).as("total_a"), max(col("y_total")).as("total_b"))
     inter
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
@@ -449,7 +550,6 @@ object Dedup {
 
   /** Core containment join over any (doc_id, source, text) frame. */
   def bagOverlapFrom(docsIn: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val spark = docsIn.sparkSession
     val tf = docsIn
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
@@ -457,12 +557,10 @@ object Dedup {
       .groupBy(col("doc_id"), col("source"), col("total"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    spread(spark, tf).as("x").join(maybeBroadcast(tf).as("y"),
-        col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"),
-        max(col("x.total")).as("total_a"), max(col("y.total")).as("total_b"))
+    sharedTokenJoin(tf, col("x_doc_id") < col("y_doc_id"))
+      .groupBy(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"))
+      .agg(sum(least(col("x_tf"), col("y_tf"))).as("inter"),
+        max(col("x_total")).as("total_a"), max(col("y_total")).as("total_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           least(col("total_a"), col("total_b")).cast("double"), 6).as("overlap"))
@@ -470,7 +568,8 @@ object Dedup {
   }
 
   def bagOverlapPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    bagOverlapPrefixFrom(spread(spark, documents(spark, dir)), threshold)
+    // no spread: bagTable hash-partitions by doc_id itself
+    bagOverlapPrefixFrom(documents(spark, dir), threshold)
 
   /** Prefix-filtered containment join — the 100 TB rendering of
     * `bagOverlapFrom`, identical output (property-tested, same oracle).
@@ -485,33 +584,22 @@ object Dedup {
     * prefix machinery as `ngramJaccardPrefixFrom`.
     */
   def bagOverlapPrefixFrom(docsIn: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // toy-scale crossover: identical output through the exhaustive plan
+    // (spread: see ngramJaccardPrefixFrom)
+    if (belowPrefixCrossover(docsIn))
+      return bagOverlapFrom(spread(docsIn.sparkSession, docsIn), threshold)
     val spark = docsIn.sparkSession
     val pruneT = threshold - 1e-6 // round(·,6) slack, see ngramJaccardPrefixFrom
-    val base = docsIn
-      .select(col("doc_id"), col("source"), array_sort(tokens(col("text"))).as("st"))
-      .select(col("doc_id"), col("source"),
-        size(col("st")).cast("long").as("total"),
-        call_function("graft_bag_counts", col("st")).as("bag"))
-      .localCheckpoint()
-    val bagRows = base
+    val base = bagTable(docsIn)
+    // smaller-doc prefix probes larger-doc DISTINCT-token rows (the prefix
+    // lemma applies to the smaller side only: inter ≥ ⌈t·min(|A|,|B|)⌉);
+    // roles fixed by (total, doc_id) so each unordered pair generates once
+    // per shared token; both sides skinny (see prefixProbe)
+    val probe = prefixProbe(base, pruneT)
+    val tokSet = base
       .select(col("doc_id"), col("source"), col("total"), explode(col("bag")).as("b"))
-      .select(col("doc_id"), col("source"), col("total"),
-        col("b.tok").as("tok"), col("b.tf").as("tf"))
-    val dfreq = bagRows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefixArr = bagRows.join(maybeBroadcast(dfreq), "tok")
-      .groupBy(col("doc_id"), col("source"), col("total"))
-      .agg(collect_list(struct(col("df"), col("tok"), col("tf"))).as("pairs"))
-      .select(col("doc_id"), col("source"), col("total"),
-        call_function("graft_prefix_tokens", col("pairs"),
-          col("total") - ceil(col("total") * lit(pruneT)) + 1).as("ptoks"))
-      .localCheckpoint()
-    val prefix = prefixArr
-      .select(col("doc_id"), col("source"), col("total"), explode(col("ptoks")).as("tok"))
-    // smaller-doc prefix probes larger-doc token sets; doc_id repartition
-    // for map-side candidate dedup (see ngramJaccardPrefixFrom)
-    val tokSet = bagRows.select(col("doc_id"), col("source"), col("total"), col("tok"))
-    val cand = prefix
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")).as("x")
+      .select(col("doc_id"), col("source"), col("total"), col("b.tok").as("tok"))
+    val cand = probe.as("x")
       .join(maybeBroadcast(tokSet).as("y"),
         col("x.source") === col("y.source") && col("x.tok") === col("y.tok") &&
           (col("x.total") < col("y.total") ||

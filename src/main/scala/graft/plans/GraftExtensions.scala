@@ -131,6 +131,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_bag_jaccard", 4, a => BagJaccard(a(0), a(1), a(2), a(3))))
     ext.injectFunction(fn("graft_bag_overlap", 4, a => BagOverlap(a(0), a(1), a(2), a(3))))
     ext.injectFunction(fn("graft_prefix_tokens", 2, a => PrefixTokens(a(0), a(1))))
+    ext.injectFunction(fn("graft_prefix_tokens_vocab", 3,
+      a => PrefixTokensVocab(a(0), a(1), a(2))))
     ext.injectFunction(fn("graft_norm", 1, a => ArrayNorm(a(0))))
     ext.injectFunction(fn("graft_hash_tokens", 1, a => HashTokens(a(0))))
     ext.injectFunction(fn("graft_shingles", 1, a => ShingleHashes(a(0))))

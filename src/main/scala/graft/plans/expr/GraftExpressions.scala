@@ -709,6 +709,114 @@ object PrefixTokens {
   }
 }
 
+/** (bag: array<struct<tok:string,tf:long>>, vocab: array<struct<tok:string,
+  * df:long>> SORTED by tok, limit: long) → array<string>: the PPJoin prefix
+  * slice with the global document frequencies supplied as a per-row VOCAB
+  * ARRAY instead of pre-joined per token. Binary-search df lookup per bag
+  * entry (O(b log V), no per-row hash map allocation), then the same
+  * (df asc, tok asc) rarest-first order and cum-tf < limit slice as
+  * `graft_prefix_tokens` — byte-identical output by construction.
+  *
+  * Exists so a small-vocab corpus can attach df with ONE broadcast of a
+  * single vocab row (cross join) instead of the explode → df join →
+  * collect-back aggregation, which costs a per-occurrence pass and a
+  * per-doc re-aggregation. A token absent from the vocab fails loud: the
+  * vocab is built from the same corpus, so a miss is pipeline corruption,
+  * not data.
+  */
+case class PrefixTokensVocab(first: Expression, second: Expression,
+                             third: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def pairOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(a, b)), _) =>
+      a.dataType == StringType && b.dataType == LongType
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pairOk(first.dataType) && pairOk(second.dataType) && third.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_prefix_tokens_vocab requires (array<struct<string,long>>, " +
+        "array<struct<string,long>>, long), got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input); val v = second.eval(input); val l = third.eval(input)
+    if (a == null || v == null || l == null) null
+    else PrefixTokensVocab.compute(a.asInstanceOf[ArrayData],
+      v.asInstanceOf[ArrayData], l.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |boolean ${ev.isNull} = $nullCheck;
+        |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.plans.expr.PrefixTokensVocab.compute(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PrefixTokensVocab =
+    PrefixTokensVocab(newChildren(0), newChildren(1), newChildren(2))
+}
+
+object PrefixTokensVocab {
+  def compute(bag: ArrayData, vocab: ArrayData, limit: Long): GenericArrayData = {
+    val n = bag.numElements()
+    val m = vocab.numElements()
+    def dfOf(tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+      var lo = 0; var hi = m - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val r = vocab.getStruct(mid, 2)
+        val cmp = r.getUTF8String(0).compareTo(tok)
+        if (cmp == 0) return r.getLong(1)
+        else if (cmp < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      throw new IllegalArgumentException(
+        s"graft_prefix_tokens_vocab: token '$tok' missing from vocab (corrupt pipeline)")
+    }
+    val dfs = new Array[Long](n)
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val tfs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (bag.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_prefix_tokens_vocab: null array element at position $i")
+      val r = bag.getStruct(i, 2)
+      toks(i) = r.getUTF8String(0); tfs(i) = r.getLong(1); dfs(i) = dfOf(toks(i))
+      i += 1
+    }
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      dfs(a) < dfs(b) || (dfs(a) == dfs(b) && toks(a).compareTo(toks(b)) < 0)
+    }
+    val out = new java.util.ArrayList[Any](n)
+    var cum = 0L
+    var k = 0
+    while (k < n && cum < limit) {
+      val j = order(k)
+      out.add(toks(j))
+      cum += tfs(j)
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** array<long> shingle hashes → 64-slot MinHash signature:
   * `slot_i = min over h of (A_i * h + B_i) % p`, slots initialized to
   * Long.MaxValue — identical to the 64-slot `aggregate` fold, without the

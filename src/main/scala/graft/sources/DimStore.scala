@@ -14,42 +14,102 @@ import org.apache.spark.sql.functions._
   * the whole async/Redis/thread-pool point-lookup machinery, and "cache
   * invalidation" disappears because each micro-batch re-reads the store.
   *
-  * Storage is last-write-wins keyed parquet (a Delta/Iceberg MERGE in a
-  * real deployment; the upsert contract is identical).
+  * Storage is last-write-wins keyed parquet, HASH-BUCKETED by key
+  * (`graft_bucket=<i>` subdirectories, `spark.graft.dim.buckets` of them,
+  * default 16): an upsert rewrites ONLY the buckets its batch keys hash
+  * into, so per-batch I/O is O(touched buckets), not O(table) — the Spark
+  * rendering of the reference's per-row Phoenix UPSERT
+  * (`app/function/DimSinkFunction.java:68-77`). A slowly-growing dim (the
+  * user table) costs each micro-batch a few buckets however large the
+  * table gets; untouched bucket files are left byte-identical. (A
+  * Delta/Iceberg MERGE replaces this layout in a real deployment; the
+  * upsert contract is identical.)
   */
 class DimStore(spark: SparkSession, basePath: String) {
 
   private def path(table: String) = s"$basePath/$table"
 
+  private def numBuckets: Int =
+    spark.conf.get("spark.graft.dim.buckets", "16").toInt
+
+  /** Bucket of a key value: hash of its STRING form so the same logical
+    * key buckets identically whatever numeric type a batch arrives with.
+    */
+  private def bucketOf(keyCol: String, nb: Int) =
+    pmod(xxhash64(col(keyCol).cast("string")), lit(nb.toLong)).cast("int")
+
   /** Upsert a batch of rows keyed by `keyCol`, versioned by `versionCol`
     * (highest version wins; version ties broken deterministically by a
     * whole-row hash so repeated runs of the same input converge).
+    *
+    * Only the key-hash buckets present in the batch are merged and
+    * rewritten. A store written by the pre-bucket flat layout is migrated
+    * in one pass (every bucket rewritten once, flat files then removed).
     */
   def upsert(table: String, batch: DataFrame, keyCol: String, versionCol: String): Unit = {
-    val existing = read(table)
-    val merged = existing match {
-      case Some(cur) => cur.unionByName(batch, allowMissingColumns = true)
-      case None      => batch
+    val nb = numBuckets
+    val tableDir = new java.io.File(path(table))
+    val flatFiles = Option(tableDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // legacy flat store: fold every row in once (file listing is pinned
+    // HERE, before any bucket dir exists, so the lazy reads below never
+    // see a mixed layout)
+    val legacy: Option[DataFrame] =
+      if (flatFiles.nonEmpty) Some(spark.read.parquet(path(table))) else None
+    val batchB = batch.withColumn("__b", bucketOf(keyCol, nb))
+    // touched buckets: driver-side collect bounded by numBuckets
+    val touched: Seq[Int] =
+      if (legacy.isDefined) 0 until nb
+      else batchB.select(col("__b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach { i =>
+      val bucketPath = s"${path(table)}/graft_bucket=$i"
+      val existing: Option[DataFrame] = legacy
+        .map(_.withColumn("__b", bucketOf(keyCol, nb)).filter(col("__b") === i).drop("__b"))
+        .orElse(
+          if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
+          else None)
+      val part = batchB.filter(col("__b") === i).drop("__b")
+      val merged = existing match {
+        case Some(cur) => cur.unionByName(part, allowMissingColumns = true)
+        case None      => part
+      }
+      val rowHash = xxhash64(merged.columns.map(col).toIndexedSeq: _*)
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, rowHash.asc)
+      val deduped = merged
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      // two-phase write: parquet can't overwrite its own input in place
+      // (skippable for a legacy migration, whose input is the flat files)
+      if (existing.isDefined && legacy.isEmpty) {
+        val tmp = s"${path(table)}/_tmp_bucket_$i"
+        deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
+        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(bucketPath)
+        rmTree(tmp)
+      } else
+        deduped.write.mode(SaveMode.Overwrite).parquet(bucketPath)
     }
-    val rowHash = xxhash64(merged.columns.map(col).toIndexedSeq: _*)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, rowHash.asc)
-    val deduped = merged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    // two-phase write: parquet can't overwrite its own input in place
-    val tmp = path(table) + "__tmp"
-    deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(table))
-    val tmpDir = new java.io.File(tmp)
-    java.nio.file.Files.walk(tmpDir.toPath)
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    // migration complete: the flat files' rows now live in the buckets
+    flatFiles.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
   }
 
+  private def rmTree(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists)
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  /** Whole-store read: partition discovery over the bucket directories;
+    * the synthetic `graft_bucket` partition column is dropped so callers see
+    * exactly the upserted schema.
+    */
   def read(table: String): Option[DataFrame] =
-    if (new java.io.File(path(table)).exists) Some(spark.read.parquet(path(table)))
-    else None
+    if (new java.io.File(path(table)).exists) {
+      val df = spark.read.parquet(path(table))
+      Some(if (df.columns.contains("graft_bucket")) df.drop("graft_bucket") else df)
+    } else None
 
   /** Point lookup — test/debug convenience mirroring `DimUtil.getDimInfo`;
     * production joins the whole store via broadcast instead.

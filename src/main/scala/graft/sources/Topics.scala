@@ -143,24 +143,61 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
   def resolvedJdbcUrl: Option[String] =
     Option(spark.conf.get("spark.graft.jdbc.url", "")).filter(_.nonEmpty)
 
+  /** Case-insensitive existence probe via connection metadata — decides
+    * whether a failed pre-append DELETE is the benign missing-table case
+    * (no-op) or a real error that must fail the batch. Case-insensitive
+    * because unquoted identifiers fold differently per database (H2/Oracle
+    * upper-case, Postgres lower-cases), so an exact-pattern `getTables`
+    * probe could miss a table that exists.
+    */
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val simple = table.split("\\.").last
+    val rs = conn.getMetaData.getTables(null, null, "%", null)
+    try {
+      var found = false
+      while (!found && rs.next()) found = simple.equalsIgnoreCase(rs.getString(3))
+      found
+    } finally rs.close()
+  }
+
   def writeBatchJdbc(df: DataFrame, table: String, dir: String,
                      batchId: Long = -1L): Unit =
     resolvedJdbcUrl match {
       case Some(url) =>
         val props = new java.util.Properties()
-        Option(spark.conf.get("spark.graft.jdbc.driver", "")).filter(_.nonEmpty)
-          .foreach(props.setProperty("driver", _))
+        val driverClass =
+          Option(spark.conf.get("spark.graft.jdbc.driver", "")).filter(_.nonEmpty)
+        driverClass.foreach(props.setProperty("driver", _))
         val out =
           if (batchId >= 0) df.withColumn("graft_batch_id", lit(batchId))
           else df
         if (batchId >= 0) {
-          // driver-side single-statement cleanup; table may not exist yet
+          // the 'driver' property is only meaningful to DataFrameWriter.jdbc;
+          // DriverManager needs the class loaded (and thereby registered) —
+          // it is configured precisely when the driver does NOT
+          // self-register via ServiceLoader
+          driverClass.foreach(Class.forName)
+          // driver-side single-statement cleanup; the table may not exist
+          // yet (first-ever batch against a fresh target)
           val conn = java.sql.DriverManager.getConnection(url, props)
           try {
             val st = conn.createStatement()
+            // DELETE failures on an EXISTING table must propagate: a
+            // swallowed failure (permissions, lock timeout, a target that
+            // rejects DELETE) followed by the append would silently
+            // double-count the replayed batch — the exact corruption the
+            // delete-then-insert contract exists to prevent. Only the
+            // missing-table case (first-ever batch against a fresh target)
+            // is a legitimate no-op: recognized by SQLState (42S02
+            // MySQL-family / 42P01 Postgres) or, for drivers with other
+            // codes, a case-insensitive metadata probe showing the table
+            // absent.
             try st.executeUpdate(s"DELETE FROM $table WHERE graft_batch_id = $batchId")
-            catch { case _: java.sql.SQLException => () }
-            finally st.close()
+            catch {
+              case e: java.sql.SQLException =>
+                val missingState = Set("42S02", "42P01").contains(e.getSQLState)
+                if (!missingState && tableExists(conn, table)) throw e
+            } finally st.close()
           } finally conn.close()
         }
         out.write.mode(org.apache.spark.sql.SaveMode.Append).jdbc(url, table, props)

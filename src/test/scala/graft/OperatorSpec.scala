@@ -80,6 +80,31 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == Seq(1L, 2L, 5L, 6L, 7L))
   }
 
+  test("J4 times(2).consecutive() rendering matches the next-form output") {
+    // same fixture as the batch-oracle test PLUS the parity check on real
+    // data: the reference's two CEP pattern forms (begin().next() at
+    // UserJumpDetailApp.java:68-80, times(2).consecutive() at :83-92) must
+    // be indistinguishable through either Spark rendering
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:01:00", 1L, "view"),
+      (3L, "2024-01-01 00:00:00", 2L, "view"),
+      (4L, "2024-01-01 00:01:00", 2L, "click"),
+      (5L, "2024-01-01 00:00:00", 3L, "view"),
+      (6L, "2024-01-01 00:00:00", 4L, "view"),
+      (7L, "2024-01-01 00:30:00", 4L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type")
+    val next = LogPipeline.j4Transform(ev).collect().map(_.toSeq).toSet
+    val times2 = LogPipeline.j4Times2Transform(ev).collect().map(_.toSeq).toSet
+    assert(times2 == next, s"pattern forms diverged:\n next-only=${next -- times2}\n times2-only=${times2 -- next}")
+    // and on the full sf0.001 events fixture
+    val real = graft.Tables.events(spark, sf("events"))
+    val n2 = LogPipeline.j4Transform(real).collect().map(_.toSeq).toSet
+    val t2 = LogPipeline.j4Times2Transform(real).collect().map(_.toSeq).toSet
+    assert(t2 == n2)
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key must have a matching query
@@ -156,9 +181,12 @@ class OperatorSpec extends SparkSpecBase {
 
     // PPJoin prefix: the whole point of the rewrite is NO full-corpus
     // window sort-shuffle and NO per-occurrence tf aggregation — the
-    // prefix comes from in-row kernels
+    // prefix comes from in-row kernels (crossover off so the prefix
+    // machinery, not its toy-scale exhaustive re-route, is what's planned)
+    spark.conf.set(graft.operators.Scale.PrefixCrossoverConf, "0")
     val prefixDf = Dedup.ngramJaccardPrefix(spark, sf("documents"))
     prefixDf.collect()
+    spark.conf.unset(graft.operators.Scale.PrefixCrossoverConf)
     val prefix = prefixDf.queryExecution.executedPlan.toString
     assert(!prefix.contains("Window"), s"window pass crept back into the prefix join:\n$prefix")
     assert(!prefix.contains("SortMergeJoin"),
@@ -178,7 +206,12 @@ class OperatorSpec extends SparkSpecBase {
       s"no aggregate BELOW the Expand — rollup is expanding raw join rows:\n$a9")
 
     // serving views: second query against the same dir must not re-register
+    // (marker = dir@md5-of-file-listing; same dir + unchanged files ⇒ same
+    // marker value across both queries)
     Serving.sqlGmvByBrand(spark, sf("lineitem")).collect()
-    assert(spark.conf.getOption("graft.serving.viewsDir").contains(sf("lineitem")))
+    val marker1 = spark.conf.getOption("graft.serving.viewsDir")
+    assert(marker1.exists(_.startsWith(sf("lineitem") + "@")), s"marker: $marker1")
+    Serving.sqlGmvByBrand(spark, sf("lineitem")).collect()
+    assert(spark.conf.getOption("graft.serving.viewsDir") == marker1)
   }
 }

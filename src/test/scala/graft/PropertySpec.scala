@@ -79,13 +79,16 @@ class PropertySpec extends SparkSpecBase {
       }
       base ++ mutated
     }
-    Seq(7, 21, 99).foreach { seed =>
+    // disable the toy-scale crossover: the property test must exercise the
+    // PREFIX machinery, not its exhaustive re-route
+    spark.conf.set(graft.operators.Scale.PrefixCrossoverConf, "0")
+    try Seq(7, 21, 99).foreach { seed =>
       val df = corpus(seed).toDF("doc_id", "source", "text")
       val fast = Dedup.ngramJaccardPrefixFrom(df).as[(Long, Long, Double)].collect().toSet
       val slow = Dedup.ngramJaccardExhaustiveFrom(df).as[(Long, Long, Double)].collect().toSet
       assert(fast == slow, s"seed=$seed prefix filter diverged:\n missing=${slow -- fast}\n extra=${fast -- slow}")
       assert(slow.nonEmpty, s"seed=$seed fixture planted no qualifying pairs")
-    }
+    } finally spark.conf.unset(graft.operators.Scale.PrefixCrossoverConf)
   }
 
   test("bag overlap (containment) == driver-side multiset reference on random corpora") {
@@ -116,7 +119,9 @@ class PropertySpec extends SparkSpecBase {
       }
       base ++ contained
     }
-    Seq(5, 42).foreach { seed =>
+    // crossover off: the prefix machinery itself is under test
+    spark.conf.set(graft.operators.Scale.PrefixCrossoverConf, "0")
+    try Seq(5, 42).foreach { seed =>
       val rows = corpus(seed)
       val got = Dedup.bagOverlapFrom(rows.toDF("doc_id", "source", "text"), 0.8)
         .as[(Long, Long, Double)].collect().toSet
@@ -127,7 +132,7 @@ class PropertySpec extends SparkSpecBase {
       val fast = Dedup.bagOverlapPrefixFrom(rows.toDF("doc_id", "source", "text"), 0.8)
         .as[(Long, Long, Double)].collect().toSet
       assert(fast == want, s"seed=$seed prefix containment diverged:\n missing=${want -- fast}\n extra=${fast -- want}")
-    }
+    } finally spark.conf.unset(graft.operators.Scale.PrefixCrossoverConf)
   }
 
   test("cluster labels == driver union-find on random graphs incl. a 100-hop chain") {

@@ -98,6 +98,9 @@ class ScaleSpec extends SparkSpecBase {
       "exhaustive" -> (() => pipeline.Dedup.ngramJaccard(spark, dir)),
       "containment" -> (() => pipeline.Dedup.bagOverlap(spark, dir)),
       "lsh" -> (() => pipeline.Dedup.minhashLsh(spark, dir)))
+    // crossover off: "prefix" must run the prefix machinery under the
+    // closed gate, not its toy-scale exhaustive re-route
+    spark.conf.set(Scale.PrefixCrossoverConf, "0")
     val open = queries.map { case (n, q) => n -> q().collect().map(_.toSeq).toSet }
     spark.conf.set(Scale.BroadcastGateConf, "1")
     try {
@@ -106,7 +109,10 @@ class ScaleSpec extends SparkSpecBase {
         assert(q().collect().map(_.toSeq).toSet == open(n),
           s"$n results must be identical via shuffle joins")
       }
-    } finally spark.conf.unset(Scale.BroadcastGateConf)
+    } finally {
+      spark.conf.unset(Scale.BroadcastGateConf)
+      spark.conf.unset(Scale.PrefixCrossoverConf)
+    }
   }
 
   test("salted join returns exactly the plain-join rows under skew") {
@@ -122,6 +128,29 @@ class ScaleSpec extends SparkSpecBase {
     val b = salted.select("k", "v", "name").collect().map(_.toSeq).sorted(
       Ordering.by((s: Seq[Any]) => s.mkString(",")))
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("skew flag: salted exhaustive dedup joins match plain output on a one-block corpus") {
+    // the pathological case PLANS.md names: EVERY doc in one source, so the
+    // whole (source, tok) block family lands on a handful of reducers under
+    // the plain shuffle join; the flag salts it through Scale.saltedJoin
+    val r = new scala.util.Random(7)
+    val docs = (0 until 120).map { i =>
+      (i.toLong, "s0", (0 until 6 + r.nextInt(12)).map(_ => s"w${r.nextInt(20)}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val plainJ = pipeline.Dedup.ngramJaccardExhaustiveFrom(docs).collect().map(_.toSeq).toSet
+    val plainC = pipeline.Dedup.bagOverlapFrom(docs).collect().map(_.toSeq).toSet
+    assert(plainJ.nonEmpty && plainC.nonEmpty, "fixture produced no pairs — vacuous")
+    spark.conf.set(Scale.DedupSaltConf, "8")
+    try {
+      val saltedJ = pipeline.Dedup.ngramJaccardExhaustiveFrom(docs)
+      assert(saltedJ.queryExecution.executedPlan.toString.contains("__salt"),
+        "salt machinery missing from the flagged plan")
+      assert(saltedJ.collect().map(_.toSeq).toSet == plainJ,
+        "salted jaccard join diverged from plain")
+      assert(pipeline.Dedup.bagOverlapFrom(docs).collect().map(_.toSeq).toSet == plainC,
+        "salted containment join diverged from plain")
+    } finally spark.conf.unset(Scale.DedupSaltConf)
   }
 
   test("co-partitioned frames join with reused partitioning") {

@@ -91,4 +91,53 @@ class TextDedupSpec extends SparkSpecBase {
     assert(rows == Seq((1L, "a2", 2L), (2L, "b", 1L)))
     assert(store.lookup("dim_user", "id", 1L).head.getString(1) == "a2")
   }
+
+  test("DimStore bucketed upsert rewrites only the touched buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore_bucketed").toString
+    val store = new graft.sources.DimStore(spark, dir)
+    // 64 keys across the default 16 buckets
+    store.upsert("dim_user",
+      (1L to 64L).map(i => (i, s"n$i", 1L)).toDF("id", "name", "v"), "id", "v")
+    def snapshot(): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir, "dim_user")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString)
+        .toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(_.startsWith("graft_bucket=")), s"bucket layout missing: ${before.keys}")
+    // single-key upsert: only key 7's bucket may change
+    store.upsert("dim_user", Seq((7L, "updated", 2L)).toDF("id", "name", "v"), "id", "v")
+    val after = snapshot()
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("7")), lit(16L)).cast("int")).head.getInt(0)
+    val untouchedBefore = before.filter(!_._1.startsWith(s"graft_bucket=$touched"))
+    val untouchedAfter = after.filter(!_._1.startsWith(s"graft_bucket=$touched"))
+    assert(untouchedAfter == untouchedBefore,
+      "untouched bucket files changed: " +
+        (untouchedBefore.toSet diff untouchedAfter.toSet))
+    assert(after.keys.count(_.startsWith(s"graft_bucket=$touched")) > 0)
+    // semantics unchanged: updated row visible, row count stable
+    assert(store.lookup("dim_user", "id", 7L).head.getString(1) == "updated")
+    assert(store.read("dim_user").get.count() == 64)
+  }
+
+  test("DimStore migrates a legacy flat store to buckets in one upsert") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore_legacy").toString
+    // legacy layout: parquet files directly under the table dir
+    (1L to 10L).map(i => (i, s"n$i", 1L)).toDF("id", "name", "v")
+      .write.parquet(s"$dir/dim_user")
+    val store = new graft.sources.DimStore(spark, dir)
+    store.upsert("dim_user", Seq((3L, "migrated", 2L)).toDF("id", "name", "v"), "id", "v")
+    val tableDir = new java.io.File(s"$dir/dim_user")
+    assert(!tableDir.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "legacy flat files not removed")
+    assert(store.read("dim_user").get.count() == 10)
+    assert(store.lookup("dim_user", "id", 3L).head.getString(1) == "migrated")
+    assert(store.lookup("dim_user", "id", 5L).head.getString(1) == "n5")
+  }
 }
