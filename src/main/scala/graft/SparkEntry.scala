@@ -32,6 +32,7 @@ object SparkEntry {
     "j2_interval_join_asym"-> ((s, d) => R.j2IntervalJoinAsym(s, d)),
     "j3_dim_enrich"        -> ((s, d) => R.j3DimEnrich(s, d)),
     "j4_bounce_detect"     -> ((s, d) => L.j4BounceDetect(s, d)),
+    "j4_bounce_times2"     -> ((s, d) => L.j4Times2Transform(graft.Tables.events(s, d))),
     "j6_asof_join"         -> ((s, d) => R.j6AsofJoin(s, d)),
     // projections / filters / transforms (§2.2)
     "p1_parse_clean"       -> ((s, d) => L.p1ParseClean(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
     "text_repetition"      -> ((s, d) => T.repetitionScore(s, d)),
     "text_tfidf_topk"      -> ((s, d) => T.tfidfTopK(s, d)),
+    "text_surprisal"       -> ((s, d) => T.surprisalScore(s, d)),
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
@@ -214,6 +216,16 @@ LEFT JOIN nation ON c_nationkey = n_nationkey
 LEFT JOIN region ON n_regionkey = r_regionkey""",
 
     "j4_bounce_detect" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, date_trunc('second', $ETS) AS tss FROM events),
+w AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_type,
+lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_ts FROM e)
+SELECT event_id, user_id, strftime(tss, '%Y-%m-%d %H:%M:%S') AS visit_ts FROM w
+WHERE event_type = 'view' AND ((next_type = 'view' AND next_ts <= tss + INTERVAL 10 MINUTE)
+OR next_ts IS NULL OR next_ts > tss + INTERVAL 10 MINUTE)""",
+
+    // the times(2).consecutive() rendering matches the next-form semantics,
+    // so it is gated by the SAME oracle result set as j4_bounce_detect
+    "j4_bounce_times2" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, date_trunc('second', $ETS) AS tss FROM events),
 w AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_type,
 lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS next_ts FROM e)
@@ -518,6 +530,17 @@ SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
 CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_repeated,
 CASE WHEN len(bg) > 0 THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6)
 ELSE 0.0 END AS dup_frac FROM b""",
+
+    "text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+cf AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok),
+n AS (SELECT CAST(SUM(cf) AS DOUBLE) AS n FROM cf),
+terms AS (SELECT doc_id, CAST(round(tf * ln(n / CAST(cf AS DOUBLE)), 6) AS DECIMAL(28,10)) AS term
+FROM tf JOIN cf USING (tok), n)
+SELECT doc_id, round(CAST(SUM(term) AS DOUBLE) / total, 6) AS surprisal
+FROM terms JOIN tot USING (doc_id) GROUP BY doc_id, total""",
 
     "text_tfidf_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),

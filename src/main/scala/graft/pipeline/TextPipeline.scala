@@ -122,6 +122,44 @@ object TextPipeline {
       .select(col("doc_id"), col("tok"), col("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Per-document unigram surprisal — the cheapest useful LM-quality
+    * signal: mean −ln p(tok) over the doc's token occurrences under the
+    * corpus unigram model (p = cf/N over OCCURRENCES). Low scores flag
+    * boilerplate/templated text (every token common), high scores flag
+    * noise/gibberish (rare tokens) — the first-pass filter a pre-training
+    * pipeline applies before anything model-based.
+    *
+    * Cross-engine hash determinism: the per-token term tf·ln(N/cf) is
+    * rounded to 6dp (the same proven-stable construct as `tfidfTopK`),
+    * summed EXACTLY as DECIMAL(28,10) — double summation is
+    * order-dependent, and Spark and DuckDB aggregate in different orders —
+    * then divided and re-rounded.
+    *
+    * Scale: one tf aggregation (shuffle on (doc_id, tok)), one
+    * vocabulary-sized cf aggregation, a size-gated broadcast back, and a
+    * per-doc agg. N rides along as a 1-row cross join, not a collected
+    * literal.
+    */
+  def surprisalScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("total"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("total"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    val nRow = cf.agg(sum(col("cf")).cast("double").as("n"))
+    tf.join(graft.operators.Scale.maybeBroadcast(cf), "tok")
+      .join(broadcast(nRow))
+      .select(col("doc_id"), col("total"),
+        round(col("tf") * log(col("n") / col("cf")), 6)
+          .cast("decimal(28,10)").as("term"))
+      .groupBy(col("doc_id"), col("total"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("doc_id"),
+        round(col("s").cast("double") / col("total"), 6).as("surprisal"))
+  }
+
   /** Language-ID heuristic per doc (marker-stopword score argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     spread(spark, documents(spark, dir))
