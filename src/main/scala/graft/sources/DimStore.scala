@@ -51,11 +51,15 @@ class DimStore(spark: SparkSession, basePath: String) {
     val tableDir = new java.io.File(path(table))
     val flatFiles = Option(tableDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    // legacy flat store: fold every row in once (file listing is pinned
-    // HERE, before any bucket dir exists, so the lazy reads below never
-    // see a mixed layout)
+    // legacy flat store: fold every row in once. Read by EXPLICIT file
+    // paths, not the directory — a migration that crashed between bucket
+    // writes and flat-file deletion leaves a mixed layout that directory
+    // listing + partition discovery reject ("conflicting directory
+    // structures"); explicit paths make the retry converge instead.
     val legacy: Option[DataFrame] =
-      if (flatFiles.nonEmpty) Some(spark.read.parquet(path(table))) else None
+      if (flatFiles.nonEmpty)
+        Some(spark.read.parquet(flatFiles.map(_.getPath).toIndexedSeq: _*))
+      else None
     val batchB = batch.withColumn("__b", bucketOf(keyCol, nb))
     // touched buckets: driver-side collect bounded by numBuckets
     val touched: Seq[Int] =
@@ -63,11 +67,19 @@ class DimStore(spark: SparkSession, basePath: String) {
       else batchB.select(col("__b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
     touched.foreach { i =>
       val bucketPath = s"${path(table)}/graft_bucket=$i"
-      val existing: Option[DataFrame] = legacy
+      // during a migration RETRY (crash between bucket writes and flat-file
+      // deletion) rows may exist in the bucket that are already gone from
+      // the remaining flat files — merge BOTH; the versioned dedup below
+      // collapses the overlap deterministically
+      val legacyPart = legacy
         .map(_.withColumn("__b", bucketOf(keyCol, nb)).filter(col("__b") === i).drop("__b"))
-        .orElse(
-          if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
-          else None)
+      val bucketExisting =
+        if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
+        else None
+      val existing: Option[DataFrame] = (legacyPart, bucketExisting) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
+        case (a, b)             => a.orElse(b)
+      }
       val part = batchB.filter(col("__b") === i).drop("__b")
       val merged = existing match {
         case Some(cur) => cur.unionByName(part, allowMissingColumns = true)
@@ -79,9 +91,9 @@ class DimStore(spark: SparkSession, basePath: String) {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn")
-      // two-phase write: parquet can't overwrite its own input in place
-      // (skippable for a legacy migration, whose input is the flat files)
-      if (existing.isDefined && legacy.isEmpty) {
+      // two-phase write whenever the plan READS the bucket it overwrites
+      // (parquet can't overwrite its own input in place)
+      if (bucketExisting.isDefined) {
         val tmp = s"${path(table)}/_tmp_bucket_$i"
         deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
         spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(bucketPath)

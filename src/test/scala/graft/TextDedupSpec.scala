@@ -126,6 +126,36 @@ class TextDedupSpec extends SparkSpecBase {
     assert(store.read("dim_user").get.count() == 64)
   }
 
+  test("DimStore mixed-layout retry (crashed migration) converges without data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore_retry").toString
+    val store = new graft.sources.DimStore(spark, dir)
+    // bucketed store with rows 1..10 (normal migration)
+    (1L to 10L).map(i => (i, s"n$i", 1L)).toDF("id", "name", "v")
+      .write.parquet(s"$dir/dim_user")
+    store.upsert("dim_user", Seq((1L, "m", 2L)).toDF("id", "name", "v"), "id", "v")
+    // simulate a crashed second migration: a leftover FLAT file lands next
+    // to the bucket dirs, holding an overlap (id 3, OLDER version) and a
+    // row not yet in any bucket (id 11)
+    val stage = java.nio.file.Files.createTempDirectory("stage").toString + "/out"
+    Seq((3L, "stale", 0L), (11L, "extra", 1L)).toDF("id", "name", "v")
+      .write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/dim_user/leftover.parquet"))
+    // retry upsert: must read the flat leftovers by explicit path (mixed
+    // layout), merge them WITH existing bucket contents, and converge
+    store.upsert("dim_user", Seq((2L, "upd", 3L)).toDF("id", "name", "v"), "id", "v")
+    val rows = store.read("dim_user").get.as[(Long, String, Long)].collect()
+      .map { case (id, name, v) => id -> (name, v) }.toMap
+    assert(rows.size == 11, s"expected 11 keys, got ${rows.keySet.toSeq.sorted}")
+    assert(rows(3L) == ("n3", 1L), "older leftover version must lose to the bucket row")
+    assert(rows(11L) == ("extra", 1L), "leftover-only row must be folded in")
+    assert(rows(2L) == ("upd", 3L) && rows(1L) == ("m", 2L))
+    assert(!new java.io.File(s"$dir/dim_user/leftover.parquet").exists,
+      "flat leftovers must be removed after the retry")
+  }
+
   test("DimStore migrates a legacy flat store to buckets in one upsert") {
     val dir = java.nio.file.Files.createTempDirectory("dimstore_legacy").toString
     // legacy layout: parquet files directly under the table dir
