@@ -89,8 +89,11 @@ object Bench {
     // one-line JSON truncated ("parsed": null) and the total lost. Two
     // channels now make that impossible:
     //  1. the full (unrounded, incl. scale-mode appendix) JSON is WRITTEN
-    //     to `BENCH_FULL.json` in the working directory — BASELINE.md is
-    //     regenerated from this file, never from an unlogged run;
+    //     to `BENCH_FULL_<sf>.json` in the working directory — BASELINE.md
+    //     is regenerated from this file, never from an unlogged run. The
+    //     filename carries the scale factor because a shared name let the
+    //     verify recipe's sf0.001 smoke run clobber the recorded sf0.1
+    //     artifact BASELINE.md cites (round-5 incident);
     //  2. the driver line is printed LAST, with per-query seconds rounded
     //     to 4 decimals and the appendix left to the file, keeping the
     //     line ~1.9 KB — well inside the driver's tail-capture window.
@@ -104,7 +107,7 @@ object Bench {
     def line(f: Double => String, appendix: String): String =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(results, f)},"failed":$failed$appendix,"sf":"$sfDir"}"""
     val full = line(_.toString, s""","scale_mode":${toJson(scaleResults, _.toString)}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // nothing after this print: it must be the last stdout line
