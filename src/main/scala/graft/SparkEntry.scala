@@ -60,6 +60,7 @@ object SparkEntry {
     "a9_rollup"            -> ((s, d) => R.a9Rollup(s, d)),
     "a10_pivot"            -> ((s, d) => R.a10Pivot(s, d)),
     "a11_window_funcs"     -> ((s, d) => R.a11WindowFuncs(s, d)),
+    "a12_cube"             -> ((s, d) => R.a12Cube(s, d)),
     "p9_set_ops"           -> ((s, d) => R.p9SetOps(s, d)),
     "j7_semi_anti"         -> ((s, d) => R.j7SemiAnti(s, d)),
     "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
@@ -81,6 +82,8 @@ object SparkEntry {
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
+    "pack_sequences"       -> ((s, d) => T.packSequences(s, d)),
+    "text_filter_reasons"  -> ((s, d) => T.filterReasons(s, d)),
     // dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_sig"    -> ((s, d) => Dedup.minhashSigExploded(s, d)),
@@ -95,10 +98,12 @@ object SparkEntry {
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
+    "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
     // similarity search
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
     "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
                                  .select("id", "media_type", "n_bytes")),
@@ -393,6 +398,14 @@ CAST(rank() OVER w AS BIGINT) AS rnk
 FROM events WHERE user_id < 200
 WINDOW w AS (PARTITION BY user_id ORDER BY $ETS, event_id)""",
 
+    "a12_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+CAST(SUM(${DEC("l_quantity")}) AS DOUBLE) AS sum_qty,
+COUNT(*) AS line_ct
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
     "p9_set_ops" ->
       """SELECT 'view_and_purchase' AS cohort, user_id FROM
 (SELECT user_id FROM events WHERE event_type = 'view'
@@ -462,6 +475,44 @@ FROM documents""",
     "text_length_hist" ->
       s"""SELECT lang, CAST(floor(len($TOKS) / 10) * 10 AS BIGINT) AS bucket, COUNT(*) AS ct
 FROM documents GROUP BY lang, bucket""",
+
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n_toks FROM documents),
+c AS (SELECT *, SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id) - n_toks AS cum_before FROM t)
+SELECT source, CAST(floor(cum_before / 256) AS BIGINT) AS bin, COUNT(*) AS n_docs,
+CAST(SUM(n_toks) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY source, bin""",
+
+    "text_filter_reasons" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) > 1 THEN round(1.0 -
+    CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) /
+    (len(toks) - 1), 6) ELSE 0.0 END AS dup_frac,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio FROM t)
+SELECT doc_id, n_tokens,
+CASE WHEN n_tokens >= 20 AND n_tokens <= 80 AND dup_frac <= 0.05 AND uniq_ratio >= 0.4
+  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept,
+COALESCE(array_to_string(list_filter([
+  CASE WHEN n_tokens < 20 THEN 'too_short' END,
+  CASE WHEN n_tokens > 80 THEN 'too_long' END,
+  CASE WHEN dup_frac > 0.05 THEN 'repetitive' END,
+  CASE WHEN uniq_ratio < 0.4 THEN 'low_diversity' END], x -> x IS NOT NULL), ','), '') AS reasons
+FROM f""",
+
+    // asymmetric batch-vs-corpus LSH: same signature/band machinery as
+    // dedup_minhash_lsh, but only src19×rest collisions are candidates
+    "dedup_incremental" ->
+      s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+b AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src19')),
+c AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src19')),
+pairs AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+round(CAST(len(list_filter(list_zip(b.sig, c.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM b JOIN c ON b.bd = c.bd AND b.band_key = c.band_key)
+SELECT batch_id, corpus_id, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
 
     "multimodal_features" ->
       """SELECT doc_id, lang AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -625,5 +676,21 @@ c AS (SELECT query_id, neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS c
 FROM corpus a JOIN probes USING (cell) WHERE neighbor_id <> query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
+    // one Lloyd iteration: seed = first 8 vectors, assign, exact-decimal
+    // element-wise means rounded to 6dp, re-assign
+    "kmeans_assign" ->
+      s"""WITH $embNorms,
+c1 AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+s1 AS (SELECT a.vec_id, a.emb, cell, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS c_cos FROM n a CROSS JOIN c1),
+a1 AS (SELECT vec_id, emb, cell AS cluster FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS crk FROM s1) WHERE crk = 1),
+d AS (SELECT cluster, i AS dim, CAST(emb[i] AS DECIMAL(28,12)) AS v FROM a1, unnest(range(1, len(emb) + 1)) t(i)),
+m AS (SELECT cluster, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY cluster, dim),
+c2 AS (SELECT cluster, list(mv ORDER BY dim) AS ce FROM m GROUP BY cluster),
+c2n AS (SELECT cluster, ce, sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x * x)), (a, b) -> a + b)) AS cn FROM c2),
+s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
+(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1""",
   )
 }

@@ -162,6 +162,28 @@ object Relational {
         col("revenue"), col("line_ct"))
   }
 
+  /** A12 (beyond-reference): CUBE — every grouping-set combination of
+    * (returnflag, linestatus), the full-lattice sibling of `a9Rollup`'s
+    * hierarchy. Same two-level shape: aggregate to the finest grain FIRST
+    * (≤ R×S rows), then Expand runs over the tiny aggregate — Expand
+    * multiplies its input by the number of grouping sets (4 here), so
+    * pre-aggregation keeps that free at any corpus size.
+    */
+  def a12Cube(spark: SparkSession, dir: String): DataFrame = {
+    val fine = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"), count(lit(1)).as("ct"))
+    fine
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("ct")).as("line_ct"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+        col("g_status"), col("sum_qty"), col("line_ct"))
+  }
+
   /** A10 (beyond-reference): pivot — daily event counts, one column per
     * event type (explicit value list so the schema is static, the
     * scale-safe form: an unbounded pivot would collect distinct values to

@@ -115,6 +115,52 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental dedup — the shape a production corpus actually runs:
+    * an INCOMING BATCH is checked against the existing corpus, not the
+    * corpus against itself. Asymmetric LSH join: band keys are computed
+    * for both sides, but only batch×corpus collisions are candidates
+    * (never corpus×corpus — that work was already paid when those docs
+    * were ingested). The batch side is an ingest micro-batch, small by
+    * contract, so its band rows ride a size-gated broadcast; the corpus
+    * is scanned once and shuffles nothing but its band keys when the gate
+    * closes. At 100 TB the corpus side of this join is served by a
+    * persisted band index (the `sigs` checkpoint here), making per-batch
+    * cost O(batch × bucket), independent of corpus size.
+    *
+    * Output: (batch_id, corpus_id, est_jaccard ≥ threshold) — the arrivals
+    * that near-duplicate an already-ingested document.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       batchSource: String = "src19",
+                       threshold: Double = 0.5): DataFrame = {
+    val sigs = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("source"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), col("source"), shingleHashesFrom(col("th")).as("hs"))
+      .select(col("doc_id"), col("source"), minhashSignatureFrom(col("hs")).as("sig"))
+      .localCheckpoint()
+    def bandRows(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(Bands - 1)),
+          b => concat_ws("_", transform(
+            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val batchBands = bandRows(sigs.filter(col("source") === batchSource))
+      .select(col("doc_id").as("batch_id"), col("band"), col("band_key"))
+    val corpusBands = bandRows(sigs.filter(col("source") =!= batchSource))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+    val cand = corpusBands.join(maybeBroadcast(batchBands), Seq("band", "band_key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("batch_id"), col("sig").as("sig_a")), "batch_id")
+      .join(sigs.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(call_function("graft_eq_count", col("sig_a"), col("sig_b"))
+          .cast("double") / lit(NumHashes.toDouble), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** MinHash signature slots, exploded for oracle comparison (doc_id < 20).
     * The signature is materialized (localCheckpoint) before the explode:
     * Generate re-evaluates a non-trivial generator input per OUTPUT row,

@@ -104,6 +104,60 @@ object Similarity {
     topK(ranked, k)
   }
 
+  /** One distributed Lloyd iteration over the embedding corpus (k-means):
+    * seed centroids = the first `k` vectors (deterministic, like `ivfTopK`),
+    * assign every vector to its nearest centroid by cosine, recompute
+    * centroids as the element-wise mean of their members, re-assign against
+    * the new centroids. Output: final (vec_id, cluster, cos).
+    *
+    * This is the building block of embedding-space corpus maps (semantic
+    * dedup partitions, topic balancing, IVF training): iterate it and the
+    * full k-means falls out. The distributed shape is what matters at
+    * 100 TB:
+    *  - assignment = broadcast of k centroid rows against the corpus scan;
+    *  - centroid recompute = posexplode to (cluster, dim) keys → partial
+    *    map-side sums, so the shuffle carries k·d aggregate rows per
+    *    partition, never vectors;
+    *  - element sums in DECIMAL(28,12) — double addition is
+    *    order-dependent across partitions, so exact decimal is what makes
+    *    the result (and the oracle hash) deterministic under any
+    *    parallelism;
+    *  - means re-enter cosine space rounded to 6dp (the engine-wide
+    *    cross-engine contract for derived doubles).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = withNorms(spark, dir)
+    val cents1 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val a1 = e.join(broadcast(cents1))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell").as("cluster"))
+    val means = a1
+      .select(col("cluster"), posexplode(col("embedding")))
+      .select(col("cluster"), col("pos"),
+        col("col").cast("double").cast("decimal(28,12)").as("v"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("cluster"), col("pos"),
+        round(col("s").cast("double") / col("cnt"), 6).as("m"))
+    val cents2 = means.groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dm"))
+      .select(col("cluster"),
+        transform(col("dm"), x => x.getField("m")).as("c_emb"))
+      .select(col("cluster"), col("c_emb"), norm(col("c_emb")).as("c_nrm"))
+    e.join(broadcast(cents2))
+      .select(col("vec_id"), col("cluster"),
+        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
     * candidates. Approximate — recall < 1 by design; the scale path where
     * a corpus-wide brute force is impossible.

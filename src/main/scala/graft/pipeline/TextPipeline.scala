@@ -229,6 +229,66 @@ object TextPipeline {
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("ct"))
 
+  /** Training-sequence packing (concat-and-chunk): documents are
+    * concatenated per source in doc_id order and the token stream split
+    * into fixed-budget bins — the standard GPT-style data-prep step that
+    * turns a ragged corpus into fixed-length training rows. A document is
+    * assigned to the bin its first token lands in (`cum_before / budget`),
+    * so the assignment is a pure running sum: one window over
+    * (source, doc_id), then a per-bin aggregate.
+    *
+    * Scale: the window partitions by `source` — in a real corpus that is
+    * the shard key (packing is per-shard by construction; cross-shard
+    * packing would make the output depend on global file order). No global
+    * sort, no driver state.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("cum_before", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Quality-filter pipeline with rejection reason codes — production
+    * corpus filters must report WHY a document was dropped (filter-rate
+    * dashboards, ablation studies), not just emit the survivors. One
+    * narrow map-side projection: every rule is a column expression over
+    * the materialized token array; `reasons` is the comma-joined list of
+    * failed rules, `kept` the 0/1 survival flag.
+    *
+    * Thresholds are corpus-tuned the way a real pipeline's are (each rule
+    * rejects a meaningful, non-degenerate slice — see the length
+    * histogram / repetition operators used to pick them).
+    */
+  def filterReasons(spark: SparkSession, dir: String): DataFrame = {
+    val bg = zip_with(
+      slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) > 1,
+          round(lit(1.0) - size(array_distinct(bg)).cast("double") /
+            size(bg).cast("double"), 6)).otherwise(0.0).as("dup_frac"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 6).as("uniq_ratio"))
+      .select(col("doc_id"), col("n_tokens"),
+        filter(array(
+          when(col("n_tokens") < 20, "too_short"),
+          when(col("n_tokens") > 80, "too_long"),
+          when(col("dup_frac") > 0.05, "repetitive"),
+          when(col("uniq_ratio") < 0.4, "low_diversity")), _.isNotNull).as("rs"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(size(col("rs")) === 0, 1L).otherwise(0L).as("kept"),
+        concat_ws(",", col("rs")).as("reasons"))
+  }
+
   /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
     * The decode/feature-extract step is a STUB (no image/audio libs in this
     * container): features here are byte-length and content hash — the

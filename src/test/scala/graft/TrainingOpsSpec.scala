@@ -120,4 +120,82 @@ class TrainingOpsSpec extends SparkSpecBase {
       assert(math.abs(rate - target) < 0.15, s"len=$l rate=$rate")
     }
   }
+
+  test("sequence packing: bins partition each source's token stream in order") {
+    val budget = 256
+    val bins = TextPipeline.packSequences(spark, dir, budget)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(bins.keySet == docs.keySet)
+    docs.foreach { case (src, ds) =>
+      // driver-side replay of concat-and-chunk
+      var cum = 0L
+      val expected = ds.map { case (_, id, n) =>
+        val bin = cum / budget; cum += n; (bin, id, n)
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
+        (src, bin, xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
+      }
+      assert(bins(src).toSeq == expected, s"source $src")
+      // bins tile the stream: ids never interleave across bins
+      val flat = bins(src).sortBy(_._2)
+      flat.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"bins overlap in $src")
+        case _           =>
+      }
+    }
+  }
+
+  test("filter reasons: codes match thresholds, kept iff no reason fired") {
+    val out = TextPipeline.filterReasons(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == Tables.documents(spark, dir).count())
+    out.foreach { case (_, n, kept, reasons) =>
+      assert((kept == 1L) == reasons.isEmpty)
+      assert((reasons.contains("too_short")) == (n < 20))
+      assert((reasons.contains("too_long")) == (n > 80))
+    }
+    // thresholds are corpus-tuned: every rule must actually fire somewhere
+    Seq("too_short", "too_long", "repetitive", "low_diversity").foreach { r =>
+      assert(out.exists(_._4.contains(r)), s"rule $r never fires — dead threshold")
+    }
+    assert(out.exists(_._3 == 1L), "no survivors — degenerate filter")
+  }
+
+  test("kmeans: one Lloyd step keeps every vector, non-empty clusters, valid cosines") {
+    val out = graft.pipeline.Similarity.kmeansAssign(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val n = Tables.embeddings(spark, dir).count()
+    assert(out.length == n, "every vector assigned exactly once")
+    assert(out.map(_._1).distinct.length == n)
+    val clusters = out.map(_._2).distinct
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(clusters.length > 1, "degenerate clustering: everything in one cluster")
+    out.foreach { case (_, _, cos) => assert(cos >= -1.0001 && cos <= 1.0001) }
+  }
+
+  test("incremental dedup: orientation fixed, matches the symmetric LSH pairs") {
+    val batchIds = Tables.documents(spark, dir)
+      .filter(col("source") === "src19").select("doc_id").as[Long].collect().toSet
+    val inc = Dedup.incrementalDedup(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    inc.foreach { case (b, c, est) =>
+      assert(batchIds(b), s"batch side $b not from src19")
+      assert(!batchIds(c), s"corpus side $c from the batch source")
+      assert(est >= 0.5)
+    }
+    // parity with the symmetric op: exactly the full-LSH pairs that straddle
+    // the batch boundary, re-oriented (batch id first)
+    val sym = Dedup.minhashLsh(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .collect {
+        case (a, b, est) if batchIds(a) ^ batchIds(b) =>
+          (if (batchIds(a)) a else b, if (batchIds(a)) b else a, est)
+      }.toSet
+    assert(inc.toSet == sym, "incremental output must equal the straddling symmetric pairs")
+  }
 }
