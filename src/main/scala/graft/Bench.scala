@@ -59,8 +59,8 @@ object Bench {
     // run-to-run (GC pauses, CPU noise) — the minimum is the standard
     // JMH-style estimator of the query's actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = (1 to reps).map { _ =>
+    def timedReps(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+      (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { exec(fn(spark, sfDir)); true }
@@ -71,9 +71,19 @@ object Bench {
         dropCheckpointBlocks(spark) // untimed; see scaladoc
         if (ok) elapsed else -1.0
       }
+    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = timedReps(name, fn)
       if (times.contains(-1.0)) -1.0 else times.min
     }
-    val results = SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
+    val repResults = SparkEntry.queries.toSeq.map { case (name, fn) => name -> timedReps(name, fn) }
+    val results = repResults.map { case (name, ts) =>
+      name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    }
+    // iteration count of the convergence loop behind `dedup_clusters` (the
+    // only clusterLabels caller in the query map): recorded so a slow run
+    // is attributable — extra rounds vs rig noise (round-6 flagged 3.2×
+    // swings on identical bytes)
+    val clusterIterations = graft.pipeline.Dedup.lastClusterIterations
     // Scale-mode appendix: the documented 100 TB profile (README "Scale
     // mode") — sketch rewrites on — re-timing the queries whose plans the
     // rules change. Approximate results, so they are NOT the oracle-gated
@@ -103,10 +113,18 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def repsJson(rs: Seq[(String, Seq[Double])], f: Double => String): String =
+      rs.map { case (k, ts) => "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    // per-rep times for the iterative family go on the driver line (small);
+    // the FULL file carries every query's rep vector
+    val iterativeReps = repResults.filter { case (k, _) => k == "dedup_clusters" }
     def line(f: Double => String, appendix: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(results, f)},"failed":$failed$appendix,"sf":"$sfDir"}"""
-    val full = line(_.toString, s""","scale_mode":${toJson(scaleResults, _.toString)}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(results, f)},"failed":$failed,""" +
+        s""""iterative":{"reps":${repsJson(iterativeReps, f)},"iterations":{"dedup_clusters":$clusterIterations}}$appendix,"sf":"$sfDir"}"""
+    val full = line(_.toString,
+      s""","scale_mode":${toJson(scaleResults, _.toString)},"reps":${repsJson(repResults, _.toString)}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
 
+  /** The sweep's validity gate: a speedup is only evidence if the prefix
+    * and exhaustive plans produced IDENTICAL pair sets. Called after the
+    * artifact is written so a diverging run still leaves its (flagged)
+    * record on disk — but the process exits nonzero, so the numbers cannot
+    * be cited from a run that silently passed.
+    */
+  def enforcePairEquality(jaccardEqual: Boolean, containEqual: Boolean): Unit =
+    if (!jaccardEqual || !containEqual)
+      throw new IllegalStateException(
+        s"prefix/exhaustive pair sets diverge (jaccard_pairs_equal=$jaccardEqual, " +
+          s"containment_pairs_equal=$containEqual): artifact written but the run is " +
+          "INVALID — its speedups must not be cited")
+
   private def exec(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
@@ -115,5 +128,8 @@ object BenchScale {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(json)
+    // after the print (driver tail-capture still sees the record): an
+    // uncaught throw here exits the JVM nonzero
+    enforcePairEquality(jaccardEqual, containEqual)
   }
 }

@@ -203,6 +203,14 @@ object Dedup {
     clusterLabels(pairs, documents(spark, dir).select(col("doc_id")), maxIters)
   }
 
+  /** Iteration count of the most recent `clusterLabels` convergence loop
+    * in this JVM, surfaced so the bench can record it alongside the wall
+    * time — convergence drift and rig noise are indistinguishable from the
+    * timing alone (the label-propagation loop is the suite's most
+    * variance-exposed query).
+    */
+  @volatile var lastClusterIterations: Int = 0
+
   /** Core component labeling: `pairs(doc_a, doc_b)` is the undirected edge
     * list, `docs(doc_id)` the full node universe; returns
     * (doc_id, cluster_id = component-min doc_id), singletons self-labeled.
@@ -245,6 +253,7 @@ object Dedup {
       changed = jumped.filter(col("lab") =!= col("old_lab")).count()
       labels = jumped.select(col("id"), col("lab"))
     }
+    lastClusterIterations = iter
     docs
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))

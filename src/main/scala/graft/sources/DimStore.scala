@@ -32,11 +32,73 @@ class DimStore(spark: SparkSession, basePath: String) {
   private def numBuckets: Int =
     spark.conf.get("spark.graft.dim.buckets", "16").toInt
 
-  /** Bucket of a key value: hash of its STRING form so the same logical
-    * key buckets identically whatever numeric type a batch arrives with.
+  /** Bucket of a key value: hash of a CANONICAL string form so the same
+    * logical key buckets identically whatever numeric type a batch arrives
+    * with. Integral/string keys hash their plain string form (`7L → "7"`,
+    * unchanged from the original layout, so existing integral-keyed stores
+    * keep their bucket placement). Floating/decimal keys with an INTEGRAL
+    * value are normalized to that same integral form — `7.0d → "7"`,
+    * `decimal 7.00 → "7"` — so a key arriving as Long in one batch and
+    * Double in the next lands in ONE bucket and the versioned dedup can
+    * collapse it (a raw string cast puts `"7.0"` and `"7"` in different
+    * buckets: duplicate keys `read()` would never see merged). Genuinely
+    * fractional values hash their double string form (`7.5` however typed
+    * → `"7.5"`). Integral keys are the recommended contract (the
+    * reference's dims are all integer-keyed); integral-valued keys beyond
+    * long range fall back to the double form (consistent, just no longer
+    * cross-type with a long — a long can't hold them anyway).
     */
-  private def bucketOf(keyCol: String, nb: Int) =
-    pmod(xxhash64(col(keyCol).cast("string")), lit(nb.toLong)).cast("int")
+  private def canonicalKey(df: DataFrame, keyCol: String) =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DecimalType =>
+        val k = col(keyCol)
+        // NOT decimal→string (BigDecimal renders 0 at scale 9 as "0E-9");
+        // the long-range guard keeps the integral cast from overflowing
+        when(k === floor(k) && abs(k) < lit(9.0e18),
+          floor(k).cast("long").cast("string"))
+          .otherwise(k.cast("double").cast("string"))
+      case _ => col(keyCol).cast("string")
+    }
+
+  private def bucketOf(df: DataFrame, keyCol: String, nb: Int) =
+    pmod(xxhash64(canonicalKey(df, keyCol)), lit(nb.toLong)).cast("int")
+
+  /** Last-write-wins collapse shared by the upsert merge and the
+    * mixed-layout read: highest `versionCol` per `keyCol` wins, version
+    * ties broken deterministically by a whole-row hash.
+    */
+  private def dedupLatest(df: DataFrame, keyCol: String, versionCol: String): DataFrame = {
+    val rowHash = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, rowHash.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-table key/version metadata (`_graft_meta`, underscore-prefixed so
+    * parquet readers and the flat-file scan ignore it), written before any
+    * bucket write so the crashed-migration window always knows how to
+    * collapse a mixed layout on read.
+    */
+  private def writeMeta(table: String, keyCol: String, versionCol: String): Unit = {
+    new java.io.File(path(table)).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path(table)}/_graft_meta"),
+      s"keyCol=$keyCol\nversionCol=$versionCol\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readMeta(table: String): Option[(String, String)] = {
+    val f = java.nio.file.Paths.get(s"${path(table)}/_graft_meta")
+    if (java.nio.file.Files.exists(f)) {
+      val kv = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v
+        }.toMap
+      for (k <- kv.get("keyCol"); v <- kv.get("versionCol")) yield (k, v)
+    } else None
+  }
 
   /** Upsert a batch of rows keyed by `keyCol`, versioned by `versionCol`
     * (highest version wins; version ties broken deterministically by a
@@ -60,7 +122,10 @@ class DimStore(spark: SparkSession, basePath: String) {
       if (flatFiles.nonEmpty)
         Some(spark.read.parquet(flatFiles.map(_.getPath).toIndexedSeq: _*))
       else None
-    val batchB = batch.withColumn("__b", bucketOf(keyCol, nb))
+    writeMeta(table, keyCol, versionCol) // before any bucket write: a crash
+    // mid-migration must leave enough metadata for read() to collapse the
+    // mixed layout it creates
+    val batchB = batch.withColumn("__b", bucketOf(batch, keyCol, nb))
     // touched buckets: driver-side collect bounded by numBuckets
     val touched: Seq[Int] =
       if (legacy.isDefined) 0 until nb
@@ -72,7 +137,7 @@ class DimStore(spark: SparkSession, basePath: String) {
       // the remaining flat files — merge BOTH; the versioned dedup below
       // collapses the overlap deterministically
       val legacyPart = legacy
-        .map(_.withColumn("__b", bucketOf(keyCol, nb)).filter(col("__b") === i).drop("__b"))
+        .map(l => l.withColumn("__b", bucketOf(l, keyCol, nb)).filter(col("__b") === i).drop("__b"))
       val bucketExisting =
         if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
         else None
@@ -85,12 +150,7 @@ class DimStore(spark: SparkSession, basePath: String) {
         case Some(cur) => cur.unionByName(part, allowMissingColumns = true)
         case None      => part
       }
-      val rowHash = xxhash64(merged.columns.map(col).toIndexedSeq: _*)
-      val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, rowHash.asc)
-      val deduped = merged
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      val deduped = dedupLatest(merged, keyCol, versionCol)
       // two-phase write whenever the plan READS the bucket it overwrites
       // (parquet can't overwrite its own input in place)
       if (bucketExisting.isDefined) {
@@ -116,12 +176,41 @@ class DimStore(spark: SparkSession, basePath: String) {
   /** Whole-store read: partition discovery over the bucket directories;
     * the synthetic `graft_bucket` partition column is dropped so callers see
     * exactly the upserted schema.
+    *
+    * A store caught in the crashed-migration window — flat leftover files
+    * next to bucket directories — is readable too: a directory-path read
+    * would reject the mixed layout ("conflicting directory structures"), so
+    * both halves are read by EXPLICIT paths and collapsed with the same
+    * versioned last-write-wins dedup the upsert retry applies (key/version
+    * columns from `_graft_meta`). The store is thus never unreadable in the
+    * exact window `upsert`'s retry exists to recover from.
     */
-  def read(table: String): Option[DataFrame] =
-    if (new java.io.File(path(table)).exists) {
-      val df = spark.read.parquet(path(table))
+  def read(table: String): Option[DataFrame] = {
+    val tableDir = new java.io.File(path(table))
+    if (!tableDir.exists) None
+    else {
+      val entries = Option(tableDir.listFiles()).getOrElse(Array.empty)
+      val flat = entries
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val buckets = entries
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+      val df =
+        if (flat.nonEmpty && buckets.nonEmpty) {
+          // explicit leaf-dir paths: no partition discovery, so no synthetic
+          // graft_bucket column and no layout conflict with the flat files
+          val bucketDf = spark.read.parquet(buckets.map(_.getPath).toIndexedSeq: _*)
+          val flatDf = spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*)
+          val merged = bucketDf.unionByName(flatDf, allowMissingColumns = true)
+          readMeta(table) match {
+            case Some((keyCol, versionCol)) => dedupLatest(merged, keyCol, versionCol)
+            // pre-meta store caught mid-crash: raw union is still a read
+            // (the next upsert's retry collapses it)
+            case None => merged
+          }
+        } else spark.read.parquet(path(table))
       Some(if (df.columns.contains("graft_bucket")) df.drop("graft_bucket") else df)
-    } else None
+    }
+  }
 
   /** Point lookup — test/debug convenience mirroring `DimUtil.getDimInfo`;
     * production joins the whole store via broadcast instead.

@@ -196,7 +196,17 @@ class Topics(spark: SparkSession, baseDir: String, broker: Option[String] = None
             catch {
               case e: java.sql.SQLException =>
                 val missingState = Set("42S02", "42P01").contains(e.getSQLState)
-                if (!missingState && tableExists(conn, table)) throw e
+                if (!missingState) {
+                  // probe ambiguity is fatal: if the metadata probe itself
+                  // fails, the DELETE failure cannot be classified as the
+                  // benign missing-table case — rethrow the ORIGINAL error
+                  // (probe failure attached as suppressed) rather than
+                  // risk a silently double-counted replay
+                  val absent =
+                    try !tableExists(conn, table)
+                    catch { case probe: Throwable => e.addSuppressed(probe); throw e }
+                  if (!absent) throw e
+                }
             } finally st.close()
           } finally conn.close()
         }

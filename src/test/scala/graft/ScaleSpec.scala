@@ -168,4 +168,11 @@ class ScaleSpec extends SparkSpecBase {
       assert(exchanges == 2, s"expected 2 explicit exchanges, plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
   }
+
+  test("BenchScale enforces prefix/exhaustive pair-set equality (diverging run fails)") {
+    intercept[IllegalStateException] { BenchScale.enforcePairEquality(false, true) }
+    intercept[IllegalStateException] { BenchScale.enforcePairEquality(true, false) }
+    intercept[IllegalStateException] { BenchScale.enforcePairEquality(false, false) }
+    BenchScale.enforcePairEquality(jaccardEqual = true, containEqual = true) // no throw
+  }
 }

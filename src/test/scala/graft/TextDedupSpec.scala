@@ -137,8 +137,12 @@ class TextDedupSpec extends SparkSpecBase {
     // to the bucket dirs, holding an overlap (id 3, OLDER version) and a
     // row not yet in any bucket (id 11)
     val stage = java.nio.file.Files.createTempDirectory("stage").toString + "/out"
+    // coalesce(1): the planted leftover must be ONE part file holding BOTH
+    // rows — an uncoalesced 2-row write splits across two part files and
+    // copying `head` would plant only id 3, making the assertions below
+    // claim data loss that never happened
     Seq((3L, "stale", 0L), (11L, "extra", 1L)).toDF("id", "name", "v")
-      .write.parquet(stage)
+      .coalesce(1).write.parquet(stage)
     val part = new java.io.File(stage).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
     java.nio.file.Files.copy(part.toPath,
@@ -154,6 +158,54 @@ class TextDedupSpec extends SparkSpecBase {
     assert(rows(2L) == ("upd", 3L) && rows(1L) == ("m", 2L))
     assert(!new java.io.File(s"$dir/dim_user/leftover.parquet").exists,
       "flat leftovers must be removed after the retry")
+  }
+
+  test("DimStore.read collapses a mixed (crashed-migration) layout without an upsert") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore_mixedread").toString
+    val store = new graft.sources.DimStore(spark, dir)
+    store.upsert("dim_user",
+      (1L to 10L).map(i => (i, s"n$i", 1L)).toDF("id", "name", "v"), "id", "v")
+    // plant a flat leftover (single part file!) next to the bucket dirs:
+    // id 3 at an OLDER version than its bucket row, id 11 new
+    val stage = java.nio.file.Files.createTempDirectory("stage").toString + "/out"
+    Seq((3L, "stale", 0L), (11L, "extra", 1L)).toDF("id", "name", "v")
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/dim_user/leftover.parquet"))
+    // read() — NOT a retry upsert — must return the merged, version-deduped
+    // table: the store is readable in the exact window upsert's retry handles
+    val rows = store.read("dim_user").get.as[(Long, String, Long)].collect()
+      .map { case (id, name, v) => id -> (name, v) }.toMap
+    assert(rows.size == 11, s"expected 11 keys, got ${rows.keySet.toSeq.sorted}")
+    assert(rows(3L) == ("n3", 1L), "older leftover version must lose to the bucket row")
+    assert(rows(11L) == ("extra", 1L), "leftover-only row must be visible")
+    // lookup() rides the same path
+    assert(store.lookup("dim_user", "id", 11L).head.getString(1) == "extra")
+  }
+
+  test("DimStore buckets the same logical key identically across numeric types") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore_keytypes").toString
+    val store = new graft.sources.DimStore(spark, dir)
+    store.upsert("dim_user", Seq((7L, "as_long", 1L)).toDF("id", "name", "v"), "id", "v")
+    // same logical key arrives as Double in the next batch: it must land in
+    // the SAME bucket so the versioned dedup can collapse it — a raw string
+    // cast ("7.0" vs "7") would leave duplicate key 7 in two buckets
+    store.upsert("dim_user", Seq((7.0d, "as_double", 2L)).toDF("id", "name", "v"), "id", "v")
+    val rows = store.read("dim_user").get.collect()
+    assert(rows.length == 1, s"duplicate key across buckets: ${rows.mkString(", ")}")
+    assert(rows.head.getString(1) == "as_double", "highest version must win")
+    // fractional keys stay distinct from their floor
+    store.upsert("dim_user", Seq((7.5d, "frac", 1L)).toDF("id", "name", "v"), "id", "v")
+    assert(store.read("dim_user").get.count() == 2)
+    // zero is the decimal-rendering trap (BigDecimal's "0E-9"): Long 0 and
+    // Double 0.0 must still collide
+    store.upsert("dim_user", Seq((0L, "zero_long", 1L)).toDF("id", "name", "v"), "id", "v")
+    store.upsert("dim_user", Seq((0.0d, "zero_double", 2L)).toDF("id", "name", "v"), "id", "v")
+    val zero = store.read("dim_user").get.filter("id = 0").collect()
+    assert(zero.length == 1 && zero.head.getString(1) == "zero_double",
+      s"zero key split across buckets: ${zero.mkString(", ")}")
   }
 
   test("DimStore migrates a legacy flat store to buckets in one upsert") {
