@@ -100,14 +100,25 @@ object BenchScale {
     // only evidence if the outputs are the same set. One family at a time,
     // blocks released between, so the four pair sets (and their lineage
     // checkpoints) are never all pinned at once.
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // DISK_ONLY, not localCheckpoint: the quadratic-regime pair sets run to
+    // ~20M rows × two families, and pinning them deserialized on a default
+    // 8g driver heap OOMs the equality phase (observed). The equality
+    // checks are off the clock, so disk-backed materialization costs
+    // nothing that matters and keeps the sweep runnable at any regime.
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count() // materialize once; both excepts below read the disk copy
+      p
+    }
     def family(prefix: => org.apache.spark.sql.DataFrame,
                exhaustive: => org.apache.spark.sql.DataFrame): (Long, Boolean) = {
       val p = pairs(prefix)
       val e = pairs(exhaustive)
       val n = e.count()
       val eq = p.count() == n && p.except(e).isEmpty && e.except(p).isEmpty
+      p.unpersist(blocking = true)
+      e.unpersist(blocking = true)
       drop(spark)
       (n, eq)
     }

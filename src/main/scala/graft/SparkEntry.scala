@@ -79,6 +79,8 @@ object SparkEntry {
     "text_tfidf_topk"      -> ((s, d) => T.tfidfTopK(s, d)),
     "text_surprisal"       -> ((s, d) => T.surprisalScore(s, d)),
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
+    "sample_token_budget"  -> ((s, d) => T.tokenBudgetSample(s, d)),
+    "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -607,6 +609,20 @@ SELECT doc_id, tok, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""",
       s"""SELECT doc_id, source, ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents
 WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 <
 CASE WHEN length(source) = 4 THEN 250 ELSE 750 END""",
+
+    "sample_token_budget" ->
+      s"""WITH q AS (SELECT doc_id,
+round(CAST(len(list_distinct($TOKS)) AS DOUBLE) / greatest(CAST(len($TOKS) AS DOUBLE), 1.0), 6) AS quality,
+CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, quality, n_tokens,
+SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000""",
+
+    "shard_assign" ->
+      s"""WITH h AS (SELECT doc_id, ${MD5P("CAST(doc_id AS VARCHAR)")} AS h64 FROM documents)
+SELECT doc_id, CAST(h64 % 64 AS BIGINT) AS shard,
+CAST(row_number() OVER (PARTITION BY h64 % 64 ORDER BY h64, doc_id) AS BIGINT) AS pos FROM h""",
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents),

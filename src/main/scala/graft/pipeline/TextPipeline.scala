@@ -254,6 +254,63 @@ object TextPipeline {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Deterministic training-shard assignment — the dataloader contract: a
+    * document lands in one of `nShards` shards by a stable cross-engine
+    * hash of its id (`md5Prefix64`, reproducible by any worker in any
+    * language), with a within-shard position from the same hash — a
+    * reshuffle of the corpus that needs no coordination and no stored
+    * permutation. The `row_number` window partitions by shard, so the sort
+    * parallelizes across shards; within one shard the ordering work equals
+    * the file-write order a shard writer produces anyway (corpus/nShards
+    * rows per sort task at any corpus size).
+    */
+  def shardAssign(spark: SparkSession, dir: String, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h64").asc, col("doc_id").asc)
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), md5Prefix64(col("doc_id").cast("string")).as("h64"))
+      .withColumn("shard", pmod(col("h64"), lit(nShards.toLong)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Quality-ranked corpus selection under a global token budget — "take
+    * the best documents until N tokens", the curation step behind every
+    * fixed-budget training run. The global prefix sum over the quality
+    * ordering deliberately avoids the single-partition
+    * `Window.orderBy(...)` trap (which serializes the whole corpus through
+    * one task): range-partition on the sort key, aggregate per-partition
+    * subtotals (one tiny row per partition), turn them into prefix
+    * OFFSETS with a driver-scale window, broadcast the offsets back, and
+    * cumsum WITHIN partitions — two narrow passes, fully parallel at any
+    * corpus size. The ranged frame is pinned (`localCheckpoint`) so the
+    * offset aggregate and the final join see the same partition
+    * assignment (at cluster scale: a persisted intermediate).
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        uniqueTokenRatioFrom(col("toks")).as("quality"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 2)
+    val ranged = q
+      .repartitionByRange(parts, col("quality").desc, col("doc_id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__ptot"))
+      .select(col("__pid"), coalesce(sum(col("__ptot")).over(offW), lit(0L)).as("__off"))
+    val cumW = Window.partitionBy(col("__pid"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_tokens",
+        (col("__off") + sum(col("n_tokens")).over(cumW)).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Quality-filter pipeline with rejection reason codes — production
     * corpus filters must report WHY a document was dropped (filter-rate
     * dashboards, ablation studies), not just emit the survivors. One

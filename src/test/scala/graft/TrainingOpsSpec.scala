@@ -198,4 +198,48 @@ class TrainingOpsSpec extends SparkSpecBase {
       }.toSet
     assert(inc.toSet == sym, "incremental output must equal the straddling symmetric pairs")
   }
+
+  test("token-budget sample: distributed cumsum equals the single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextPipeline.tokenBudgetSample(spark, dir, budget = 2000L)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    // naive single-partition global window — the plan shape the operator
+    // exists to avoid, used here as the semantic reference
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.uniqueTokenRatioFrom(col("toks")).as("quality"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= 2000L)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(got == ref, s"distributed prefix sum diverged: ${(got diff ref) ++ (ref diff got)}")
+    assert(got.nonEmpty, "budget selected nothing — test is vacuous")
+    // the corpus-scale cumsum must run partitioned by __pid (the whole
+    // point); only the P-row offset window is allowed to be global
+    val plan = TextPipeline.tokenBudgetSample(spark, dir, budget = 2000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"expected a __pid-partitioned window in:\n$plan")
+  }
+
+  test("shard assignment: total, deterministic, positions dense per shard") {
+    val rows = TextPipeline.shardAssign(spark, dir, nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.length == total, "every document gets exactly one shard row")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are 1..count within each shard, no gaps or ties
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length.toLong),
+        s"shard $s positions not dense: ${g.map(_._3).sorted.mkString(",")}")
+    }
+    // deterministic: a rerun produces the identical assignment
+    val again = TextPipeline.shardAssign(spark, dir, nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSet == again.toSet)
+  }
 }
