@@ -106,6 +106,7 @@ object SparkEntry {
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
     "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
                                  .select("id", "media_type", "n_bytes")),
@@ -695,6 +696,18 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <
 
     // one Lloyd iteration: seed = first 8 vectors, assign, exact-decimal
     // element-wise means rounded to 6dp, re-assign
+    "dedup_semantic" ->
+      s"""WITH $embNorms,
+c AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+s AS (SELECT a.vec_id, cell, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS c_cos FROM n a CROSS JOIN c),
+asg AS (SELECT vec_id, cell FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS crk FROM s) WHERE crk <= 2),
+cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b, ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} AS cos
+FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
+WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
+
     "kmeans_assign" ->
       s"""WITH $embNorms,
 c1 AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),

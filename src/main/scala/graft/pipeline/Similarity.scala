@@ -158,6 +158,52 @@ object Similarity {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: assign every vector to its
+    * `nProbe` nearest seed centroids (the same coarse quantizer as
+    * `ivfTopK` — deterministic seeds; a real deployment trains k-means via
+    * `kmeansAssign`), generate candidate pairs ONLY within shared cells,
+    * and score pairwise cosine once per distinct candidate. This is the
+    * embedding-space rendering of LSH-banded text dedup: the cell
+    * assignment replaces the all-pairs join with per-cell self-joins, so
+    * the corpus shuffles id-only candidate rows and pair work is
+    * nProbe²·Σ|cell|² instead of N² — the shape that survives 100 TB
+    * (cells are bounded by the quantizer's balance; a skewed cell splits
+    * by raising `nCells`, exactly like IVF). Multi-probe (`nProbe`=2)
+    * exists because a near-dup pair straddling one cell boundary is the
+    * common miss; like every blocked dedup here (LSH, simhash blocks) the
+    * recall is sub-1 by design and spec-measured. Differs from
+    * `Dedup.embeddingNearDup` in needing no label column: the blocking
+    * structure is LEARNED from the vectors.
+    *
+    * Output: (vec_a, vec_b, cos), vec_a < vec_b — the dedup decision
+    * (drop the higher id of each pair) is a trivial consumer of this table.
+    */
+  def semanticDedupPairs(spark: SparkSession, dir: String, nCells: Int = 8,
+                         nProbe: Int = 2, threshold: Double = 0.4): DataFrame = {
+    val e = withNorms(spark, dir)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
+      .filter(col("crk") <= nProbe)
+      .select(col("cell"), col("vec_id"))
+    // candidates carry ids only — embeddings stay out of the pair shuffle
+    // (same discipline as minhashLsh's band join)
+    val cand = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosineRFromNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k within
     * candidates. Approximate — recall < 1 by design; the scale path where
     * a corpus-wide brute force is impossible.

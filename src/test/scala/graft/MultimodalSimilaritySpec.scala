@@ -48,4 +48,38 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     pairs.foreach { case (_, b) => assert(!kept.contains(b)) }
     assert(kept.nonEmpty)
   }
+
+  test("semantic dedup: precision 1 vs all-pairs, multi-probe recall substantial") {
+    import org.apache.spark.sql.functions._
+    val d = sf("embeddings")
+    val got = graft.pipeline.Similarity.semanticDedupPairs(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "threshold found no semantic near-dups — test is vacuous")
+    got.foreach { case (a, b, cos) => assert(a < b && cos >= 0.4) }
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length, "duplicate pairs emitted")
+    // every reported pair must be a genuine >=threshold cosine pair: check
+    // against the unblocked all-pairs reference (small test corpus)
+    val e = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val all = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")),
+        col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        graft.functions.VectorFunctions.cosineRFromNorms(
+          col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    got.foreach { case (a, b, cos) =>
+      assert(all.get((a, b)).contains(cos),
+        s"pair ($a,$b,$cos) not in the all-pairs reference")
+    }
+    // blocked recall is sub-1 by design (cross-cell pairs are skipped; this
+    // synthetic corpus has no high-cosine structure, so 0.4 pairs straddle
+    // cells freely) — nProbe=2 must still retain a substantial fraction
+    assert(got.length * 5 >= all.size * 3,
+      s"cell blocking kept ${got.length} of ${all.size} true pairs — quantizer too lossy")
+  }
 }
