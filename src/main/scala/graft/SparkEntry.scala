@@ -80,7 +80,9 @@ object SparkEntry {
     "text_surprisal"       -> ((s, d) => T.surprisalScore(s, d)),
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "sample_token_budget"  -> ((s, d) => T.tokenBudgetSample(s, d)),
+    "sample_lang_balance"  -> ((s, d) => T.langBalanceSample(s, d)),
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
+    "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -624,6 +626,22 @@ FROM c WHERE cum_tokens <= 20000""",
       s"""WITH h AS (SELECT doc_id, ${MD5P("CAST(doc_id AS VARCHAR)")} AS h64 FROM documents)
 SELECT doc_id, CAST(h64 % 64 AS BIGINT) AS shard,
 CAST(row_number() OVER (PARTITION BY h64 % 64 ORDER BY h64, doc_id) AS BIGINT) AS pos FROM h""",
+
+    "sample_lang_balance" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_l) AS n_min FROM c),
+r AS (SELECT lang, least(1000, (1000 * n_min) // n_l) AS permille FROM c, m)
+SELECT doc_id, d.lang AS lang, CAST(permille AS BIGINT) AS permille
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < permille""",
+
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
+d AS (SELECT doc_id, cs, CAST(len(cs) AS DOUBLE) AS n, list_sort(list_distinct(cs)) AS u FROM ch)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+round(list_reduce(list_prepend(0.0, list_transform(u,
+  c -> -((CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)/n) * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)/n)))), (a,b) -> a+b), 6) AS entropy
+FROM d""",
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents),

@@ -311,6 +311,41 @@ object TextPipeline {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Character-distribution Shannon entropy per document (nats) — the
+    * gibberish/boilerplate signal character-level quality filters
+    * threshold on (a natural-text doc sits near the language's typical
+    * entropy; mashed keys, base64 blobs and repeated-char padding fall
+    * far outside). Entirely map-side via the `graft_char_entropy` codegen
+    * kernel: one projection, no per-character explode/groupBy shuffle —
+    * at 100 TB this scores the corpus at scan speed.
+    */
+  def charEntropyScore(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, documents(spark, dir)).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      round(call_function("graft_char_entropy", col("text")), 6).as("entropy"))
+
+  /** Language rebalancing — downsample over-represented languages to the
+    * least-represented language's count, the standard multilingual-corpus
+    * mixing step. Per-language acceptance is integer per-mille
+    * ((1000·n_min) DIV n_l — integer math, so engine and oracle agree
+    * exactly), and acceptance itself is the same deterministic md5 bucket
+    * as `stratifiedSample`: no RNG, no partition sensitivity, any worker
+    * can recompute membership. Scale shape: the language histogram is a
+    * map-side-combined aggregate of ≤ #languages rows, the rate table is
+    * broadcast, the filter is map-side — one narrow pass over the corpus.
+    */
+  def langBalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(spark, documents(spark, dir)).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val mins = counts.agg(min(col("n_l")).as("n_min"))
+    val rates = counts.join(broadcast(mins))
+      .select(col("lang"), expr("least(1000L, (1000L * n_min) DIV n_l)").as("permille"))
+    docs.join(broadcast(rates), "lang")
+      .filter(pmod(md5Prefix64(col("doc_id").cast("string")), lit(1000L)) < col("permille"))
+      .select(col("doc_id"), col("lang"), col("permille"))
+  }
+
   /** Quality-filter pipeline with rejection reason codes — production
     * corpus filters must report WHY a document was dropped (filter-rate
     * dashboards, ablation studies), not just emit the survivors. One

@@ -138,5 +138,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_shingles", 1, a => ShingleHashes(a(0))))
     ext.injectFunction(fn("graft_minhash", 1, a => MinHashSig(a(0))))
     ext.injectFunction(fn("graft_simhash32", 1, a => SimHash32(a(0))))
+    ext.injectFunction(fn("graft_char_entropy", 1, a => CharEntropy(a(0))))
   }
 }

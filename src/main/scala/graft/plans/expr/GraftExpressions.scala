@@ -911,3 +911,57 @@ object SimHash32 {
     r
   }
 }
+
+/** string → double: Shannon entropy (nats) of the character distribution —
+  * the gibberish/boilerplate signal character-level quality filters
+  * threshold on. Code points are counted in one pass (newline excluded,
+  * mirroring the oracle's RE2 `.`), then −p·ln(p) is accumulated over the
+  * DISTINCT code points in ascending order — the same fold order as the
+  * DuckDB rendering (`list_sort(list_distinct(...))` then left fold), so
+  * the double result matches bit-for-bit before the 6dp round. Runs
+  * map-side inside whole-stage codegen: the score costs one projection,
+  * no explode/groupBy shuffle of per-character rows.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_entropy requires string, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = CharEntropy.compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.expr.CharEntropy.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+}
+
+object CharEntropy {
+  def compute(a: Any): Double = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // TreeMap: ascending code-point iteration == UTF-8 binary sort order ==
+    // the oracle's list_sort collation
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp != '\n') {
+        counts.merge(cp, 1L, (x, y) => x + y)
+        n += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      acc += -(p * math.log(p))
+    }
+    acc
+  }
+}

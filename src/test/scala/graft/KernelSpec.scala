@@ -238,4 +238,27 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     assert(r.getLong(0) != 0L)
     assert(r.getDouble(1) == 11.0)
   }
+
+  test("graft_char_entropy == ascending-codepoint -p·ln(p) fold, bit-identical doubles") {
+    val extra = texts ++ Seq("aaaa", "ab", "aabb中中", "x")
+    val got = extra.toDF("text")
+      .select(col("text"), call_function("graft_char_entropy", col("text")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    extra.foreach { t =>
+      // driver-side reference: same fold order (ascending code point)
+      val chars = t.codePoints().toArray.filter(_ != '\n')
+      val n = chars.length.toDouble
+      val ref =
+        if (chars.isEmpty) 0.0
+        else chars.groupBy(identity).view.mapValues(_.length).toSeq
+          .sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (_, c)) =>
+            val p = c / n; acc + -(p * math.log(p))
+          }
+      assert(got(t) == ref, s"entropy mismatch for '$t': ${got(t)} vs $ref")
+    }
+    // invariants: uniform text maximal for its alphabet, constant text 0
+    assert(got("aaaa") == 0.0)
+    assert(math.abs(got("ab") - math.log(2.0)) < 1e-12)
+  }
 }

@@ -225,6 +225,30 @@ class TrainingOpsSpec extends SparkSpecBase {
       s"expected a __pid-partitioned window in:\n$plan")
   }
 
+  test("language rebalance: integer per-mille rates, deterministic membership") {
+    val got = TextPipeline.langBalanceSample(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    // recompute the expected rate table driver-side
+    val counts = Tables.documents(spark, dir).groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val nMin = counts.values.min
+    got.foreach { case (_, lang, pm) =>
+      assert(pm == math.min(1000L, 1000L * nMin / counts(lang)),
+        s"wrong permille for $lang")
+    }
+    // the over-represented language is actually downsampled; the smallest
+    // keeps (nearly) everything
+    val keptByLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val maxLang = counts.maxBy(_._2)._1
+    assert(keptByLang(maxLang) < counts(maxLang),
+      s"over-represented $maxLang not downsampled")
+    // membership is the deterministic md5 bucket — rerun identical
+    val again = TextPipeline.langBalanceSample(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
   test("shard assignment: total, deterministic, positions dense per shard") {
     val rows = TextPipeline.shardAssign(spark, dir, nShards = 8)
       .as[(Long, Long, Long)].collect()
