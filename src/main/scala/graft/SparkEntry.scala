@@ -83,6 +83,7 @@ object SparkEntry {
     "sample_lang_balance"  -> ((s, d) => T.langBalanceSample(s, d)),
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
+    "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -634,6 +635,12 @@ r AS (SELECT lang, least(1000, (1000 * n_min) // n_l) AS permille FROM c, m)
 SELECT doc_id, d.lang AS lang, CAST(permille AS BIGINT) AS permille
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < permille""",
+
+    "text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) s(i) WHERE len(t) >= 5)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY gram HAVING COUNT(*) >= 3""",
 
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),

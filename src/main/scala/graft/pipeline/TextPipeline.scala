@@ -346,6 +346,34 @@ object TextPipeline {
       .select(col("doc_id"), col("lang"), col("permille"))
   }
 
+  /** Corpus-wide boilerplate n-gram mining: word `n`-grams appearing in at
+    * least `minDocs` DISTINCT documents — the repeated-span inventory a
+    * boilerplate-stripping pass is built from (headers, footers, license
+    * blocks, templated sentences). Distinct from `Dedup.contamination`,
+    * which checks overlap against a fixed benchmark set; this one has no
+    * reference corpus — repetition itself is the signal. Per-doc grams are
+    * DEDUPLICATED before the explode, so the one shuffle is keyed by gram
+    * with map-side partial counts; at 100 TB the standard refinement is a
+    * sampled pre-pass cutoff on gram frequency, which drops in front of
+    * the same aggregate.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String, n: Int = 5,
+                        minDocs: Int = 3): DataFrame = {
+    val grams = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
+          .otherwise(array().cast("array<string>")).as("gram_arr"))
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("doc_id"), explode(col("gram_arr")).as("gram"))
+    // rows are (doc, gram)-distinct by construction: count(*) == doc count
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Quality-filter pipeline with rejection reason codes — production
     * corpus filters must report WHY a document was dropped (filter-rate
     * dashboards, ablation studies), not just emit the survivors. One

@@ -249,6 +249,30 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.toSet == again.toSet)
   }
 
+  test("boilerplate n-grams: every reported gram verifiably spans >= minDocs docs") {
+    val got = TextPipeline.boilerplateNgrams(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got.nonEmpty, "no boilerplate grams found — test is vacuous")
+    assert(got.values.forall(_ >= 3))
+    // brute-force recount on the driver for the small test corpus
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 5) Set.empty
+      else ws.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val counts = docs.flatMap { case (id, t) => grams(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    got.foreach { case (g, n) =>
+      assert(counts.get(g).contains(n), s"gram '$g': reported $n, actual ${counts.get(g)}")
+    }
+    // completeness: no >=3-doc gram missing
+    counts.filter(_._2 >= 3).foreach { case (g, n) =>
+      assert(got.get(g).contains(n.toLong), s"missing boilerplate gram '$g' ($n docs)")
+    }
+  }
+
   test("shard assignment: total, deterministic, positions dense per shard") {
     val rows = TextPipeline.shardAssign(spark, dir, nShards = 8)
       .as[(Long, Long, Long)].collect()
