@@ -194,6 +194,9 @@ class DimStore(spark: SparkSession, basePath: String) {
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val buckets = entries
         .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+      // dir holding only metadata (crash between the meta write and the
+      // first bucket write): an empty store, not a schema-inference error
+      if (flat.isEmpty && buckets.isEmpty) return None
       val df =
         if (flat.nonEmpty && buckets.nonEmpty) {
           // explicit leaf-dir paths: no partition discovery, so no synthetic

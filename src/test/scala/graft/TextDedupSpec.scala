@@ -185,6 +185,20 @@ class TextDedupSpec extends SparkSpecBase {
     assert(store.lookup("dim_user", "id", 11L).head.getString(1) == "extra")
   }
 
+  test("DimStore.read of a meta-only dir (crash before first bucket write) is an empty store") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore_metaonly").toString
+    val store = new graft.sources.DimStore(spark, dir)
+    new java.io.File(s"$dir/dim_user").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/dim_user/_graft_meta"),
+      "keyCol=id\nversionCol=v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(store.read("dim_user").isEmpty, "meta-only dir must read as empty, not throw")
+    assert(store.lookup("dim_user", "id", 1L).isEmpty)
+    // and the next upsert proceeds normally from the empty state
+    store.upsert("dim_user", Seq((1L, "a", 1L)).toDF("id", "name", "v"), "id", "v")
+    assert(store.read("dim_user").get.count() == 1)
+  }
+
   test("DimStore buckets the same logical key identically across numeric types") {
     val dir = java.nio.file.Files.createTempDirectory("dimstore_keytypes").toString
     val store = new graft.sources.DimStore(spark, dir)
