@@ -84,6 +84,7 @@ object SparkEntry {
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
     "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
+    "text_vocab_coverage"  -> ((s, d) => T.vocabCoverage(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
+    "dedup_keep_best"      -> ((s, d) => Dedup.keepBestOfCluster(s, d)),
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
@@ -571,6 +573,26 @@ reach(id, lab) AS (SELECT doc_id, doc_id FROM documents
 UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
 SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id""",
 
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+WHERE round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, lab) AS (SELECT doc_id, doc_id FROM documents
+UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+cl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT doc_id,
+round(CAST(len(list_distinct($TOKS)) AS DOUBLE) / greatest(CAST(len($TOKS) AS DOUBLE), 1.0), 6) AS quality
+FROM documents),
+r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id ASC) AS rk
+FROM cl JOIN q USING (doc_id))
+SELECT cluster_id, doc_id AS keep_id, quality FROM r WHERE rk = 1""",
+
     "dedup_contamination" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
 g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
@@ -641,6 +663,17 @@ WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < permille""",
 g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
 FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) s(i) WHERE len(t) >= 5)
 SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY gram HAVING COUNT(*) >= 3""",
+
+    "text_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($TOKS) AS tok FROM documents),
+f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f),
+r AS (SELECT tok, freq,
+row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk,
+SUM(freq) OVER (ORDER BY freq DESC, tok ASC ROWS UNBOUNDED PRECEDING) AS cum_freq FROM f)
+SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(rnk AS BIGINT) AS rnk,
+round(CAST(cum_freq AS DOUBLE) / total, 6) AS coverage
+FROM r, tot WHERE rnk <= 20""",
 
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),

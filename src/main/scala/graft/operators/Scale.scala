@@ -115,4 +115,47 @@ object Scale {
     */
   def coPartitioned(left: DataFrame, right: DataFrame, key: String, parts: Int): (DataFrame, DataFrame) =
     (left.repartition(parts, col(key)), right.repartition(parts, col(key)))
+
+  /** Distributed running sum of `valueCol` over the global `sortCols`
+    * ordering, WITHOUT the single-partition `Window.orderBy` trap (which
+    * plans an Exchange SinglePartition carrying every row through one
+    * task): range-partition on the sort key, aggregate per-partition
+    * subtotals (one row each), turn them into prefix OFFSETS with a
+    * partition-count-sized window, broadcast the offsets back, and cumsum
+    * WITHIN partitions. Two narrow passes, fully parallel at any input
+    * size; only the P-row offset window is global. The ranged frame is
+    * pinned (`localCheckpoint`) so the offset aggregate and the final
+    * join see the same partition assignment (at cluster scale: a
+    * persisted intermediate).
+    *
+    * Returns the input columns plus `outCol` = inclusive running sum
+    * (LongType), and — when `rankCol` is set — the 1-based global rank
+    * under the same ordering (same machinery: partition row_number +
+    * broadcast row-count offsets). The ordering must be total (tie-break
+    * in `sortCols`) for the result to be deterministic.
+    */
+  def distributedPrefixSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                           valueCol: String, outCol: String,
+                           rankCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 2)
+    val ranged = df
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__ptot"), count(lit(1)).as("__pcnt"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ptot")).over(offW), lit(0L)).as("__off"),
+        coalesce(sum(col("__pcnt")).over(offW), lit(0L)).as("__roff"))
+    val cumW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val base = ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, (col("__off") + sum(col(valueCol)).over(cumW)).cast("long"))
+    rankCol.fold(base) { rc =>
+      base.withColumn(rc, (col("__roff") + row_number().over(cumW)).cast("long"))
+    }.drop("__pid", "__off", "__roff")
+  }
 }

@@ -259,6 +259,29 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Near-dup cluster REPRESENTATIVE selection: one surviving document per
+    * cluster, chosen by QUALITY (unique-token ratio, ties to the lower
+    * doc_id) rather than the arbitrary min-id `corpusClean` keeps — what a
+    * production dedup actually retains (drop the scraped mirror, keep the
+    * clean original). Composes the connected-components labels with the
+    * quality score and takes a per-cluster argmax window — parallel across
+    * clusters; singletons pass through as their own representative.
+    */
+  def keepBestOfCluster(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = corpusClusters(spark, dir, threshold)
+    val q = documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), uniqueTokenRatioFrom(col("toks")).as("quality"))
+    labels.join(q, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("quality"))
+  }
+
   /** Benchmark-contamination check: flag corpus documents (doc_id ≥
     * `benchBound`) sharing at least one distinct word 5-gram with the
     * benchmark set (doc_id < `benchBound`), with the shared-gram count.

@@ -276,37 +276,19 @@ object TextPipeline {
 
   /** Quality-ranked corpus selection under a global token budget — "take
     * the best documents until N tokens", the curation step behind every
-    * fixed-budget training run. The global prefix sum over the quality
-    * ordering deliberately avoids the single-partition
-    * `Window.orderBy(...)` trap (which serializes the whole corpus through
-    * one task): range-partition on the sort key, aggregate per-partition
-    * subtotals (one tiny row per partition), turn them into prefix
-    * OFFSETS with a driver-scale window, broadcast the offsets back, and
-    * cumsum WITHIN partitions — two narrow passes, fully parallel at any
-    * corpus size. The ranged frame is pinned (`localCheckpoint`) so the
-    * offset aggregate and the final join see the same partition
-    * assignment (at cluster scale: a persisted intermediate).
+    * fixed-budget training run. The global running sum over the quality
+    * ordering goes through `Scale.distributedPrefixSum` (range-partition →
+    * per-partition subtotals → broadcast prefix offsets → within-partition
+    * cumsum), never a single-partition `Window.orderBy` over the corpus.
     */
   def tokenBudgetSample(spark: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         uniqueTokenRatioFrom(col("toks")).as("quality"),
         size(col("toks")).cast("long").as("n_tokens"))
-    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 2)
-    val ranged = q
-      .repartitionByRange(parts, col("quality").desc, col("doc_id").asc)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__ptot"))
-      .select(col("__pid"), coalesce(sum(col("__ptot")).over(offW), lit(0L)).as("__off"))
-    val cumW = Window.partitionBy(col("__pid"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
-    ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("cum_tokens",
-        (col("__off") + sum(col("n_tokens")).over(cumW)).cast("long"))
+    graft.operators.Scale.distributedPrefixSum(q,
+        Seq(col("quality").desc, col("doc_id").asc), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
@@ -344,6 +326,29 @@ object TextPipeline {
     docs.join(broadcast(rates), "lang")
       .filter(pmod(md5Prefix64(col("doc_id").cast("string")), lit(1000L)) < col("permille"))
       .select(col("doc_id"), col("lang"), col("permille"))
+  }
+
+  /** Vocabulary coverage table — the statistic a tokenizer vocabulary is
+    * cut from: the top-`topK` tokens by corpus frequency with their global
+    * rank and CUMULATIVE coverage fraction ("the top 200 tokens cover X%
+    * of all occurrences"). Rank and running sum both come from
+    * `Scale.distributedPrefixSum` under one total ordering
+    * (freq desc, tok asc) — no single-partition window over the
+    * vocabulary, which at web scale reaches hundreds of millions of
+    * distinct tokens. One explode→groupBy shuffle builds the frequency
+    * table (map-side combined); the one-row total is broadcast.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val tf = spread(spark, documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum(col("freq")).cast("double").as("total"))
+    graft.operators.Scale.distributedPrefixSum(tf,
+        Seq(col("freq").desc, col("tok").asc), "freq", "cum_freq", Some("rnk"))
+      .join(broadcast(total))
+      .filter(col("rnk") <= topK)
+      .select(col("tok"), col("freq"), col("rnk"),
+        round(col("cum_freq").cast("double") / col("total"), 6).as("coverage"))
   }
 
   /** Corpus-wide boilerplate n-gram mining: word `n`-grams appearing in at

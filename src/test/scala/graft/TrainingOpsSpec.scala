@@ -249,6 +249,52 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.toSet == again.toSet)
   }
 
+  test("vocab coverage: rank and cumulative coverage match the single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextPipeline.vocabCoverage(spark, dir, topK = 20)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got.size == 20, s"expected a truncating cut, got ${got.size} rows")
+    // naive single-partition reference
+    val tf = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("tok").asc)
+    val total = tf.agg(sum(col("freq")).cast("double")).head.getDouble(0)
+    val ref = tf
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk") <= 20)
+      .select(col("tok"), col("freq"), col("rnk"),
+        round(col("cum").cast("double") / lit(total), 6).as("coverage"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == ref, s"diverged: ${(got diff ref) ++ (ref diff got)}")
+    // coverage is monotone in rank and ends below 1 for a 50-token cut
+    val byRank = got.toSeq.sortBy(_._3).map(_._4)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    assert(byRank.last < 1.0)
+  }
+
+  test("keep-best-of-cluster: one representative per cluster, argmax quality") {
+    val labels = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
+    val kept = Dedup.keepBestOfCluster(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    // exactly one representative per distinct cluster, and it belongs there
+    assert(kept.map(_._1).distinct.length == kept.length)
+    assert(kept.map(_._1).toSet == labels.values.toSet)
+    kept.foreach { case (cl, keep, _) => assert(labels(keep) == cl) }
+    // the representative has the cluster-max quality (driver recompute)
+    val quality = Tables.documents(spark, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.uniqueTokenRatio(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val byCluster = labels.groupBy(_._2)
+    kept.foreach { case (cl, keep, q) =>
+      val best = byCluster(cl).keys.map(d => (-quality(d), d)).min
+      assert(keep == best._2 && q == quality(keep),
+        s"cluster $cl kept $keep, expected ${best._2}")
+    }
+  }
+
   test("boilerplate n-grams: every reported gram verifiably spans >= minDocs docs") {
     val got = TextPipeline.boilerplateNgrams(spark, dir)
       .as[(String, Long)].collect().toMap
