@@ -85,6 +85,7 @@ object SparkEntry {
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
     "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
     "text_vocab_coverage"  -> ((s, d) => T.vocabCoverage(s, d)),
+    "text_oov_rate"        -> ((s, d) => T.oovRate(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -674,6 +675,16 @@ SUM(freq) OVER (ORDER BY freq DESC, tok ASC ROWS UNBOUNDED PRECEDING) AS cum_fre
 SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(rnk AS BIGINT) AS rnk,
 round(CAST(cum_freq AS DOUBLE) / total, 6) AS coverage
 FROM r, tot WHERE rnk <= 20""",
+
+    "text_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+r AS (SELECT tok, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM f),
+v AS (SELECT tok FROM r WHERE rnk <= 20)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+CAST(COUNT(*) FILTER (t.tok NOT IN (SELECT tok FROM v)) AS BIGINT) AS n_oov,
+round(CAST(COUNT(*) FILTER (t.tok NOT IN (SELECT tok FROM v)) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM t GROUP BY doc_id""",
 
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),

@@ -351,6 +351,27 @@ object TextPipeline {
         round(col("cum_freq").cast("double") / col("total"), 6).as("coverage"))
   }
 
+  /** Per-document out-of-vocabulary rate against the top-`topK` corpus
+    * vocabulary — the tokenizer-fit statistic (a doc whose occurrences
+    * fall mostly outside the vocab cut will fragment into subwords). The
+    * vocabulary side is the `vocabCoverage` cut, broadcast (top-K is tiny
+    * by construction); the corpus side is one explode→left-join→groupBy
+    * pass with map-side partial aggregation. Docs with zero tokens carry
+    * no occurrences and so don't appear — same contract as the oracle.
+    */
+  def oovRate(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val vocab = vocabCoverage(spark, dir, topK)
+      .select(col("tok"), lit(1L).as("__in"))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Corpus-wide boilerplate n-gram mining: word `n`-grams appearing in at
     * least `minDocs` DISTINCT documents — the repeated-span inventory a
     * boilerplate-stripping pass is built from (headers, footers, license

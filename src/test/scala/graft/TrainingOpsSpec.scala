@@ -275,6 +275,25 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(byRank.last < 1.0)
   }
 
+  test("oov rate: reconciles with a driver-side recount against the vocab cut") {
+    val got = TextPipeline.oovRate(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val vocab = TextPipeline.vocabCoverage(spark, dir)
+      .select("tok").as[String].collect().toSet
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, n, oov, rate) =>
+      val toks = docs(id).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(n == toks.length)
+      assert(oov == toks.count(t => !vocab(t)), s"doc $id oov mismatch")
+      assert(rate == BigDecimal(oov.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the signal is non-degenerate on the test corpus
+    assert(got.exists(_._3 > 0) && got.exists(r => r._3 < r._2))
+  }
+
   test("keep-best-of-cluster: one representative per cluster, argmax quality") {
     val labels = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
     val kept = Dedup.keepBestOfCluster(spark, dir)
