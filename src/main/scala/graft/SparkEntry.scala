@@ -86,6 +86,7 @@ object SparkEntry {
     "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
     "text_vocab_coverage"  -> ((s, d) => T.vocabCoverage(s, d)),
     "text_oov_rate"        -> ((s, d) => T.oovRate(s, d)),
+    "text_dsir_weight"     -> ((s, d) => T.dsirWeight(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -111,8 +112,11 @@ object SparkEntry {
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_quant_topk"       -> ((s, d) => Similarity.quantTopK(s, d)),
+    "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
+    "sample_cluster_balance" -> ((s, d) => Similarity.clusterBalanceSample(s, d)),
     // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
     "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
                                  .select("id", "media_type", "n_bytes")),
@@ -155,6 +159,25 @@ n AS (SELECT vec_id, label, emb, sqrt(list_reduce(list_prepend(0.0, list_transfo
 
   private def cosSql(ea: String, eb: String, na: String, nb: String) =
     s"round(list_reduce(list_prepend(0.0, list_transform(list_zip($ea, $eb), p -> p[1] * p[2])), (a, b) -> a + b) / ($na * $nb), 6)"
+
+  /** One-Lloyd-iteration k-means oracle — shared by `kmeans_assign` and
+    * the cluster-balanced sample (the sample must draw from the identical
+    * assignment): seed = first 8 vectors, assign, exact-decimal
+    * element-wise means rounded to 6dp, re-assign.
+    */
+  private lazy val OracleKmeans =
+    s"""WITH $embNorms,
+c1 AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+s1 AS (SELECT a.vec_id, a.emb, cell, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS c_cos FROM n a CROSS JOIN c1),
+a1 AS (SELECT vec_id, emb, cell AS cluster FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS crk FROM s1) WHERE crk = 1),
+d AS (SELECT cluster, i AS dim, CAST(emb[i] AS DECIMAL(28,12)) AS v FROM a1, unnest(range(1, len(emb) + 1)) t(i)),
+m AS (SELECT cluster, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY cluster, dim),
+c2 AS (SELECT cluster, list(mv ORDER BY dim) AS ce FROM m GROUP BY cluster),
+c2n AS (SELECT cluster, ce, sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x * x)), (a, b) -> a + b)) AS cn FROM c2),
+s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
+(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1"""
 
   /** Bag-Jaccard oracle — shared by the exhaustive and prefix-filtered
     * renderings (they must emit the identical pair set).
@@ -686,6 +709,19 @@ CAST(COUNT(*) FILTER (t.tok NOT IN (SELECT tok FROM v)) AS BIGINT) AS n_oov,
 round(CAST(COUNT(*) FILTER (t.tok NOT IN (SELECT tok FROM v)) AS DOUBLE) / COUNT(*), 6) AS oov_rate
 FROM t GROUP BY doc_id""",
 
+    "text_dsir_weight" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents),
+tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2, 3),
+f AS (SELECT tok, SUM(tf) AS cf,
+  COALESCE(SUM(tf) FILTER (lang = 'en'), 0) AS tq FROM tf GROUP BY tok),
+c AS (SELECT CAST(SUM(cf) AS DOUBLE) AS nc, CAST(SUM(tq) AS DOUBLE) AS nt,
+  CAST(COUNT(*) AS DOUBLE) AS v FROM f),
+term AS (SELECT doc_id, CAST(round(tf * (ln((tq + 1) / (nt + v)) - ln((cf + 1) / (nc + v))), 6)
+  AS DECIMAL(28,10)) AS term FROM tf JOIN f USING (tok) CROSS JOIN c),
+tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(CAST(s AS DOUBLE) / n_tokens, 6) AS dsir_weight
+FROM (SELECT doc_id, SUM(term) AS s FROM term GROUP BY doc_id) JOIN tot USING (doc_id)""",
+
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
 d AS (SELECT doc_id, cs, CAST(len(cs) AS DOUBLE) AS n, list_sort(list_distinct(cs)) AS u FROM ch)
@@ -750,6 +786,24 @@ FROM n a CROSS JOIN q WHERE a.vec_id <> query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
 
+    "quantize_int8" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS ma FROM e)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+CAST(floor(emb[i] * 127.0 / ma + 0.5) AS BIGINT) AS qval, round(ma / 127, 9) AS scale
+FROM m, unnest(range(1, len(emb) + 1)) t(i) WHERE ma > 0""",
+
+    "ann_quant_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS ma FROM e),
+qz AS (SELECT vec_id, list_transform(emb, x -> floor(x * 127.0 / ma + 0.5)) AS qv FROM m WHERE ma > 0),
+n AS (SELECT vec_id, qv AS emb, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS nrm FROM qz),
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM n a CROSS JOIN q WHERE a.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
     "ann_ivf_topk" ->
       s"""WITH $embNorms,
 cents AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
@@ -777,18 +831,13 @@ SELECT vec_a, vec_b, ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} AS cos
 FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
 WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
 
-    "kmeans_assign" ->
-      s"""WITH $embNorms,
-c1 AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
-s1 AS (SELECT a.vec_id, a.emb, cell, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS c_cos FROM n a CROSS JOIN c1),
-a1 AS (SELECT vec_id, emb, cell AS cluster FROM
-  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS crk FROM s1) WHERE crk = 1),
-d AS (SELECT cluster, i AS dim, CAST(emb[i] AS DECIMAL(28,12)) AS v FROM a1, unnest(range(1, len(emb) + 1)) t(i)),
-m AS (SELECT cluster, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY cluster, dim),
-c2 AS (SELECT cluster, list(mv ORDER BY dim) AS ce FROM m GROUP BY cluster),
-c2n AS (SELECT cluster, ce, sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x * x)), (a, b) -> a + b)) AS cn FROM c2),
-s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)
-SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
-(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1""",
+    "kmeans_assign" -> OracleKmeans,
+
+    "sample_cluster_balance" ->
+      s"""WITH km AS ($OracleKmeans)
+SELECT vec_id, cluster, CAST(rnk AS BIGINT) AS rnk FROM
+(SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+  ORDER BY ${MD5P("CAST(vec_id AS VARCHAR)")} % 1000000, vec_id) AS rnk FROM km)
+WHERE rnk <= 40""",
   )
 }

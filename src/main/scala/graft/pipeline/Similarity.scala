@@ -158,6 +158,27 @@ object Similarity {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
   }
 
+  /** Cluster-balanced (diversity) sample: up to `cap` vectors per k-means
+    * cluster, drawn in deterministic hash order — the embedding-space
+    * counterpart of `TextPipeline.stratifiedSample`. Uniform sampling
+    * over-represents dense regions of embedding space; capping per cluster
+    * flattens the draw across semantic regions (the SemDeDup/DoReMi-style
+    * diversity step). Deterministic md5 order means any worker can
+    * recompute membership — no RNG, no partition sensitivity. Scale shape:
+    * the per-cluster top-`cap` is one rank-window over the assignment
+    * shuffled by cluster id (k bounded groups; a giant cluster streams
+    * through row_number without materializing).
+    */
+  def clusterBalanceSample(spark: SparkSession, dir: String, cap: Int = 40): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix64
+    kmeansAssign(spark, dir)
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(pmod(md5Prefix64(col("vec_id").cast("string")), lit(1000000L)),
+          col("vec_id").asc)))
+      .filter(col("rnk") <= cap)
+      .select(col("vec_id"), col("cluster"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: assign every vector to its
     * `nProbe` nearest seed centroids (the same coarse quantizer as
     * `ivfTopK` — deterministic seeds; a real deployment trains k-means via
@@ -202,6 +223,56 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         cosineRFromNorms(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Per-vector symmetric int8 quantization of the embedding column — the
+    * standard storage/bandwidth path for vector search at corpus scale
+    * (4× smaller than float32, and integer dot products are exact, so the
+    * scored cosines are bit-stable under any partitioning). Codes are
+    * `floor(v·127/maxabs + 0.5)` — round-half-up toward +∞, computed
+    * identically by the oracle; the per-vector `scale` (maxabs/127)
+    * reconstructs approximate values as `qval·scale`. Zero vectors carry
+    * no information and are dropped (guard, mirrored in the oracle).
+    * Entirely map-side: one projection, no shuffle. Output is exploded to
+    * (vec_id, pos, qval, scale) scalar rows for the oracle dump; the
+    * array form used by `quantTopK` never leaves the plan.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    withMaxAbs(spark, dir)
+      .select(col("vec_id"), col("ma"), round(col("ma") / 127, 9).as("scale"),
+        posexplode(col("emb")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("col") * 127.0 / col("ma") + 0.5).cast("long").as("qval"),
+        col("scale"))
+
+  /** vec_id, emb (double), ma = max |v_i| — zero vectors dropped. */
+  private def withMaxAbs(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, embeddings(spark, dir))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        array_max(transform(col("emb"), x => abs(x))).as("ma"))
+      .filter(col("ma") > 0)
+
+  /** Brute-force top-k in int8-quantized space: per-vector scales cancel
+    * in cosine, so the score is `dot(qa,qb)/(|qa||qb|)` over integer-valued
+    * vectors — exact integer arithmetic inside the double mantissa, one
+    * broadcast of the query codes against the quantized corpus scan. The
+    * approximation error vs `bruteForceTopK` is the quantizer's, not the
+    * engine's; recall against the float ranking is spec-measured.
+    */
+  def quantTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withMaxAbs(spark, dir)
+      .select(col("vec_id"),
+        transform(col("emb"), x => floor(x * 127.0 / col("ma") + 0.5).cast("double")).as("qv"))
+      .select(col("vec_id"), col("qv"), norm(col("qv")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("qv"), col("nrm"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRFromNorms(col("q_qv"), col("qv"), col("q_nrm"), col("nrm")).as("cos"))
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k within

@@ -372,6 +372,49 @@ object TextPipeline {
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the average per-occurrence log-likelihood ratio between a TARGET
+    * unigram distribution (here: the `targetLang` slice of the corpus —
+    * in production, a benchmark or high-quality seed corpus) and the full
+    * corpus distribution, with add-one smoothing over the shared
+    * vocabulary. Documents that look like the target score high; sampling
+    * proportional to exp(weight) is the published resampling step and a
+    * trivial consumer of this table.
+    *
+    * Scale shape: both frequency tables come out of the ONE tf
+    * aggregation (map-side combined explode→groupBy — the same shuffle
+    * `surprisalScore` pays); the merged token table joins back size-gated
+    * (`Scale.maybeBroadcast` — a web-scale vocabulary falls back to a
+    * shuffle join), and the three corpus constants are a one-row
+    * broadcast. Per-term contributions are rounded then summed in
+    * decimal, so the fold is order-independent and the result hash-stable
+    * under any partitioning (engine-wide contract for derived doubles).
+    */
+  def dsirWeight(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
+    val tf = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("total"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("total"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("cf"),
+        sum(when(col("lang") === targetLang, col("tf")).otherwise(0L)).as("tq"))
+    val consts = freq.agg(sum(col("cf")).cast("double").as("nc"),
+      sum(col("tq")).cast("double").as("nt"), count(lit(1)).cast("double").as("v"))
+    tf.join(graft.operators.Scale.maybeBroadcast(freq), "tok")
+      .join(broadcast(consts))
+      .select(col("doc_id"), col("total"),
+        round(col("tf") * (log((col("tq") + 1) / (col("nt") + col("v")))
+          - log((col("cf") + 1) / (col("nc") + col("v")))), 6)
+          .cast("decimal(28,10)").as("term"))
+      .groupBy(col("doc_id"), col("total"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("doc_id"), col("total").as("n_tokens"),
+        round(col("s").cast("double") / col("total"), 6).as("dsir_weight"))
+  }
+
   /** Corpus-wide boilerplate n-gram mining: word `n`-grams appearing in at
     * least `minDocs` DISTINCT documents — the repeated-span inventory a
     * boilerplate-stripping pass is built from (headers, footers, license

@@ -39,6 +39,66 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall too low: $recall")
   }
 
+  test("int8 quantization: codes bounded, reconstruction within half a step") {
+    val d = sf("embeddings")
+    val got = Similarity.quantizeInt8(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val byVec = got.groupBy(_._1)
+    assert(byVec.keySet == raw.keySet.filter(id => raw(id).exists(_ != 0.0f)))
+    byVec.foreach { case (id, rows) =>
+      val v = raw(id).map(_.toDouble)
+      val ma = v.map(math.abs).max
+      assert(rows.length == v.length)
+      rows.foreach { case (_, pos, q, scale) =>
+        assert(q >= -127 && q <= 127)
+        assert(q == math.floor(v(pos.toInt) * 127.0 / ma + 0.5).toLong)
+        // reconstruction error bounded by half a quantization step (plus
+        // the 9dp rounding of the dumped scale)
+        assert(math.abs(q * scale - v(pos.toInt)) <= ma / 254 + 1e-6)
+      }
+    }
+  }
+
+  test("quantized ANN: ranking survives int8 — high recall vs float brute force") {
+    val d = sf("embeddings")
+    val brute = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(quant.nonEmpty)
+    // int8 keeps ~2 decimal digits of cosine: the top-5 sets should nearly
+    // coincide with the float ranking (quantizer error, not search error)
+    val recall = (brute intersect quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"quantized recall too low: $recall")
+  }
+
+  test("cluster-balanced sample: per-cluster cap honored, draw matches the assignment") {
+    val d = sf("embeddings")
+    val labels = Similarity.kmeansAssign(spark, d)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val got = Similarity.clusterBalanceSample(spark, d, cap = 40)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every sampled row carries its true cluster label
+    got.foreach { case (id, c, _) => assert(labels(id) == c) }
+    // per-cluster counts: exactly min(cap, cluster size), ranks 1..n dense
+    val sizes = labels.groupBy(_._2).map { case (c, xs) => c -> xs.size }
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.length == math.min(40, sizes(c)))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the draw is hash-ordered, not id-ordered: some cluster skips an id
+    // (vacuous only if every cluster fits entirely under the cap)
+    val full = sizes.exists(_._2 > 40)
+    if (full) {
+      val kept = got.map(_._1).toSet
+      assert(labels.exists { case (id, c) => sizes(c) > 40 && !kept(id) })
+    }
+  }
+
   test("corpus clean removes the higher-id side of every near-dup pair") {
     val d = "/root/testdata/sf0.001"
     val pairs = graft.pipeline.Dedup.minhashLsh(spark, d)

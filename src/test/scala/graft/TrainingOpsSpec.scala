@@ -294,6 +294,37 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.exists(_._3 > 0) && got.exists(r => r._3 < r._2))
   }
 
+  test("dsir weight: reconciles with a driver-side log-ratio recount") {
+    val got = TextPipeline.dsirWeight(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap(d => toks(d._3))
+    val cf = all.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val tq = docs.filter(_._2 == "en").flatMap(d => toks(d._3))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (nc, nt, v) = (cf.values.sum.toDouble, tq.values.sum.toDouble, cf.size.toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    docs.filter(d => toks(d._3).nonEmpty).foreach { case (id, _, text) =>
+      val tf = toks(text).groupBy(identity).map { case (t, xs) => t -> xs.length }
+      val s = tf.toSeq.map { case (t, n) =>
+        r6(n * (math.log((tq.getOrElse(t, 0L) + 1) / (nt + v))
+          - math.log((cf(t) + 1) / (nc + v)))) }.sum
+      val (n, w) = got(id)
+      assert(n == tf.values.sum)
+      assert(w == r6(s.toDouble / n).toDouble, s"doc $id weight mismatch")
+    }
+    // the signal separates the target slice: mean weight of en docs exceeds
+    // the mean over the rest (the statistic DSIR resamples on)
+    val byLang = docs.map(d => d._2 -> got(d._1)._2)
+    val enMean = byLang.filter(_._1 == "en").map(_._2).sum /
+      byLang.count(_._1 == "en")
+    val restMean = byLang.filterNot(_._1 == "en").map(_._2).sum /
+      byLang.count(_._1 != "en")
+    assert(enMean > restMean)
+  }
+
   test("keep-best-of-cluster: one representative per cluster, argmax quality") {
     val labels = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
     val kept = Dedup.keepBestOfCluster(spark, dir)
