@@ -87,6 +87,7 @@ object SparkEntry {
     "text_vocab_coverage"  -> ((s, d) => T.vocabCoverage(s, d)),
     "text_oov_rate"        -> ((s, d) => T.oovRate(s, d)),
     "text_dsir_weight"     -> ((s, d) => T.dsirWeight(s, d)),
+    "text_quality_buckets" -> ((s, d) => T.qualityBuckets(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -178,6 +179,20 @@ c2n AS (SELECT cluster, ce, sqrt(list_reduce(list_prepend(0.0, list_transform(ce
 s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1"""
+
+  /** Unigram-surprisal oracle — shared by `text_surprisal` and the decile
+    * bucketing built on top of it (identical scores by construction).
+    */
+  private val OracleSurprisal =
+    s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+cf AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok),
+n AS (SELECT CAST(SUM(cf) AS DOUBLE) AS n FROM cf),
+terms AS (SELECT doc_id, CAST(round(tf * ln(n / CAST(cf AS DOUBLE)), 6) AS DECIMAL(28,10)) AS term
+FROM tf JOIN cf USING (tok), n)
+SELECT doc_id, round(CAST(SUM(term) AS DOUBLE) / total, 6) AS surprisal
+FROM terms JOIN tot USING (doc_id) GROUP BY doc_id, total"""
 
   /** Bag-Jaccard oracle — shared by the exhaustive and prefix-filtered
     * renderings (they must emit the identical pair set).
@@ -634,16 +649,14 @@ CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_repeated,
 CASE WHEN len(bg) > 0 THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6)
 ELSE 0.0 END AS dup_frac FROM b""",
 
-    "text_surprisal" ->
-      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
-tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
-tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
-cf AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok),
-n AS (SELECT CAST(SUM(cf) AS DOUBLE) AS n FROM cf),
-terms AS (SELECT doc_id, CAST(round(tf * ln(n / CAST(cf AS DOUBLE)), 6) AS DECIMAL(28,10)) AS term
-FROM tf JOIN cf USING (tok), n)
-SELECT doc_id, round(CAST(SUM(term) AS DOUBLE) / total, 6) AS surprisal
-FROM terms JOIN tot USING (doc_id) GROUP BY doc_id, total""",
+    "text_surprisal" -> OracleSurprisal,
+
+    "text_quality_buckets" ->
+      s"""WITH s AS ($OracleSurprisal),
+r AS (SELECT doc_id, surprisal,
+  row_number() OVER (ORDER BY surprisal ASC, doc_id ASC) AS rnk FROM s),
+c AS (SELECT COUNT(*) AS n FROM s)
+SELECT doc_id, surprisal, CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS bucket FROM r, c""",
 
     "text_tfidf_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),

@@ -160,6 +160,24 @@ object TextPipeline {
         round(col("s").cast("double") / col("total"), 6).as("surprisal"))
   }
 
+  /** Curriculum/mixture buckets: decile (by default) assignment over the
+    * corpus surprisal distribution — the quality-tier partitioning a
+    * curriculum schedule or quality-weighted mixture samples from. Global
+    * rank comes from `Scale.distributedPrefixSum` (no single-partition
+    * window over the corpus); the bucket boundary is pure integer math
+    * (`(rank−1)·k DIV n + 1` — NTILE's distribution, engine and oracle
+    * agree exactly), with the one-row corpus count broadcast.
+    */
+  def qualityBuckets(spark: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    val s = surprisalScore(spark, dir)
+    val n = s.agg(count(lit(1)).as("__n"))
+    graft.operators.Scale.distributedPrefixSum(s.withColumn("__one", lit(1L)),
+        Seq(col("surprisal").asc, col("doc_id").asc), "__one", "__rnk")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("surprisal"),
+        (expr(s"(__rnk - 1) * $nBuckets DIV __n") + 1).cast("long").as("bucket"))
+  }
+
   /** Language-ID heuristic per doc (marker-stopword score argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     spread(spark, documents(spark, dir))

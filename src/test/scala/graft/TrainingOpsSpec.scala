@@ -325,6 +325,30 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(enMean > restMean)
   }
 
+  test("quality buckets: NTILE distribution over the surprisal ranking") {
+    val s = TextPipeline.surprisalScore(spark, dir).as[(Long, Double)].collect()
+    val got = TextPipeline.qualityBuckets(spark, dir).as[(Long, Double, Long)].collect()
+    assert(got.length == s.length && got.nonEmpty)
+    // scores pass through unchanged; bucket = NTILE over (surprisal, doc_id)
+    val scores = s.toMap
+    val order = s.sortBy(x => (x._2, x._1)).map(_._1)
+    val n = order.length
+    val expect = order.zipWithIndex.map { case (id, i) => id -> (i.toLong * 10 / n + 1) }.toMap
+    got.foreach { case (id, sur, b) =>
+      assert(sur == scores(id))
+      assert(b == expect(id), s"doc $id bucket mismatch")
+    }
+    // balanced tiers: sizes differ by at most 1; tiers are surprisal-ordered
+    val byBucket = got.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(byBucket.map(_._1) == (1L to 10L))
+    val sizes = byBucket.map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    byBucket.map(_._2.map(_._2)).sliding(2).foreach {
+      case Seq(a, b) => assert(a.max <= b.min)
+      case _ =>
+    }
+  }
+
   test("keep-best-of-cluster: one representative per cluster, argmax quality") {
     val labels = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
     val kept = Dedup.keepBestOfCluster(spark, dir)
