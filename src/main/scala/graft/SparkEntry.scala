@@ -88,6 +88,8 @@ object SparkEntry {
     "text_oov_rate"        -> ((s, d) => T.oovRate(s, d)),
     "text_dsir_weight"     -> ((s, d) => T.dsirWeight(s, d)),
     "text_quality_buckets" -> ((s, d) => T.qualityBuckets(s, d)),
+    "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
+    "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -721,6 +723,29 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 CAST(COUNT(*) FILTER (t.tok NOT IN (SELECT tok FROM v)) AS BIGINT) AS n_oov,
 round(CAST(COUNT(*) FILTER (t.tok NOT IN (SELECT tok FROM v)) AS DOUBLE) / COUNT(*), 6) AS oov_rate
 FROM t GROUP BY doc_id""",
+
+    "text_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($TOKS) AS tok FROM documents),
+f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM f),
+terms AS (SELECT CAST(round(ln(rnk), 6) AS DECIMAL(28,10)) AS x,
+  CAST(round(ln(freq), 6) AS DECIMAL(28,10)) AS y,
+  CAST(round(ln(rnk) * ln(rnk), 6) AS DECIMAL(28,10)) AS xx,
+  CAST(round(ln(rnk) * ln(freq), 6) AS DECIMAL(28,10)) AS xy FROM r),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+  CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+  CAST(SUM(xy) AS DOUBLE) AS sxy FROM terms)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept FROM s""",
+
+    "text_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
+SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+CAST(len(list_slice(toks, s + 1, least(s + 32, n))) AS BIGINT) AS n_tokens,
+array_to_string(list_slice(toks, s + 1, least(s + 32, n)), ' ') AS chunk
+FROM nz, unnest(range(0, n, 24)) t(s)""",
 
     "text_dsir_weight" ->
       s"""WITH t AS (SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents),

@@ -272,6 +272,31 @@ object TextPipeline {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Context-window chunking with overlap — the retrieval/embedding prep
+    * step `packSequences` doesn't cover: each document's token sequence is
+    * split into windows of `chunkSize` tokens starting every `stride`
+    * tokens (consecutive chunks overlap by `chunkSize − stride`, so no
+    * span is lost at a window boundary). The final chunk may be short;
+    * every token appears in at least one chunk. Entirely map-side — one
+    * tokenize, one `sequence`-explode, one slice per chunk; no shuffle at
+    * any corpus size.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk"))
+  }
+
   /** Deterministic training-shard assignment — the dataloader contract: a
     * document lands in one of `nShards` shards by a stable cross-engine
     * hash of its id (`md5Prefix64`, reproducible by any worker in any
@@ -367,6 +392,37 @@ object TextPipeline {
       .filter(col("rnk") <= topK)
       .select(col("tok"), col("freq"), col("rnk"),
         round(col("cum_freq").cast("double") / col("total"), 6).as("coverage"))
+  }
+
+  /** Zipf-law fit over the corpus token frequency table: least-squares
+    * slope/intercept of ln(freq) on ln(rank) — the one-row corpus
+    * diagnostic (natural text sits near slope −1; a far-off slope flags
+    * boilerplate floods or synthetic/degenerate text). Rank comes from
+    * `Scale.distributedPrefixSum` (no single-partition window over the
+    * vocabulary); the regression reduces to five scalar sums, each a
+    * rounded-then-decimal fold so the fit is order-independent and
+    * hash-stable. The unrounded slope feeds the intercept, mirrored
+    * exactly by the oracle.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = spread(spark, documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val dec = "decimal(28,10)"
+    val sums = graft.operators.Scale.distributedPrefixSum(tf,
+        Seq(col("freq").desc, col("tok").asc), "freq", "__cum", Some("rnk"))
+      .select(log(col("rnk")).as("x"), log(col("freq")).as("y"))
+      .select(round(col("x"), 6).cast(dec).as("x"), round(col("y"), 6).cast(dec).as("y"),
+        round(col("x") * col("x"), 6).cast(dec).as("xx"),
+        round(col("x") * col("y"), 6).cast(dec).as("xy"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("xx")).cast("double").as("sxx"), sum(col("xy")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").cast("long").as("n_vocab"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
   /** Per-document out-of-vocabulary rate against the top-`topK` corpus

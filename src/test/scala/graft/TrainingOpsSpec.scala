@@ -349,6 +349,56 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("chunking: stride coverage, overlap structure, reconstruction") {
+    val (chunkSize, stride) = (32, 24)
+    val got = TextPipeline.chunkDocuments(spark, dir, chunkSize, stride)
+      .as[(Long, Long, Long, String)].collect()
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    assert(got.map(_._1).toSet == docs.filter(_._2.nonEmpty).keySet)
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val toks = docs(id)
+      val byId = rows.sortBy(_._2)
+      // chunk ids dense from 0; one chunk per stride start below n
+      assert(byId.map(_._2).toSeq == (0L until ((toks.length + stride - 1) / stride).toLong))
+      byId.foreach { case (_, cid, n, chunk) =>
+        val start = (cid * stride).toInt
+        val expect = toks.slice(start, math.min(start + chunkSize, toks.length))
+        assert(n == expect.length)
+        assert(chunk == expect.mkString(" "), s"doc $id chunk $cid mismatch")
+      }
+      // dropping each chunk's overlap with its predecessor reconstructs the doc
+      val rebuilt = byId.flatMap { case (_, cid, _, chunk) =>
+        val ws = chunk.split(" ").toSeq
+        if (cid == 0) ws else ws.drop(chunkSize - stride)
+      }
+      assert(rebuilt.toSeq == toks)
+    }
+  }
+
+  test("zipf fit: reconciles with a driver-side least-squares recount, slope negative") {
+    val Array((nv, slope, intercept)) =
+      TextPipeline.zipfFit(spark, dir).as[(Long, Double, Double)].collect()
+    val docs = Tables.documents(spark, dir).select("text").as[String].collect()
+    val freq = docs.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    assert(nv == freq.size)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ranked = freq.toSeq.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = ranked.length.toDouble
+    val (sx, sy, sxx, sxy) = (
+      ranked.map(p => r6(p._1)).sum.toDouble, ranked.map(p => r6(p._2)).sum.toDouble,
+      ranked.map(p => r6(p._1 * p._1)).sum.toDouble,
+      ranked.map(p => r6(p._1 * p._2)).sum.toDouble)
+    val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(slope == r6(m).toDouble)
+    assert(intercept == r6((sy - m * sx) / n).toDouble)
+    // frequency decays with rank on any natural-ish corpus
+    assert(slope < 0)
+  }
+
   test("keep-best-of-cluster: one representative per cluster, argmax quality") {
     val labels = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
     val kept = Dedup.keepBestOfCluster(spark, dir)
