@@ -754,10 +754,13 @@ f AS (SELECT tok, SUM(tf) AS cf,
   COALESCE(SUM(tf) FILTER (lang = 'en'), 0) AS tq FROM tf GROUP BY tok),
 c AS (SELECT CAST(SUM(cf) AS DOUBLE) AS nc, CAST(SUM(tq) AS DOUBLE) AS nt,
   CAST(COUNT(*) AS DOUBLE) AS v FROM f),
-term AS (SELECT doc_id, CAST(round(tf * (ln((tq + 1) / (nt + v)) - ln((cf + 1) / (nc + v))), 6)
-  AS DECIMAL(28,10)) AS term FROM tf JOIN f USING (tok) CROSS JOIN c),
+lr AS (SELECT tok, CAST(round(ln((tq + 1) / (nt + v)) - ln((cf + 1) / (nc + v)), 6)
+  AS DECIMAL(18,6)) AS lr FROM f CROSS JOIN c),
+term AS (SELECT doc_id, CAST(tf AS DECIMAL(10,0)) * lr AS term FROM tf JOIN lr USING (tok)),
 tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id)
-SELECT doc_id, n_tokens, round(CAST(s AS DOUBLE) / n_tokens, 6) AS dsir_weight
+SELECT doc_id, n_tokens, CAST(CAST(sign(s) AS BIGINT) *
+  ((2 * abs(CAST(s * 1000000 AS BIGINT)) + n_tokens) // (2 * n_tokens))
+  AS DOUBLE) / 1000000.0 AS dsir_weight
 FROM (SELECT doc_id, SUM(term) AS s FROM term GROUP BY doc_id) JOIN tot USING (doc_id)""",
 
     "text_char_entropy" ->

@@ -169,7 +169,9 @@ object TextPipeline {
     * agree exactly), with the one-row corpus count broadcast.
     */
   def qualityBuckets(spark: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
-    val s = surprisalScore(spark, dir)
+    // pinned once: both the rank pass and the one-row count read the
+    // materialized scores instead of re-running the surprisal shuffles
+    val s = surprisalScore(spark, dir).localCheckpoint()
     val n = s.agg(count(lit(1)).as("__n"))
     graft.operators.Scale.distributedPrefixSum(s.withColumn("__one", lit(1L)),
         Seq(col("surprisal").asc, col("doc_id").asc), "__one", "__rnk")
@@ -461,9 +463,14 @@ object TextPipeline {
     * `surprisalScore` pays); the merged token table joins back size-gated
     * (`Scale.maybeBroadcast` — a web-scale vocabulary falls back to a
     * shuffle join), and the three corpus constants are a one-row
-    * broadcast. Per-term contributions are rounded then summed in
-    * decimal, so the fold is order-independent and the result hash-stable
-    * under any partitioning (engine-wide contract for derived doubles).
+    * broadcast. The log-ratio is rounded ONCE per DISTINCT token and the
+    * per-doc contribution is `tf × ratio` in exact decimal — so the only
+    * floating-point op whose last-ulp behavior must agree across engines
+    * is one `ln` per vocabulary entry, not one per (doc, token) product
+    * (a per-product rounding sat on a half-boundary at sf0.1 and split
+    * Spark from the oracle by 1e-6; per-token rounding shrinks the
+    * boundary surface by the corpus/vocabulary ratio and the decimal fold
+    * keeps the rest exact under any partitioning).
     */
   def dsirWeight(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
     val tf = spread(spark, documents(spark, dir))
@@ -477,16 +484,26 @@ object TextPipeline {
         sum(when(col("lang") === targetLang, col("tf")).otherwise(0L)).as("tq"))
     val consts = freq.agg(sum(col("cf")).cast("double").as("nc"),
       sum(col("tq")).cast("double").as("nt"), count(lit(1)).cast("double").as("v"))
-    tf.join(graft.operators.Scale.maybeBroadcast(freq), "tok")
-      .join(broadcast(consts))
+    val ratios = freq.join(broadcast(consts))
+      .select(col("tok"),
+        round(log((col("tq") + 1) / (col("nt") + col("v")))
+          - log((col("cf") + 1) / (col("nc") + col("v"))), 6)
+          .cast("decimal(18,6)").as("lr"))
+    tf.join(graft.operators.Scale.maybeBroadcast(ratios), "tok")
       .select(col("doc_id"), col("total"),
-        round(col("tf") * (log((col("tq") + 1) / (col("nt") + col("v")))
-          - log((col("cf") + 1) / (col("nc") + col("v")))), 6)
-          .cast("decimal(28,10)").as("term"))
+        (col("tf").cast("decimal(10,0)") * col("lr")).as("term"))
       .groupBy(col("doc_id"), col("total"))
       .agg(sum(col("term")).as("s"))
+      // round(s/total, 6) in pure integer math: s is scale-6 decimal, so
+      // s·10⁶ is an exact integer and HALF_UP division is
+      // sign·((2|s6|+total) DIV 2·total) — the double rendering sat
+      // EXACTLY on half-boundaries (−0.088309/26 = −0.0033965) where
+      // Spark's shortest-repr rounding and the oracle's scaled-double
+      // rounding legally disagree; integers cannot.
       .select(col("doc_id"), col("total").as("n_tokens"),
-        round(col("s").cast("double") / col("total"), 6).as("dsir_weight"))
+        expr("""CAST(CAST(signum(s) AS BIGINT) *
+          ((2 * abs(CAST(s * 1000000 AS BIGINT)) + total) DIV (2 * total))
+          AS DOUBLE) / 1000000.0""").as("dsir_weight"))
   }
 
   /** Corpus-wide boilerplate n-gram mining: word `n`-grams appearing in at

@@ -306,14 +306,18 @@ class TrainingOpsSpec extends SparkSpecBase {
       .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
     val (nc, nt, v) = (cf.values.sum.toDouble, tq.values.sum.toDouble, cf.size.toDouble)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // log-ratio rounded once per distinct token, doc terms exact decimal
+    val lr = cf.keys.map(t => t -> r6(math.log((tq.getOrElse(t, 0L) + 1) / (nt + v))
+      - math.log((cf(t) + 1) / (nc + v)))).toMap
     docs.filter(d => toks(d._3).nonEmpty).foreach { case (id, _, text) =>
       val tf = toks(text).groupBy(identity).map { case (t, xs) => t -> xs.length }
-      val s = tf.toSeq.map { case (t, n) =>
-        r6(n * (math.log((tq.getOrElse(t, 0L) + 1) / (nt + v))
-          - math.log((cf(t) + 1) / (nc + v)))) }.sum
+      val s = tf.toSeq.map { case (t, n) => n * lr(t) }.sum
       val (n, w) = got(id)
       assert(n == tf.values.sum)
-      assert(w == r6(s.toDouble / n).toDouble, s"doc $id weight mismatch")
+      // integer half-up division, the engine/oracle contract (no doubles)
+      val s6 = (s * 1000000).toLongExact
+      val expect = (s6.sign * ((2 * math.abs(s6) + n) / (2 * n))).toDouble / 1000000.0
+      assert(w == expect, s"doc $id weight mismatch")
     }
     // the signal separates the target slice: mean weight of en docs exceeds
     // the mean over the rest (the statistic DSIR resamples on)
