@@ -384,9 +384,11 @@ object TextPipeline {
     * table (map-side combined); the one-row total is broadcast.
     */
   def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    // pinned: feeds both the one-row total and the rank pass
     val tf = spread(spark, documents(spark, dir))
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val total = tf.agg(sum(col("freq")).cast("double").as("total"))
     graft.operators.Scale.distributedPrefixSum(tf,
         Seq(col("freq").desc, col("tok").asc), "freq", "cum_freq", Some("rnk"))
@@ -473,12 +475,16 @@ object TextPipeline {
     * keeps the rest exact under any partitioning).
     */
   def dsirWeight(spark: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
+    // materialized once: the tf table feeds the doc-side join, the
+    // frequency tables, and the corpus constants — without the pin the
+    // corpus tokenize/explode subtree plans (and runs) three times
     val tf = spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("total"),
         explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("lang"), col("total"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val freq = tf.groupBy(col("tok"))
       .agg(sum(col("tf")).as("cf"),
         sum(when(col("lang") === targetLang, col("tf")).otherwise(0L)).as("tq"))
