@@ -84,6 +84,7 @@ object SparkEntry {
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
     "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
+    "text_boilerplate_strip" -> ((s, d) => T.boilerplateStrip(s, d)),
     "text_vocab_coverage"  -> ((s, d) => T.vocabCoverage(s, d)),
     "text_oov_rate"        -> ((s, d) => T.oovRate(s, d)),
     "text_dsir_weight"     -> ((s, d) => T.dsirWeight(s, d)),
@@ -702,6 +703,21 @@ WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < permille""",
 g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
 FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) s(i) WHERE len(t) >= 5)
 SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY gram HAVING COUNT(*) >= 3""",
+
+    "text_boilerplate_strip" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+g AS (SELECT doc_id, s, array_to_string(list_slice(toks, s + 1, s + 5), ' ') AS gram
+FROM d, unnest(range(0, len(toks) - 4)) t(s) WHERE len(toks) >= 5),
+mined AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
+WHERE n_docs >= 3),
+cov AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS starts FROM g JOIN mined USING (gram) GROUP BY doc_id),
+j AS (SELECT d.doc_id, toks, CASE WHEN starts IS NULL THEN CAST([] AS BIGINT[]) ELSE starts END AS starts
+FROM d LEFT JOIN cov USING (doc_id)),
+k AS (SELECT doc_id, toks,
+list_filter(range(0, len(toks)), p -> len(list_filter(starts, s -> s <= p AND p <= s + 4)) = 0) AS kept FROM j)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+COALESCE(array_to_string(list_transform(kept, p -> toks[p + 1]), ' '), '') AS clean_text FROM k""",
 
     "text_vocab_coverage" ->
       s"""WITH t AS (SELECT unnest($TOKS) AS tok FROM documents),

@@ -540,6 +540,46 @@ object TextPipeline {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Boilerplate stripping — the consumer of `boilerplateNgrams`: every
+    * token position covered by an occurrence of a mined corpus-repeated
+    * `n`-gram is removed, and the survivors are re-joined into
+    * `clean_text` (headers/footers/license blocks vanish, prose stays).
+    * Same mining contract as `boilerplateNgrams` (≥ `minDocs` distinct
+    * docs). Scale shape: occurrences shuffle as (gram, doc, start)
+    * id-rows against the size-gated mined table; the position mask is a
+    * per-row higher-order filter (interpreted, but output-shaping, not a
+    * join hot path); one left join carries the tiny covered-starts arrays
+    * back to the corpus.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String, n: Int = 5,
+                       minDocs: Int = 3): DataFrame = {
+    val mined = boilerplateNgrams(spark, dir, n, minDocs).select(col("gram"))
+    val docs = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds the occurrence explode AND the final join
+    val covered = docs
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - n),
+        i => struct(i.as("start"), concat_ws(" ",
+          (0 until n).map(o => element_at(col("toks"), i + 1 + o)): _*).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.gram").as("gram"))
+      .join(graft.operators.Scale.maybeBroadcast(mined), "gram")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("toks"), when(size(col("toks")) > 0,
+          filter(sequence(lit(0), size(col("toks")) - 1),
+            p => !exists(col("starts"), s => s <= p && p <= s + (n - 1))))
+          .otherwise(array().cast("array<int>")).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("toks"), p + 1))).as("clean_text"))
+  }
+
   /** Quality-filter pipeline with rejection reason codes — production
     * corpus filters must report WHY a document was dropped (filter-rate
     * dashboards, ablation studies), not just emit the survivors. One

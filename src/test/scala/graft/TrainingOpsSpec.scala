@@ -381,6 +381,30 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("boilerplate strip: exact mask recount, prose survives, boilerplate vanishes") {
+    val got = TextPipeline.boilerplateStrip(spark, dir)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    assert(got.keySet == docs.map(_._1).toSet)
+    // mine: 5-grams in >= 3 distinct docs
+    def grams(toks: Seq[String]) = toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+    val mined = docs.flatMap { case (id, toks) => grams(toks).distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 3).keySet
+    var removedAny = false
+    docs.foreach { case (id, toks) =>
+      val starts = grams(toks).zipWithIndex.collect { case (g, i) if mined(g) => i }
+      val kept = toks.indices.filterNot(p => starts.exists(s => s <= p && p <= s + 4))
+      val (_, n, rm, clean) = got(id)
+      assert(n == toks.length)
+      assert(rm == toks.length - kept.length)
+      assert(clean == kept.map(toks).mkString(" "), s"doc $id clean text mismatch")
+      removedAny ||= rm > 0
+    }
+    assert(removedAny, "no boilerplate removed — test corpus makes this vacuous")
+  }
+
   test("zipf fit: reconciles with a driver-side least-squares recount, slope negative") {
     val Array((nv, slope, intercept)) =
       TextPipeline.zipfFit(spark, dir).as[(Long, Double, Double)].collect()
