@@ -847,7 +847,7 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
 m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS ma FROM e)
 SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-CAST(floor(emb[i] * 127.0 / ma + 0.5) AS BIGINT) AS qval, round(ma / 127, 9) AS scale
+CAST(floor(emb[i] * 127.0 / ma + 0.5) AS BIGINT) AS qval, ma / 127 AS scale
 FROM m, unnest(range(1, len(emb) + 1)) t(i) WHERE ma > 0""",
 
     "ann_quant_topk" ->

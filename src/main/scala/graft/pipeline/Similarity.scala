@@ -239,7 +239,10 @@ object Similarity {
     */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     withMaxAbs(spark, dir)
-      .select(col("vec_id"), col("ma"), round(col("ma") / 127, 9).as("scale"),
+      // scale is NOT rounded: a single IEEE division on a float-derived
+      // max is bit-identical in any engine, and 9dp rounding would zero
+      // the scale for tiny-magnitude vectors (|v|max ~ 1e-8)
+      .select(col("vec_id"), col("ma"), (col("ma") / 127).as("scale"),
         posexplode(col("emb")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         floor(col("col") * 127.0 / col("ma") + 0.5).cast("long").as("qval"),

@@ -55,9 +55,8 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
       rows.foreach { case (_, pos, q, scale) =>
         assert(q >= -127 && q <= 127)
         assert(q == math.floor(v(pos.toInt) * 127.0 / ma + 0.5).toLong)
-        // reconstruction error bounded by half a quantization step (plus
-        // the 9dp rounding of the dumped scale)
-        assert(math.abs(q * scale - v(pos.toInt)) <= ma / 254 + 1e-6)
+        // reconstruction error bounded by half a quantization step
+        assert(math.abs(q * scale - v(pos.toInt)) <= ma / 254 + ma * 1e-12)
       }
     }
   }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import scala.util.Random
 import graft.operators.LogPipeline
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity, TextPipeline}
 
 /** Property-style invariants over seeded random inputs (SURVEY §5.2):
   * first-wins uniqueness (ST1), interval-join bound containment (J1),
@@ -184,5 +184,69 @@ class PropertySpec extends SparkSpecBase {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L).length == Dedup.NumHashes)
+  }
+
+  test("int8 quantization: adversarial vectors — zero drop, bounds, half-step error") {
+    val r = new Random(7)
+    val dim = 16
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      Seq(
+        (0L, Array.fill(dim)(0.0f), 0),                          // zero vector: dropped
+        (1L, Array.fill(dim)(1e-8f), 0),                         // tiny but nonzero
+        (2L, Array.fill(dim)(-3.5f), 0),                         // constant negative
+        (3L, Array.tabulate(dim)(i => if (i == 0) 100f else 1e-4f), 0) // huge dynamic range
+      ) ++ (4L to 40L).map(i => (i, Array.fill(dim)((r.nextFloat() - 0.5f) * 4), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("quantprop").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.quantizeInt8(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1)
+    assert(!got.contains(0L), "all-zero vector must be dropped")
+    assert(got.keySet == vecs.map(_._1).toSet - 0L)
+    got.foreach { case (id, rows) =>
+      val v = vecs.find(_._1 == id).get._2.map(_.toDouble)
+      val ma = v.map(math.abs).max
+      assert(rows.length == dim)
+      rows.foreach { case (_, pos, q, scale) =>
+        assert(q >= -127 && q <= 127, s"vec $id code $q out of range")
+        assert(math.abs(q * scale - v(pos.toInt)) <= ma / 254 + ma * 1e-12,
+          s"vec $id pos $pos reconstruction off")
+      }
+      // the max-magnitude element always uses the full code range
+      assert(rows.map(r => math.abs(r._3)).max == 127L)
+    }
+  }
+
+  test("chunking: reconstruction holds at adversarial length/stride boundaries") {
+    val (chunkSize, stride) = (32, 24)
+    // lengths straddling every boundary: empty, 1, stride-1/stride/stride+1,
+    // chunk-1/chunk/chunk+1, exact multiples, and a long tail
+    val lens = Seq(0, 1, 23, 24, 25, 31, 32, 33, 48, 72, 96, 97, 200)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "), "en", "src", n.toLong)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("chunkprop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.chunkDocuments(spark, tmp, chunkSize, stride)
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    docs.foreach { case (id, text, _, _, n) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) assert(!got.contains(id))
+      else {
+        val rows = got(id).sortBy(_._2)
+        assert(rows.map(_._2).toSeq == (0L until ((toks.length + stride - 1) / stride).toLong),
+          s"len $n chunk ids")
+        val rebuilt = rows.flatMap { case (_, cid, _, chunk) =>
+          val ws = chunk.split(" ").toSeq
+          if (cid == 0) ws else ws.drop(chunkSize - stride)
+        }
+        assert(rebuilt.toSeq == toks, s"len $n reconstruction")
+        // every chunk except possibly the last is full-size or doc-bounded
+        rows.init.foreach { case (_, cid, ct, _) =>
+          assert(ct == math.min(chunkSize, toks.length - cid * stride), s"len $n chunk $cid size")
+        }
+      }
+    }
   }
 }
