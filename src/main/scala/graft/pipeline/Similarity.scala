@@ -24,8 +24,14 @@ object Similarity {
     * every caller joins it against itself or a query subset.
     */
   private def withNorms(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    withNormsFrom(spread(spark, embeddings(spark, dir)))
+
+  /** `withNorms` over an arbitrary (vec_id, embedding) frame — the entry
+    * point the scale sweep (`BenchScaleAnn`) feeds replicated corpora
+    * through; the dir-based loaders delegate here.
+    */
+  private def withNormsFrom(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .localCheckpoint()
 
   private def topK(scored: DataFrame, k: Int): DataFrame =
@@ -39,8 +45,11 @@ object Similarity {
     * excluding self. The query side is broadcast; ranking is a per-query
     * window top-k with deterministic tie-break (cos desc, vec_id asc).
     */
-  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNorms(spark, dir)
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteForceTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k)
+
+  def bruteForceTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNormsFrom(raw)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
@@ -80,8 +89,12 @@ object Similarity {
     * nProbe/nCells of it.
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    val e = withNorms(spark, dir)
+              nCells: Int = 8, nProbe: Int = 2): DataFrame =
+    ivfTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, nCells, nProbe)
+
+  def ivfTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = withNormsFrom(raw)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     // assignment: nearest centroid per vector (broadcast centroids)
@@ -250,8 +263,10 @@ object Similarity {
 
   /** vec_id, emb (double), ma = max |v_i| — zero vectors dropped. */
   private def withMaxAbs(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, embeddings(spark, dir))
-      .select(col("vec_id"),
+    withMaxAbsFrom(spread(spark, embeddings(spark, dir)))
+
+  private def withMaxAbsFrom(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .select(col("vec_id"), col("emb"),
         array_max(transform(col("emb"), x => abs(x))).as("ma"))
@@ -264,11 +279,18 @@ object Similarity {
     * approximation error vs `bruteForceTopK` is the quantizer's, not the
     * engine's; recall against the float ranking is spec-measured.
     */
-  def quantTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withMaxAbs(spark, dir)
+  def quantTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    quantTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k)
+
+  def quantTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // codes materialized once (same discipline as withNormsFrom): the
+    // encode transform feeds both join sides, and in production the int8
+    // codes are the STORED representation — search never re-encodes
+    val e = withMaxAbsFrom(raw)
       .select(col("vec_id"),
         transform(col("emb"), x => floor(x * 127.0 / col("ma") + 0.5).cast("double")).as("qv"))
       .select(col("vec_id"), col("qv"), norm(col("qv")).as("nrm"))
+      .localCheckpoint()
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("qv"), col("nrm"))
@@ -283,8 +305,12 @@ object Similarity {
     * a corpus-wide brute force is impossible.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              nPlanes: Int = 8): DataFrame = {
-    val base = withNorms(spark, dir)
+              nPlanes: Int = 8): DataFrame =
+    lshTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, nPlanes)
+
+  def lshTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  nPlanes: Int = 8): DataFrame = {
+    val base = withNormsFrom(raw)
     // embedding dimensionality, one row off the checkpointed table — fixes
     // the literal weight-vector length for the plane dot products. A
     // heterogeneous-dimension corpus fails loud at the graft_dot length
