@@ -66,6 +66,7 @@ object BenchScaleAnn {
     def variants(nq: Int): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "brute" -> (() => pipeline.Similarity.bruteForceTopKFrom(scaledVecs, nQueries = nq)),
       "lsh"   -> (() => pipeline.Similarity.lshTopKFrom(scaledVecs, nQueries = nq)),
+      "lsh_mp" -> (() => pipeline.Similarity.lshMultiProbeTopKFrom(scaledVecs, nQueries = nq)),
       "ivf"   -> (() => pipeline.Similarity.ivfTopKFrom(scaledVecs, nQueries = nq)),
       "quant" -> (() => pipeline.Similarity.quantTopKFrom(scaledVecs, nQueries = nq)))
 
@@ -95,6 +96,7 @@ object BenchScaleAnn {
     val brute = pairSet(pipeline.Similarity.bruteForceTopKFrom(scaledVecs))
     val recalls = Seq(
       "lsh"   -> pairSet(pipeline.Similarity.lshTopKFrom(scaledVecs)),
+      "lsh_mp" -> pairSet(pipeline.Similarity.lshMultiProbeTopKFrom(scaledVecs)),
       "ivf"   -> pairSet(pipeline.Similarity.ivfTopKFrom(scaledVecs)),
       "quant" -> pairSet(pipeline.Similarity.quantTopKFrom(scaledVecs)))
       .map { case (n, s) =>

@@ -117,6 +117,7 @@ object SparkEntry {
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_quant_topk"       -> ((s, d) => Similarity.quantTopK(s, d)),
+    "ann_lsh_multiprobe"   -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
@@ -196,6 +197,17 @@ terms AS (SELECT doc_id, CAST(round(tf * ln(n / CAST(cf AS DOUBLE)), 6) AS DECIM
 FROM tf JOIN cf USING (tok), n)
 SELECT doc_id, round(CAST(SUM(term) AS DOUBLE) / total, 6) AS surprisal
 FROM terms JOIN tot USING (doc_id) GROUP BY doc_id, total"""
+
+  /** Sign-LSH bucket CTE (8 md5-parity hyperplanes over 64 dims) —
+    * shared by the single-probe and multi-probe renderings (identical
+    * bucket function is the point of the comparison).
+    */
+  private val LshBuckets =
+    """nb AS (SELECT vec_id, emb, nrm, CAST(list_sum(list_transform(range(0, 8),
+  h -> CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5(h || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) >= 0
+  THEN CAST(1 AS BIGINT) << h ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket FROM n)"""
 
   /** Bag-Jaccard oracle — shared by the exhaustive and prefix-filtered
     * renderings (they must emit the identical pair set).
@@ -824,12 +836,19 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
 
     "ann_lsh_topk" ->
       s"""WITH $embNorms,
-nb AS (SELECT vec_id, emb, nrm, CAST(list_sum(list_transform(range(0, 8),
-  h -> CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64),
-    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5(h || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
-      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) >= 0
-  THEN CAST(1 AS BIGINT) << h ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket FROM n),
+$LshBuckets,
 q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, bucket FROM nb WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM nb a JOIN q USING (bucket) WHERE a.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH $embNorms,
+$LshBuckets,
+q0 AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, bucket AS own FROM nb WHERE vec_id < 10),
+q AS (SELECT query_id, qe, qn, CASE WHEN f = -1 THEN own
+  ELSE xor(own, CAST(1 AS BIGINT) << f) END AS bucket FROM q0, unnest(range(-1, 8)) t(f)),
 c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
 FROM nb a JOIN q USING (bucket) WHERE a.vec_id <> query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)

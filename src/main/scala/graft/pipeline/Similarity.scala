@@ -171,6 +171,48 @@ object Similarity {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
   }
 
+  /** Multi-probe sign-LSH top-k: each query probes its own bucket AND
+    * every bucket at Hamming distance 1 (one plane's sign flipped) —
+    * `nPlanes + 1` probes per query. The standard recall repair for
+    * sign-LSH: a near neighbor straddling ONE hyperplane is the dominant
+    * miss of the single-probe path, and flipping each bit reclaims it at
+    * (nPlanes+1)× the candidate cost — still nPlanes+1/2^nPlanes of the
+    * corpus per query, not a scan. Same bucket function as `lshTopK`
+    * (spec: strictly-no-worse recall); the probe set is generated on the
+    * query side only, so the corpus is still bucketed once.
+    */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+                        k: Int = 5, nPlanes: Int = 8): DataFrame =
+    lshMultiProbeTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, nPlanes)
+
+  def lshMultiProbeTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                            nPlanes: Int = 8): DataFrame = {
+    val base = withNormsFrom(raw)
+    val dim = base.select(size(col("embedding"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    val e = base
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    // query side explodes to its own bucket + each one-bit flip
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(array((lit(-1) +: (0 until nPlanes).map(lit(_))): _*)).as("flip"),
+        col("bucket").as("own"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        when(col("flip") === -1, col("own"))
+          .otherwise(expr("own ^ (CAST(1 AS BIGINT) << flip)")).as("bucket"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    // no dedup needed: a neighbor lives in exactly one bucket, and the
+    // probe set per query is distinct buckets — each (query, neighbor)
+    // pair matches at most once
+    topK(scored, k)
+  }
+
   /** Cluster-balanced (diversity) sample: up to `cap` vectors per k-means
     * cluster, drawn in deterministic hash order — the embedding-space
     * counterpart of `TextPipeline.stratifiedSample`. Uniform sampling

@@ -74,6 +74,30 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"quantized recall too low: $recall")
   }
 
+  test("multi-probe LSH: recall dominates single-probe, scores exact") {
+    val d = sf("embeddings")
+    val brute = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshMultiProbeTopK(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    val multiSet = multi.map(r => (r._1, r._2)).toSet
+    assert(multi.nonEmpty)
+    // no duplicate (query, neighbor) pairs from the probe explosion
+    assert(multiSet.size == multi.length)
+    val rs = (brute intersect single).size.toDouble / brute.size
+    val rm = (brute intersect multiSet).size.toDouble / brute.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    // every reported cosine matches the brute-force score for that pair
+    val exact = Similarity.bruteForceTopK(spark, d, k = 500)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    multi.foreach { case (q, n, _, cos) =>
+      exact.get((q, n)).foreach(e => assert(e == cos, s"pair ($q,$n) score mismatch"))
+    }
+  }
+
   test("cluster-balanced sample: per-cluster cap honored, draw matches the assignment") {
     val d = sf("embeddings")
     val labels = Similarity.kmeansAssign(spark, d)
