@@ -175,6 +175,27 @@ class OperatorSpec extends SparkSpecBase {
       s"kernel projection not inside a whole-stage codegen span:\n$sig")
   }
 
+  test("round-7 plan shapes: map-side quantization, rank-limit pushdown on the top-k windows") {
+    import graft.pipeline.Similarity
+    // int8 quantization is a pure projection: the only exchange is the
+    // engine-wide `spread` round-robin (few-split test inputs) — no
+    // key shuffle, no single-partition collapse anywhere
+    val quant = Similarity.quantizeInt8(spark, sf("embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(!quant.contains("hashpartitioning") && !quant.contains("SinglePartition"),
+      s"quantization plan shuffles on a key:\n$quant")
+    assert(quant.contains("Generate"), s"quantization lost its explode:\n$quant")
+    // quantized ANN + cluster-balance top-k: Spark 4's rank-limit pushdown
+    // must bound the shuffle (each map task keeps its local top-k BEFORE
+    // the exchange — the shape that makes window top-k shuffle-bounded)
+    val qtop = Similarity.quantTopK(spark, sf("embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(qtop.contains("WindowGroupLimit"), s"quant top-k lost rank-limit pushdown:\n$qtop")
+    val bal = Similarity.clusterBalanceSample(spark, sf("embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(bal.contains("WindowGroupLimit"), s"cluster cap lost rank-limit pushdown:\n$bal")
+  }
+
   test("round-3 plan shapes: in-row PPJoin prefix, two-level rollup, serving views registered once") {
     import graft.pipeline.Dedup
     import graft.operators.{Relational, Serving}

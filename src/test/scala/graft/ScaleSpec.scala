@@ -175,4 +175,11 @@ class ScaleSpec extends SparkSpecBase {
     intercept[IllegalStateException] { BenchScale.enforcePairEquality(false, false) }
     BenchScale.enforcePairEquality(jaccardEqual = true, containEqual = true) // no throw
   }
+
+  test("BenchScaleAnn enforces quantized recall and non-empty blocked results") {
+    intercept[IllegalStateException] { BenchScaleAnn.enforce(0.79, 10, 10) }
+    intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 0, 10) }
+    intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 10, 0) }
+    BenchScaleAnn.enforce(0.98, 10, 10) // no throw
+  }
 }
