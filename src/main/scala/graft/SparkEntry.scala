@@ -122,6 +122,7 @@ object SparkEntry {
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     "sample_cluster_balance" -> ((s, d) => Similarity.clusterBalanceSample(s, d)),
+    "sample_split"         -> ((s, d) => Dedup.leakageFreeSplit(s, d)),
     // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
     "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
                                  .select("id", "media_type", "n_bytes")),
@@ -626,6 +627,23 @@ edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, d
 reach(id, lab) AS (SELECT doc_id, doc_id FROM documents
 UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
 SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id""",
+
+    "sample_split" ->
+      s"""WITH RECURSIVE ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+WHERE round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, lab) AS (SELECT doc_id, doc_id FROM documents
+UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+cl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+CASE WHEN ${MD5P("CAST(cluster_id AS VARCHAR)")} % 1000 < 10 THEN 'test'
+WHEN ${MD5P("CAST(cluster_id AS VARCHAR)")} % 1000 < 20 THEN 'val'
+ELSE 'train' END AS split FROM cl""",
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE ${minhashHs("")},

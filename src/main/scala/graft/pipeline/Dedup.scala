@@ -282,6 +282,27 @@ object Dedup {
       .select(col("cluster_id"), col("doc_id").as("keep_id"), col("quality"))
   }
 
+  /** Leakage-free train/val/test split: the split hash is computed on the
+    * near-dup CLUSTER label, not the document id, so every member of a
+    * near-duplicate cluster lands in the SAME split — the standard
+    * eval-contamination guard (a near-copy of a validation doc in train
+    * inflates the score exactly like a leaked doc). Permille cuts over the
+    * same engine-portable md5 used by every sampler here: any worker in
+    * any language recomputes the assignment. Scale shape: one extra
+    * map-side projection over the `corpusClusters` labels.
+    */
+  def leakageFreeSplit(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                       testPermille: Int = 10, valPermille: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix64
+    corpusClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(md5Prefix64(col("cluster_id").cast("string")), lit(1000L)).as("h"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") < testPermille, lit("test"))
+          .when(col("h") < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Benchmark-contamination check: flag corpus documents (doc_id ≥
     * `benchBound`) sharing at least one distinct word 5-gram with the
     * benchmark set (doc_id < `benchBound`), with the shared-gram count.

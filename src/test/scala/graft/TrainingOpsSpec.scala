@@ -405,6 +405,34 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(removedAny, "no boilerplate removed — test corpus makes this vacuous")
   }
 
+  test("leakage-free split: near-dup pairs never straddle splits, cuts match the hash") {
+    val got = Dedup.leakageFreeSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    val labels = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got.map(_._1).toSet == labels.keySet)
+    // THE invariant: both endpoints of every near-dup pair share a split
+    val pairs = Dedup.minhashLsh(spark, dir).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) straddles ${byDoc(a)}/${byDoc(b)}")
+    }
+    // split is a pure function of the cluster hash (driver recount)
+    def md5p(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    got.foreach { case (id, c, split) =>
+      assert(c == labels(id))
+      val h = md5p(c.toString) % 1000
+      val expect = if (h < 10) "test" else if (h < 20) "val" else "train"
+      assert(split == expect, s"doc $id split mismatch (h=$h)")
+    }
+    // all three splits non-empty is corpus-dependent; train must dominate
+    val n = got.length.toDouble
+    assert(got.count(_._3 == "train") / n > 0.9)
+  }
+
   test("zipf fit: reconciles with a driver-side least-squares recount, slope negative") {
     val Array((nv, slope, intercept)) =
       TextPipeline.zipfFit(spark, dir).as[(Long, Double, Double)].collect()
