@@ -91,6 +91,7 @@ object SparkEntry {
     "text_quality_buckets" -> ((s, d) => T.qualityBuckets(s, d)),
     "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
+    "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -493,6 +494,12 @@ event_type, COUNT(*) AS ct FROM x GROUP BY w, event_type""",
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
 b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
 SELECT bigram, COUNT(*) AS ct FROM b GROUP BY bigram ORDER BY ct DESC, bigram ASC LIMIT 200""",
+
+    "text_bpe_pairs" ->
+      s"""WITH wf AS (SELECT tok AS word, COUNT(*) AS wf FROM (SELECT unnest($TOKS) AS tok FROM documents) GROUP BY tok),
+pr AS (SELECT wf, unnest(list_transform(range(1, len(word)), i -> substring(word, CAST(i AS INT), 2))) AS pair
+FROM wf WHERE len(word) >= 2)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM pr GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 200""",
 
     "u1_split_words" ->
       s"SELECT doc_id, unnest($TOKS) AS word FROM documents WHERE doc_id < 20",

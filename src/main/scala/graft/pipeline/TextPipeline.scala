@@ -429,6 +429,26 @@ object TextPipeline {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** First BPE merge step (tokenizer vocabulary induction): adjacent
+    * character-pair frequencies over the corpus, weighted by word count —
+    * the ranked merge candidates a byte-pair encoder would fuse first.
+    * The classic scaling trick applies: aggregate the corpus to its
+    * (word, count) vocabulary FIRST — vocabulary grows sub-linearly with
+    * corpus size (Heaps' law), so the character-pair explosion runs over
+    * the compact distinct-word table, not the raw corpus. One shuffle on
+    * word (map-side partial counts), one on the ~|alphabet|² pair space.
+    */
+  def bpePairFreq(spark: SparkSession, dir: String, topK: Int = 200): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(topK)
+
   /** Per-document out-of-vocabulary rate against the top-`topK` corpus
     * vocabulary — the tokenizer-fit statistic (a doc whose occurrences
     * fall mostly outside the vocab cut will fragment into subwords). The

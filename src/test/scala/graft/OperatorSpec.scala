@@ -194,6 +194,13 @@ class OperatorSpec extends SparkSpecBase {
     val bal = Similarity.clusterBalanceSample(spark, sf("embeddings"))
       .queryExecution.executedPlan.toString
     assert(bal.contains("WindowGroupLimit"), s"cluster cap lost rank-limit pushdown:\n$bal")
+    // BPE pair table: global top-k must plan as TakeOrderedAndProject
+    // (per-partition heaps, k rows per task to the driver) — never a
+    // global Sort, and no corpus-wide single-partition stage anywhere
+    val bpe = graft.pipeline.TextPipeline.bpePairFreq(spark, sf("documents"))
+      .queryExecution.executedPlan.toString
+    assert(bpe.contains("TakeOrderedAndProject"), s"bpe top-k lost the bounded take:\n$bpe")
+    assert(!bpe.contains("SinglePartition"), s"bpe plan collapses to one partition:\n$bpe")
   }
 
   test("round-3 plan shapes: in-row PPJoin prefix, two-level rollup, serving views registered once") {

@@ -433,6 +433,21 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.count(_._3 == "train") / n > 0.9)
   }
 
+  test("bpe pairs: top merge candidates match a driver-side weighted recount") {
+    val got = TextPipeline.bpePairFreq(spark, dir).as[(String, Long)].collect()
+    val docs = Tables.documents(spark, dir).select("text").as[String].collect()
+    val wf = docs.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val expect = wf.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (w, c) => w.sliding(2).map(_ -> c) }
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
+      .toSeq.sortBy { case (p, f) => (-f, p) }.take(200)
+    assert(got.toSeq == expect, "pair table diverges from the driver recount")
+    assert(got.nonEmpty && got.forall(_._1.length == 2))
+    // ranked output: non-increasing frequency
+    assert(got.sliding(2).forall(s => s.length < 2 || s(0)._2 >= s(1)._2))
+  }
+
   test("zipf fit: reconciles with a driver-side least-squares recount, slope negative") {
     val Array((nv, slope, intercept)) =
       TextPipeline.zipfFit(spark, dir).as[(Long, Double, Double)].collect()
