@@ -78,6 +78,7 @@ object SparkEntry {
     "text_repetition"      -> ((s, d) => T.repetitionScore(s, d)),
     "text_tfidf_topk"      -> ((s, d) => T.tfidfTopK(s, d)),
     "text_surprisal"       -> ((s, d) => T.surprisalScore(s, d)),
+    "text_bigram_surprisal" -> ((s, d) => T.bigramSurprisal(s, d)),
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "sample_token_budget"  -> ((s, d) => T.tokenBudgetSample(s, d)),
     "sample_lang_balance"  -> ((s, d) => T.langBalanceSample(s, d)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
     "dedup_keep_best"      -> ((s, d) => Dedup.keepBestOfCluster(s, d)),
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
+    "dedup_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -680,6 +682,32 @@ FROM t WHERE len(toks) >= 5),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
 SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN bench USING (gram)
 WHERE doc_id >= 50 GROUP BY doc_id""",
+
+    "dedup_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+FROM t WHERE len(toks) >= 5),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+flagged AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram) WHERE doc_id >= 50)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM flagged)""",
+
+    "text_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+cu AS (SELECT tok, COUNT(*) AS cu FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+v AS (SELECT COUNT(*) AS v FROM cu),
+bg AS (SELECT doc_id, len(toks) - 1 AS total,
+unnest(list_transform(range(1, len(toks)), i -> struct_pack(tok := toks[i], bigram := toks[i] || ' ' || toks[i+1]))) AS p
+FROM t WHERE len(toks) >= 2),
+b AS (SELECT doc_id, total, p.tok AS tok, p.bigram AS bigram FROM bg),
+cb AS (SELECT bigram, COUNT(*) AS cb FROM b GROUP BY bigram),
+d AS (SELECT doc_id, total, tok, bigram, COUNT(*) AS bf FROM b GROUP BY doc_id, total, tok, bigram),
+terms AS (SELECT d.doc_id, d.total,
+CAST(round(d.bf * ln(CAST(cu.cu + v.v AS DOUBLE) / (cb.cb + 1)), 6) AS DECIMAL(28,10)) AS term
+FROM d JOIN cu USING (tok) JOIN cb USING (bigram) CROSS JOIN v)
+SELECT doc_id, round(CAST(SUM(term) AS DOUBLE) / total, 6) AS bigram_surprisal
+FROM terms GROUP BY doc_id, total""",
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

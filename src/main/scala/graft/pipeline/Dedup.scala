@@ -330,6 +330,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Decontaminated corpus: the filter-form consumer of `contamination` —
+    * corpus documents (doc_id ≥ `benchBound`) that share NO word n-gram
+    * with the benchmark set, i.e. what a training run would actually read.
+    * Anti-join against the flagged ids; the flagged side is a per-doc
+    * aggregate bounded by the contaminated subset, so it broadcasts at any
+    * realistic contamination rate and degrades to a shuffled anti-join
+    * past the gate.
+    */
+  def decontaminate(spark: SparkSession, dir: String, benchBound: Long = 50,
+                    n: Int = 5): DataFrame =
+    documents(spark, dir).filter(col("doc_id") >= benchBound)
+      .join(contamination(spark, dir, benchBound, n).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash over the distinct-token set: per bit position, +1/-1

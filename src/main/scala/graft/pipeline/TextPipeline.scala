@@ -160,6 +160,50 @@ object TextPipeline {
         round(col("s").cast("double") / col("total"), 6).as("surprisal"))
   }
 
+  /** Bigram-LM cross-entropy score — the classic perplexity quality filter
+    * one order up from `surprisalScore`'s unigram model: mean
+    * −ln P(w2|w1) over a doc's adjacent-token bigrams under the corpus
+    * bigram model with add-one smoothing,
+    * P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V). Degenerate/boilerplate text
+    * scores low (its bigrams are corpus-frequent), rare-construction text
+    * scores high. Bit-deterministic across engines the same way as
+    * `surprisalScore`: ln over exact integer ratios, per-term 6dp
+    * rounding, decimal fold, final 6dp division. Scale shape: the bigram
+    * table is pinned once and feeds both the corpus counts and the
+    * per-doc counts; unigram/bigram count tables attach via size-gated
+    * broadcasts (SMJ past the gate), the vocab size as a one-row
+    * broadcast. Docs with <2 tokens have no bigrams and don't appear.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val cu = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val vRow = cu.agg(count(lit(1)).as("v"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), (size(col("toks")) - 1).cast("long").as("total"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bigram")))).as("p"))
+      .select(col("doc_id"), col("total"), col("p.w1").as("tok"), col("p.bigram").as("bigram"))
+      .localCheckpoint()
+    val cb = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    bg.groupBy(col("doc_id"), col("total"), col("tok"), col("bigram"))
+      .agg(count(lit(1)).as("bf"))
+      .join(graft.operators.Scale.maybeBroadcast(cu), "tok")
+      .join(graft.operators.Scale.maybeBroadcast(cb), "bigram")
+      .join(broadcast(vRow))
+      .select(col("doc_id"), col("total"),
+        round(col("bf") * log((col("cu") + col("v")).cast("double") / (col("cb") + lit(1))), 6)
+          .cast("decimal(28,10)").as("term"))
+      .groupBy(col("doc_id"), col("total"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("doc_id"),
+        round(col("s").cast("double") / col("total"), 6).as("bigram_surprisal"))
+  }
+
   /** Curriculum/mixture buckets: decile (by default) assignment over the
     * corpus surprisal distribution — the quality-tier partitioning a
     * curriculum schedule or quality-weighted mixture samples from. Global

@@ -433,6 +433,43 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.count(_._3 == "train") / n > 0.9)
   }
 
+  test("decontaminate: exactly the unflagged corpus docs survive") {
+    val kept = Dedup.decontaminate(spark, dir).select("doc_id")
+      .as[Long].collect().toSet
+    val flagged = Dedup.contamination(spark, dir).select("doc_id")
+      .as[Long].collect().toSet
+    val corpus = Tables.documents(spark, dir).select("doc_id")
+      .as[Long].collect().filter(_ >= 50).toSet
+    assert(kept == corpus -- flagged)
+    assert(flagged.nonEmpty, "no contaminated docs — test corpus makes this vacuous")
+    assert((kept & flagged).isEmpty)
+  }
+
+  test("bigram surprisal: matches a driver-side add-one bigram LM recount") {
+    val got = TextPipeline.bigramSurprisal(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val cu = docs.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val v = cu.size.toLong
+    val cb = docs.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, bs) => b -> bs.length.toLong }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = docs.filter(_._2.length >= 2).map { case (id, ws) =>
+      val terms = ws.sliding(2).filter(_.length == 2).toSeq
+        .groupBy(p => (p.head, p.mkString(" ")))
+        .map { case ((w1, b), occ) =>
+          r6(occ.length * math.log((cu(w1) + v).toDouble / (cb(b) + 1))) }
+      id -> r6(terms.sum.toDouble / (ws.length - 1)).toDouble
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, s) => assert(s == expect(id), s"doc $id: $s vs ${expect(id)}") }
+    // degenerate repeated text must score below the corpus median (the
+    // filter's reason to exist): sanity on direction, not exact values
+    assert(got.values.min < got.values.max)
+  }
+
   test("bpe pairs: top merge candidates match a driver-side weighted recount") {
     val got = TextPipeline.bpePairFreq(spark, dir).as[(String, Long)].collect()
     val docs = Tables.documents(spark, dir).select("text").as[String].collect()
