@@ -217,6 +217,48 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bigram LM + bpe pairs: adversarial corpora — empty/singleton docs, unicode, degenerate repetition") {
+    val docs = Seq(
+      (0L, "", "en", "src", 0L),                                  // empty → no bigrams, no words
+      (1L, "solo", "en", "src", 4L),                              // 1 token → no bigrams; 4-char word still yields bpe pairs
+      (2L, "a a a a a a a a", "en", "src", 15L),                  // degenerate repetition: one bigram type
+      (3L, "übung schön übung schön", "de", "src", 23L),          // unicode chars through substring/pair logic
+      (4L, "p q r s t u v w x y z", "en", "src", 21L),            // all-unique bigrams, 1-char words (no bpe pairs)
+      (5L, "x y", "en", "src", 3L))
+    val tmp = java.nio.file.Files.createTempDirectory("lmprop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val lm = TextPipeline.bigramSurprisal(spark, tmp).as[(Long, Double)].collect().toMap
+    assert(!lm.contains(0L) && !lm.contains(1L), "docs without bigrams must not appear")
+    assert(lm.keySet == Set(2L, 3L, 4L, 5L))
+    // driver recount under the same add-one model
+    val corpus = docs.map { case (id, t, _, _, _) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val cu = corpus.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length }
+    val v = cu.size
+    val cb = corpus.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, o) => b -> o.length }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    corpus.filter(_._2.length >= 2).foreach { case (id, ws) =>
+      val terms = ws.sliding(2).filter(_.length == 2).toSeq
+        .groupBy(p => (p.head, p.mkString(" ")))
+        .map { case ((w1, b), occ) =>
+          r6(occ.length * math.log((cu(w1) + v).toDouble / (cb(b) + 1))) }
+      assert(lm(id) == r6(terms.sum.toDouble / (ws.length - 1)).toDouble, s"doc $id")
+    }
+    // direction: the corpus-frequent degenerate bigram scores BELOW all-unique bigrams
+    assert(lm(2L) < lm(4L), s"repetition must score low: ${lm(2L)} vs ${lm(4L)}")
+
+    val bpe = TextPipeline.bpePairFreq(spark, tmp).as[(String, Long)].collect().toMap
+    // 1-char words contribute no pairs; 'solo' contributes so/ol/lo once each
+    assert(bpe.get("so").contains(1L) && bpe.get("ol").contains(1L) && bpe.get("lo").contains(1L))
+    assert(!bpe.keySet.exists(_.length != 2))
+    // unicode pair counts weighted by word frequency: 'übung' ×2 → 'üb' = 2
+    assert(bpe.get("üb").contains(2L), s"unicode pair lost: $bpe")
+    assert(!bpe.contains("a "), "single-char word 'a' must yield no pair")
+  }
+
   test("chunking: reconstruction holds at adversarial length/stride boundaries") {
     val (chunkSize, stride) = (32, 24)
     // lengths straddling every boundary: empty, 1, stride-1/stride/stride+1,
