@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_keep_best"      -> ((s, d) => Dedup.keepBestOfCluster(s, d)),
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_substr_spans"   -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -682,6 +683,20 @@ FROM t WHERE len(toks) >= 5),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
 SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN bench USING (gram)
 WHERE doc_id >= 50 GROUP BY doc_id""",
+
+    "dedup_substr_spans" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+i -> struct_pack(pos := i, h := ${MD5P("array_to_string(list_slice(toks, i, i + 4), ' ')")}))) AS p
+FROM t WHERE len(toks) >= 5),
+g AS (SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.h AS h FROM g0),
+dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM g GROUP BY h) WHERE c >= 2),
+cov AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+brk AS (SELECT doc_id, pos,
+CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS brk FROM cov),
+isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end, COUNT(*) AS n_seeds
+FROM isl GROUP BY doc_id, island""",
 
     "dedup_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -330,6 +330,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Exact-substring duplicate spans (the removal semantics of
+    * suffix-array training-data dedup, rendered distributable): per doc,
+    * the maximal contiguous token ranges covered by word `k`-grams that
+    * occur ≥2 times corpus-wide. Any such range is verbatim-repeated
+    * text (every k-window inside it exists elsewhere) — the spans a
+    * dedup pass would cut. The suffix array is replaced by positional
+    * k-shingle hashing + gaps-and-islands: (doc, pos, hash64) rows,
+    * global occurrence counts, covered positions merged into islands by
+    * a per-doc window (break when the next seed starts past the running
+    * coverage end). All shuffles key on hash or doc_id; the only sort is
+    * per-doc.
+    */
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix64
+    import org.apache.spark.sql.expressions.Window
+    // gram-hash arrays materialized BEFORE the explode (Generate
+    // re-evaluates its generator input per output row)
+    val grams = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => md5Prefix64(concat_ws(" ",
+            (0 until k).map(o => element_at(col("toks"), i + o)): _*))).as("harr"))
+      .localCheckpoint()
+      .select(col("doc_id"), posexplode(col("harr")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup, "h")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_seeds"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_seeds"))
+  }
+
   /** Decontaminated corpus: the filter-form consumer of `contamination` —
     * corpus documents (doc_id ≥ `benchBound`) that share NO word n-gram
     * with the benchmark set, i.e. what a training run would actually read.

@@ -433,6 +433,47 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.count(_._3 == "train") / n > 0.9)
   }
 
+  test("duplicate spans: islands match a driver-side seed-merge; spans are verbatim-repeated") {
+    val k = 5
+    val got = Dedup.duplicateSpans(spark, dir, k)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, s, e, n) => (id, s, e, n) }.toSet
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    // global k-gram occurrence counts (string identity — the md5-64 hash
+    // is collision-free at this scale, so string recount == hash recount)
+    val all = docs.flatMap { case (id, ws) =>
+      ws.sliding(k).filter(_.length == k).zipWithIndex
+        .map { case (g, i) => (id, i + 1L, g.mkString(" ")) } }
+    val cnt = all.groupBy(_._3).map { case (g, o) => g -> o.length }
+    val expect = all.filter(t => cnt(t._3) >= 2).groupBy(_._1).flatMap { case (id, seeds) =>
+      val ps = seeds.map(_._2).sorted
+      // gaps-and-islands: break when the next seed starts past coverage end
+      val islands = ps.foldLeft(List.empty[List[Long]]) {
+        case (acc, p) if acc.nonEmpty && p - acc.head.head <= k => (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map(is => (id, is.min, is.max + k - 1, is.length.toLong))
+    }.toSet
+    assert(got == expect, s"islands diverge: extra=${got -- expect} missing=${expect -- got}")
+    assert(got.nonEmpty, "no duplicate spans — test corpus makes this vacuous")
+    // the semantic claim: every k-window inside a reported span occurs
+    // verbatim at another (doc, offset) of the corpus — that's what makes
+    // the whole span repeated text (maximal merged spans need not repeat
+    // as a whole: different sources can cover different windows)
+    val byId = docs.toMap
+    val index = all.groupBy(_._3).map { case (g, o) => g -> o.map(t => (t._1, t._2)).toList }
+    got.foreach { case (id, s, e, _) =>
+      val span = byId(id).slice(s.toInt - 1, e.toInt)
+      span.sliding(k).filter(_.length == k).zipWithIndex.foreach { case (win, off) =>
+        val locs = index.getOrElse(win.mkString(" "), Nil)
+        assert(locs.exists(_ != ((id, s + off))),
+          s"span window not repeated: doc $id pos ${s + off}")
+      }
+    }
+  }
+
   test("decontaminate: exactly the unflagged corpus docs survive") {
     val kept = Dedup.decontaminate(spark, dir).select("doc_id")
       .as[Long].collect().toSet
