@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_substr_spans"   -> ((s, d) => Dedup.duplicateSpans(s, d)),
+    "dedup_substr_strip"   -> ((s, d) => Dedup.duplicateSpanStrip(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -697,6 +698,27 @@ CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE
 isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk)
 SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end, COUNT(*) AS n_seeds
 FROM isl GROUP BY doc_id, island""",
+
+    "dedup_substr_strip" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+i -> struct_pack(pos := i, h := ${MD5P("array_to_string(list_slice(toks, i, i + 4), ' ')")}))) AS p
+FROM t WHERE len(toks) >= 5),
+g AS (SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.h AS h FROM g0),
+dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM g GROUP BY h) WHERE c >= 2),
+cov AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+brk AS (SELECT doc_id, pos,
+CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS brk FROM cov),
+isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e FROM isl GROUP BY doc_id, island),
+sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans FROM spans GROUP BY doc_id),
+j AS (SELECT t.doc_id, t.toks, COALESCE(sp.spans, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS spans
+FROM t LEFT JOIN sp USING (doc_id)),
+kp AS (SELECT doc_id, toks, list_filter(range(1, len(toks) + 1),
+p -> len(list_filter(spans, x -> x.s <= p AND p <= x.e)) = 0) AS kept FROM j)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+COALESCE(array_to_string(list_transform(kept, p -> toks[CAST(p AS INT)]), ' '), '') AS clean_text FROM kp""",
 
     "dedup_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

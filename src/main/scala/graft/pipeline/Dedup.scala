@@ -371,6 +371,34 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_seeds"))
   }
 
+  /** Exact-substring strip — the consumer of `duplicateSpans`: removes
+    * every token position inside a duplicate span and re-joins the
+    * survivors into `clean_text` (the actual corpus edit exact-substring
+    * dedup performs). Per-doc span lists are tiny (bounded by doc
+    * length / k), carried back by one left join; the position mask is a
+    * per-row higher-order filter, output-shaping, not a join hot path.
+    */
+  def duplicateSpanStrip(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val spans = duplicateSpans(spark, dir, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("spans"), array().cast("array<struct<s:bigint,e:bigint>>")).as("spans"))
+      .select(col("doc_id"), col("toks"), when(size(col("toks")) > 0,
+          filter(sequence(lit(1), size(col("toks"))),
+            p => !exists(col("spans"),
+              sp => sp.getField("s") <= p && p <= sp.getField("e"))))
+          .otherwise(array().cast("array<int>")).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("toks"), p))).as("clean_text"))
+  }
+
   /** Decontaminated corpus: the filter-form consumer of `contamination` —
     * corpus documents (doc_id ≥ `benchBound`) that share NO word n-gram
     * with the benchmark set, i.e. what a training run would actually read.

@@ -259,6 +259,37 @@ class PropertySpec extends SparkSpecBase {
     assert(!bpe.contains("a "), "single-char word 'a' must yield no pair")
   }
 
+  test("duplicate spans: periodic self-repetition and cross-doc shares resolve to whole maximal spans") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens, repeated across docs 2+3
+    val docs = Seq(
+      (0L, "a a a a a a a a", "en", "src", 15L),               // periodic: every 5-window identical → one whole-doc span
+      (1L, "unique tokens only here never repeated anywhere", "en", "src", 47L),
+      (2L, s"lead in words $shared tail one", "en", "src", 60L),
+      (3L, s"other prefix $shared closing different words here", "en", "src", 64L),
+      (4L, "tiny", "en", "src", 4L))                           // < k tokens: no shingles at all
+    val tmp = java.nio.file.Files.createTempDirectory("spanprop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.duplicateSpans(spark, tmp, 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, ss) => id -> ss.map(s => (s._2, s._3)).toList.sorted }
+    // doc 0: positions 1..4 all carry the identical 5-gram → one span covering 1..8
+    assert(got(0L) == List((1L, 8L)), s"periodic doc: ${got.get(0L)}")
+    // docs 1 and 4 produce nothing
+    assert(!got.contains(1L) && !got.contains(4L), s"clean docs flagged: $got")
+    // the shared 6-token sentence = two 5-gram seeds → exactly that span in both docs
+    // doc 2: shared starts at token 4 → span [4, 9]; doc 3: starts at token 3 → [3, 8]
+    assert(got(2L) == List((4L, 9L)), s"doc 2 span: ${got.get(2L)}")
+    assert(got(3L) == List((3L, 8L)), s"doc 3 span: ${got.get(3L)}")
+    // strip consumer on the same corpus: doc 0 fully emptied, shared sentence cut
+    val strip = Dedup.duplicateSpanStrip(spark, tmp, 5)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(strip(0L)._4 == "" && strip(0L)._3 == 8L)
+    assert(strip(2L)._4 == "lead in words tail one")
+    assert(strip(3L)._4 == "other prefix closing different words here")
+    assert(strip(1L)._3 == 0L && strip(4L)._3 == 0L)
+  }
+
   test("chunking: reconstruction holds at adversarial length/stride boundaries") {
     val (chunkSize, stride) = (32, 24)
     // lengths straddling every boundary: empty, 1, stride-1/stride/stride+1,

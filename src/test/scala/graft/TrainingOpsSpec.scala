@@ -474,6 +474,30 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("substr strip: clean text is exactly the tokens outside the spans") {
+    val k = 5
+    val spans = Dedup.duplicateSpans(spark, dir, k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, ss) => id -> ss.map(s => (s._2, s._3)).toList }
+    val got = Dedup.duplicateSpanStrip(spark, dir, k)
+      .as[(Long, Long, Long, String)].collect()
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    assert(got.map(_._1).toSet == docs.keySet, "strip must emit every doc")
+    got.foreach { case (id, nTok, nRem, clean) =>
+      val toks = docs(id)
+      val ss = spans.getOrElse(id, Nil)
+      val kept = toks.zipWithIndex.collect {
+        case (w, i) if !ss.exists(sp => sp._1 <= i + 1 && i + 1 <= sp._2) => w }
+      assert(nTok == toks.length.toLong, s"doc $id n_tokens")
+      assert(nRem == (toks.length - kept.length).toLong, s"doc $id n_removed")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+    }
+    assert(got.exists(_._3 > 0), "nothing stripped — vacuous corpus")
+    assert(got.exists(r => r._2 == r._3 && r._2 > 0), "no fully-stripped doc exercised the empty-text path")
+  }
+
   test("decontaminate: exactly the unflagged corpus docs survive") {
     val kept = Dedup.decontaminate(spark, dir).select("doc_id")
       .as[Long].collect().toSet
