@@ -114,6 +114,7 @@ object SparkEntry {
     "dedup_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_substr_spans"   -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_substr_strip"   -> ((s, d) => Dedup.duplicateSpanStrip(s, d)),
+    "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -610,6 +611,21 @@ pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
 round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
 FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
+
+    "dedup_source_overlap" ->
+      s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+m AS (SELECT LEAST(da.source, db.source) AS src_a, GREATEST(da.source, db.source) AS src_b,
+CAST(est_jaccard AS DECIMAL(28,10)) AS est
+FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id JOIN documents db ON pairs.doc_b = db.doc_id
+WHERE est_jaccard >= 0.5)
+SELECT src_a, src_b, COUNT(*) AS n_pairs,
+round(CAST(SUM(est) AS DOUBLE) / COUNT(*), 6) AS mean_est FROM m GROUP BY src_a, src_b""",
 
     "dedup_corpus_clean" ->
       s"""WITH ${minhashHs("")},

@@ -115,6 +115,29 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-source near-duplicate overlap matrix: for every source pair
+    * (canonicalized so the matrix is upper-triangular, diagonal =
+    * within-source), the straddling near-dup pair count and mean
+    * estimated Jaccard — the corpus-composition diagnostic that shows
+    * which ingest feeds duplicate each other and how badly. Two id-keyed
+    * joins of the LSH pair list to the doc→source projection, then a
+    * tiny (|sources|²-bounded) aggregate; the mean folds 6dp decimals so
+    * the figure is engine-exact.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("est_jaccard").cast("decimal(28,10)").as("est"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("est")).cast("double") / count(lit(1)), 6).as("mean_est"))
+  }
+
   /** Incremental dedup — the shape a production corpus actually runs:
     * an INCOMING BATCH is checked against the existing corpus, not the
     * corpus against itself. Asymmetric LSH join: band keys are computed

@@ -474,6 +474,26 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("source overlap matrix: canonical pair counts and decimal-exact means") {
+    val got = Dedup.sourceOverlapMatrix(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = pairs.map { case (a, b, est) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa)) -> BigDecimal(est.toString) }
+      .groupBy(_._1).map { case (k, es) =>
+        k -> (es.length.toLong, r6(es.map(_._2).sum.toDouble / es.length).toDouble) }
+    assert(got == expect)
+    // canonical ordering: every key upper-triangular
+    got.keys.foreach { case (a, b) => assert(a <= b) }
+  }
+
   test("substr strip: clean text is exactly the tokens outside the spans") {
     val k = 5
     val spans = Dedup.duplicateSpans(spark, dir, k)
