@@ -140,6 +140,9 @@ object SparkEntry {
   private val TOKS = raw"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
   /** md5Prefix64(expr) in DuckDB. */
   private def MD5P(e: String) = s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
+
+  /** md5Prefix60(expr) in DuckDB — the 60-bit gram fingerprint. */
+  private def MD5P15(e: String) = s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
   /** events.ts normalized to µs precision. */
   private val ETS = "CAST(ts AS TIMESTAMP)"
   /** decimal(18,2) money cast. */
@@ -704,7 +707,7 @@ WHERE doc_id >= 50 GROUP BY doc_id""",
     "dedup_substr_spans" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
 g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-i -> struct_pack(pos := i, h := ${MD5P("array_to_string(list_slice(toks, i, i + 4), ' ')")}))) AS p
+i -> struct_pack(pos := i, h := ${MD5P15("array_to_string(list_slice(toks, i, i + 4), ' ')")}))) AS p
 FROM t WHERE len(toks) >= 5),
 g AS (SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.h AS h FROM g0),
 dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM g GROUP BY h) WHERE c >= 2),
@@ -718,7 +721,7 @@ FROM isl GROUP BY doc_id, island""",
     "dedup_substr_strip" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
 g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-i -> struct_pack(pos := i, h := ${MD5P("array_to_string(list_slice(toks, i, i + 4), ' ')")}))) AS p
+i -> struct_pack(pos := i, h := ${MD5P15("array_to_string(list_slice(toks, i, i + 4), ' ')")}))) AS p
 FROM t WHERE len(toks) >= 5),
 g AS (SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, p.h AS h FROM g0),
 dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM g GROUP BY h) WHERE c >= 2),

@@ -92,4 +92,13 @@ object TextFunctions {
     * AS BIGINT)).
     */
   def md5Prefix64(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** First 15 md5 hex chars (60 bits) as a long — the wide gram
+    * fingerprint for exact-substring span detection, where a 32-bit space
+    * would manufacture false duplicates by collision at corpus scale
+    * (birthday bound: ~1 collision per 10^5 grams at 32 bits vs ~10^9 at
+    * 60). 15 chars, not 16, so the value stays inside a signed BIGINT in
+    * every engine (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT)).
+    */
+  def md5Prefix60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

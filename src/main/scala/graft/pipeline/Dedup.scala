@@ -365,17 +365,26 @@ object Dedup {
     * coverage end). All shuffles key on hash or doc_id; the only sort is
     * per-doc.
     */
-  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import graft.functions.TextFunctions.md5Prefix64
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    duplicateSpansFrom(spread(spark, documents(spark, dir)), k)
+
+  /** `duplicateSpans` over an arbitrary (doc_id, text) frame — the entry
+    * point the scale sweep feeds with replicated corpora.
+    */
+  def duplicateSpansFrom(docs: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix60
     import org.apache.spark.sql.expressions.Window
     // gram-hash arrays materialized BEFORE the explode (Generate
-    // re-evaluates its generator input per output row)
-    val grams = spread(spark, documents(spark, dir))
+    // re-evaluates its generator input per output row). 60-bit gram
+    // fingerprints: the 32-bit prefix the samplers use collides often
+    // enough to manufacture false duplicate spans at bench scale already
+    // (caught by BenchScaleSubstr's exact-multiple gate).
+    val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), transform(
           sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => md5Prefix64(concat_ws(" ",
+          i => md5Prefix60(concat_ws(" ",
             (0 until k).map(o => element_at(col("toks"), i + o)): _*))).as("harr"))
       .localCheckpoint()
       .select(col("doc_id"), posexplode(col("harr")))

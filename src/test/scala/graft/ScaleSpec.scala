@@ -176,6 +176,13 @@ class ScaleSpec extends SparkSpecBase {
     BenchScale.enforcePairEquality(jaccardEqual = true, containEqual = true) // no throw
   }
 
+  test("BenchScaleSubstr enforces the exact factor-multiple span invariant") {
+    intercept[IllegalStateException] { BenchScaleSubstr.enforce(0, 0, 10) }      // empty base
+    intercept[IllegalStateException] { BenchScaleSubstr.enforce(58, 579, 10) }   // off by one
+    intercept[IllegalStateException] { BenchScaleSubstr.enforce(58, 58, 10) }    // unscaled
+    BenchScaleSubstr.enforce(58, 580, 10) // no throw
+  }
+
   test("BenchScaleAnn enforces quantized recall and non-empty blocked results") {
     intercept[IllegalStateException] { BenchScaleAnn.enforce(0.79, 10, 10) }
     intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 0, 10) }
