@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_substr_spans"   -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_substr_strip"   -> ((s, d) => Dedup.duplicateSpanStrip(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(s, d)),
+    "pipeline_funnel"      -> ((s, d) => Dedup.curationFunnel(s, d)),
     "dedup_containment"    -> ((s, d) => Dedup.bagOverlap(s, d)),
     "dedup_containment_prefix" -> ((s, d) => Dedup.bagOverlapPrefix(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -614,6 +615,39 @@ pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
 round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
 FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
+
+    "pipeline_funnel" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+tq AS (SELECT doc_id, $TOKS AS tk FROM documents),
+f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+  CASE WHEN len(tk) > 1 THEN round(1.0 -
+    CAST(len(list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) /
+    (len(tk) - 1), 6) ELSE 0.0 END AS dup_frac,
+  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS uniq_ratio FROM tq),
+s1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN f USING (doc_id)
+WHERE f.n_tokens >= 20 AND f.n_tokens <= 80 AND f.dup_frac <= 0.05 AND f.uniq_ratio >= 0.4),
+e AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM s1),
+s2 AS (SELECT doc_id FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM e)
+WHERE doc_id = canon),
+${minhashHs("WHERE doc_id IN (SELECT doc_id FROM s2)")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+WHERE round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) >= 0.5),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS gram
+FROM tq WHERE len(tk) >= 5),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id >= 50),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage, COUNT(*) AS n_docs FROM corpus
+UNION ALL SELECT 1, 'quality', COUNT(*) FROM s1
+UNION ALL SELECT 2, 'exact_dedup', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'near_dedup', COUNT(*) FROM s3
+UNION ALL SELECT 4, 'decontaminated', COUNT(*) FROM s4""",
 
     "dedup_source_overlap" ->
       s"""WITH ${minhashHs("")},

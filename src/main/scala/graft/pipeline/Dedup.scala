@@ -87,11 +87,17 @@ object Dedup {
     * At scale: buckets are tiny, the self-join is per-bucket; the only
     * full-corpus cost is one shuffle of 64-long signatures.
     */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     // materialize signatures once (localCheckpoint breaks lineage so the
     // expensive shingle-hash pass runs a single time, not once per join
     // side; at cluster scale this is a persisted intermediate table)
-    val sigs = signatureTable(spark, dir).localCheckpoint()
+    lshPairsFromSigs(signatureTable(spark, dir).localCheckpoint(), threshold)
+
+  /** The LSH band join over an already-materialized signature table —
+    * shared by the corpus-vs-self path above and callers that restrict
+    * the doc set first (the curation funnel).
+    */
+  def lshPairsFromSigs(sigs: DataFrame, threshold: Double): DataFrame = {
     // band rows carry only (band, key, id) — the 64-slot signatures stay
     // out of the candidate-generation shuffle
     val banded = sigs.select(
@@ -113,6 +119,49 @@ object Dedup {
         round(call_function("graft_eq_count", col("sig_a"), col("sig_b"))
           .cast("double") / lit(NumHashes.toDouble), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** End-to-end curation funnel: the per-stage survivor counts of the
+    * sequential pipeline a corpus actually runs — ingest → quality filter
+    * (`TextPipeline.filterReasons` rules) → exact dedup (canonical = min
+    * doc_id per normalized-text fingerprint AMONG quality survivors) →
+    * near-dup dedup (LSH pairs recomputed among exact survivors; the
+    * greater id of each pair drops) → decontamination (no shared 5-gram
+    * with the benchmark set, doc_id < `benchBound`). Each stage is
+    * restricted to the previous stage's survivors — a pair with an
+    * already-dropped doc must not kill a survivor, so the near-dup
+    * signatures are built on the stage-2 subset, not the corpus. Output:
+    * one row per stage (stage_idx, stage, n_docs), the funnel dashboard.
+    */
+  def curationFunnel(spark: SparkSession, dir: String, benchBound: Long = 50,
+                     threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = documents(spark, dir).filter(col("doc_id") >= benchBound)
+      .select(col("doc_id"), col("text"))
+    val quality = graft.pipeline.TextPipeline.filterReasons(spark, dir)
+      .filter(col("kept") === 1).select(col("doc_id"))
+    val s1 = corpus.join(quality, "doc_id").localCheckpoint()
+    val s2 = s1
+      .withColumn("fp", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("canon", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("canon"))
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val sigs = spread(spark, s2)
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig")).localCheckpoint()
+    val losers = lshPairsFromSigs(sigs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val s4 = s3.join(contamination(spark, dir, benchBound).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    def stage(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    stage(0, "ingest", corpus)
+      .union(stage(1, "quality", s1))
+      .union(stage(2, "exact_dedup", s2))
+      .union(stage(3, "near_dedup", s3))
+      .union(stage(4, "decontaminated", s4))
   }
 
   /** Cross-source near-duplicate overlap matrix: for every source pair

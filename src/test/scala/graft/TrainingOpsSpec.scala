@@ -474,6 +474,53 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("curation funnel: every stage count reconciles with a sequential driver recount") {
+    val got = Dedup.curationFunnel(spark, dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(0L -> "ingest", 1L -> "quality", 2L -> "exact_dedup",
+        3L -> "near_dedup", 4L -> "decontaminated"))
+    val counts = got.map(_._3)
+    assert(counts.sliding(2).forall(s => s(0) >= s(1)), "funnel must be non-increasing")
+
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val corpus = docs.keySet.filter(_ >= 50)
+    assert(counts(0) == corpus.size.toLong)
+    // stage 1: the filterReasons rules, recounted
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = corpus.filter { id =>
+      val ws = toks(docs(id)); val n = ws.length
+      val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dup = if (n > 1) r6(1.0 - bg.distinct.length.toDouble / bg.length) else 0.0
+      n >= 20 && n <= 80 && dup <= 0.05 &&
+        r6(ws.distinct.length.toDouble / n) >= 0.4
+    }
+    assert(counts(1) == s1.size.toLong)
+    // stage 2: canonical (min id) per normalized-text fingerprint among s1
+    val s2 = s1.groupBy(id => docs(id).toLowerCase.trim.replaceAll("\\s+", " "))
+      .map(_._2.min).toSet
+    assert(counts(2) == s2.size.toLong)
+    // stage 3: LSH among s2 — engine signatures (kernel is bit-parity
+    // tested), banding + threshold recounted driver-side
+    val sigs = Tables.documents(spark, dir).filter(col("doc_id").isin(s2.toSeq: _*))
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect()
+    val losers = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if (0 until 16).exists(bd => (0 until 4).forall(r => sa(bd * 4 + r) == sb(bd * 4 + r)))
+      if sa.zip(sb).count(p => p._1 == p._2) / 64.0 >= 0.5
+    } yield b).toSet
+    val s3 = s2 -- losers
+    assert(counts(3) == s3.size.toLong)
+    // stage 4: minus benchmark-contaminated (5-gram share with docs < 50)
+    def grams(ws: Seq[String]) = ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val bench = docs.collect { case (id, t) if id < 50 => grams(toks(t)) }.fold(Set.empty)(_ ++ _)
+    val s4 = s3.filter(id => (grams(toks(docs(id))) & bench).isEmpty)
+    assert(counts(4) == s4.size.toLong)
+  }
+
   test("source overlap matrix: canonical pair counts and decimal-exact means") {
     val got = Dedup.sourceOverlapMatrix(spark, dir)
       .as[(String, String, Long, Double)].collect()
