@@ -372,4 +372,107 @@ object Similarity {
         cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     topK(scored, k)
   }
+
+  /** Product-quantization ANN (PQ-ADC): split each vector into `m`
+    * subvectors, train a `ks`-centroid codebook per subspace (seeds = the
+    * first `ks` vectors' subvectors + one distributed Lloyd iteration —
+    * the same trained-quantizer contract as `kmeansAssign`), encode the
+    * corpus as m small codes per vector, and answer queries with the
+    * classic asymmetric-distance trick: each query's dot products against
+    * all m·ks centroids are computed ONCE into a lookup table, and
+    * scoring a candidate is m table lookups + a sum — the corpus' float
+    * vectors never enter the scoring join.
+    *
+    * The 100 TB story is memory/bandwidth, complementing the pruning
+    * ANN paths: the search-time corpus representation is m code bytes +
+    * one stored norm per vector (16× smaller than float32 at dim=64,
+    * m=16; a production ks=256 codebook reaches 64×), the ADC table is a
+    * broadcast of nQueries·m·ks tiny rows, and
+    * the per-candidate shuffle carries ids + one decimal partial per
+    * subspace. Approximate cosine = Σ_s dot(q_s, centroid[code_s]) /
+    * (|q|·|x|) with TRUE stored norms — the standard PQ-for-cosine
+    * rendering; recall vs the float ranking is spec-measured. Composes
+    * with `ivfTopK` (IVF-PQ) by restricting candidates to probed cells.
+    *
+    * Determinism: subspace partial dots are rounded to 6dp and summed in
+    * DECIMAL (double addition is order-dependent across the m rows);
+    * centroid means are decimal-exact sums rounded 6dp — the same
+    * cross-engine contract as `kmeansAssign`.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 16, ks: Int = 16): DataFrame =
+    pqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks)
+
+  def pqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 m: Int = 16, ks: Int = 16): DataFrame = {
+    // double-cast once: all subspace math below matches the oracle's
+    // double-list rendering bit-for-bit (same fold order as graft_dot)
+    val base = raw.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"))
+      .localCheckpoint()
+    val dim = base.select(size(col("emb"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sd = dim / m
+    // the m subvector projections: (vec_id, s, sub, snrm)
+    val sub = base.select(col("vec_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("s"), col("emb"))
+      .select(col("vec_id"), col("s"),
+        slice(col("emb"), col("s") * sd + 1, lit(sd)).as("sub"))
+      .select(col("vec_id"), col("s"), col("sub"), norm(col("sub")).as("snrm"))
+      .localCheckpoint()
+    // nearest codebook centroid per (vector, subspace); ties to low cell id
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), col("s") === col("cs"))
+        .select(col("vec_id"), col("s"), col("sub"), col("cell"),
+          cosineRFromNorms(col("sub"), col("c_sub"), col("snrm"), col("c_snrm")).as("ccos"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("s"))
+            .orderBy(col("ccos").desc, col("cell").asc)))
+        .filter(col("crk") === 1)
+    val c1 = sub.filter(col("vec_id") < ks)
+      .select(col("s").as("cs"), col("vec_id").as("cell"),
+        col("sub").as("c_sub"), col("snrm").as("c_snrm"))
+    // one Lloyd iteration per subspace: decimal-exact element sums so the
+    // trained codebook is deterministic under any partitioning
+    val c2 = assign(c1)
+      .select(col("s"), col("cell"), posexplode(col("sub")))
+      .select(col("s"), col("cell"), col("pos"),
+        col("col").cast("decimal(28,12)").as("v"))
+      .groupBy(col("s"), col("cell"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("s"), col("cell"), col("pos"),
+        round(col("sv").cast("double") / col("cnt"), 6).as("mv"))
+      .groupBy(col("s"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("dm"))
+      .select(col("s").as("cs"), col("cell"),
+        transform(col("dm"), x => x.getField("mv")).as("c_sub"))
+      .select(col("cs"), col("cell"), col("c_sub"), norm(col("c_sub")).as("c_snrm"))
+    // the stored representation: m codes per vector (+ its true norm)
+    val codes = assign(c2).select(col("vec_id"), col("s"), col("cell").as("code"))
+    // ADC lookup table: every query subvector × every centroid, built once
+    val lut = sub.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s").as("qs"), col("sub").as("q_sub"))
+      .join(broadcast(c2), col("qs") === col("cs"))
+      .select(col("query_id"), col("qs"), col("cell"),
+        round(dot(col("q_sub"), col("c_sub")), 6).cast("decimal(28,12)").as("pd"))
+    val spd = codes
+      .join(broadcast(lut), col("s") === col("qs") && col("code") === col("cell")
+        && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("spd"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("spd"))
+    val nrms = base.select(col("vec_id"), col("nrm"))
+    val fin = spd
+      .join(broadcast(nrms.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("nrm").as("q_nrm"))), Seq("query_id"))
+      .join(nrms.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("spd").cast("double") / (col("q_nrm") * col("nrm")), 6).as("acos"))
+    fin.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("acos"))
+  }
 }

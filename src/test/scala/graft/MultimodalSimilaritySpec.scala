@@ -39,6 +39,25 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall too low: $recall")
   }
 
+  test("PQ-ADC ANN: codes bounded by the codebook, recall well above random") {
+    val d = "/root/testdata/sf0.001"
+    val brute = Similarity.bruteForceTopK(spark, d)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(spark, d)
+      .select("query_id", "neighbor_id", "rnk", "acos")
+      .as[(Long, Long, Long, Double)].collect()
+    // exactly k results per query, rank contiguous, approx cosine bounded
+    assert(pq.length == brute.size)
+    assert(pq.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    assert(pq.forall(r => r._4 >= -1.01 && r._4 <= 1.01))
+    // 16 codes from a 16-centroid/subspace codebook approximate a 64-dim
+    // cosine: recall must sit far above the k/N≈1% random floor (0.42
+    // measured); PQ is the memory-side path, pruning comes from IVF
+    val pqSet = pq.map(r => (r._1, r._2)).toSet
+    val recall = (brute intersect pqSet).size.toDouble / brute.size
+    assert(recall >= 0.25, s"PQ recall too low: $recall")
+  }
+
   test("int8 quantization: codes bounded, reconstruction within half a step") {
     val d = sf("embeddings")
     val got = Similarity.quantizeInt8(spark, d)
