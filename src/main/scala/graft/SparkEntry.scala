@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{LogPipeline => L, Relational => R, Serving}
-import graft.pipeline.{Dedup, Similarity, TextPipeline => T}
+import graft.pipeline.{Dedup, Retrieval, Similarity, TextPipeline => T}
 
 /** Driver contract — query registry + DuckDB oracle SQL.
   *
@@ -126,6 +126,9 @@ object SparkEntry {
     "ann_quant_topk"       -> ((s, d) => Similarity.quantTopK(s, d)),
     "ann_lsh_multiprobe"   -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "ann_pq_topk"          -> ((s, d) => Similarity.pqTopK(s, d)),
+    // retrieval (sparse BM25 + hybrid fusion)
+    "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
+    "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
@@ -195,6 +198,35 @@ c2n AS (SELECT cluster, ce, sqrt(list_reduce(list_prepend(0.0, list_transform(ce
 s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1"""
+
+  /** BM25 more-like-this ranking, unlimited depth — shared by
+    * `retrieval_bm25` (rnk <= 10) and `retrieval_hybrid_rrf` (sparse leg,
+    * rnk <= 20). Mirrors `Retrieval.bm25MoreLikeThis` exactly: query terms
+    * = top-3 TF-IDF tokens of docs 0..9, per-term partials rounded 6dp,
+    * DECIMAL(28,10) sum, re-rounded. All numeric literals are ::DOUBLE so
+    * DuckDB's decimal literal arithmetic can't diverge from Spark's
+    * double plan at a 6dp rounding edge.
+    */
+  private lazy val OracleBm25Ranked =
+    s"""bt AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+btf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM bt GROUP BY doc_id, tok),
+bdf AS (SELECT tok, COUNT(*) AS df FROM btf GROUP BY tok),
+bn AS (SELECT COUNT(*) AS n FROM documents),
+bdl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
+bad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM bdl),
+bq0 AS (SELECT doc_id AS query_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+  FROM btf JOIN bdf USING (tok), bn WHERE doc_id < 10),
+bqt AS (SELECT query_id, tok FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, tok ASC) AS qrk FROM bq0) WHERE qrk <= 3),
+bp0 AS (SELECT bqt.query_id, btf.doc_id,
+  round(ln(1.0::DOUBLE + (CAST(n AS DOUBLE) - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+        ((tf * 2.2::DOUBLE) / (tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * bdl.dl) / avgdl))), 6) AS part
+  FROM btf JOIN bqt USING (tok) JOIN bdf USING (tok) JOIN bdl ON bdl.doc_id = btf.doc_id, bn, bad
+  WHERE btf.doc_id <> bqt.query_id),
+bsc AS (SELECT query_id, doc_id, round(CAST(SUM(CAST(part AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25
+  FROM bp0 GROUP BY query_id, doc_id),
+bmr AS (SELECT query_id, doc_id, bm25,
+  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rnk FROM bsc)"""
 
   /** Unigram-surprisal oracle — shared by `text_surprisal` and the decile
     * bucketing built on top of it (identical scores by construction).
@@ -1028,6 +1060,27 @@ fin AS (SELECT query_id, neighbor_id, round(CAST(spd AS DOUBLE) / (qn.nrm * nn.n
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, acos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id ASC) AS rnk FROM fin)
 WHERE rnk <= 5""",
+
+    "retrieval_bm25" ->
+      s"""WITH $OracleBm25Ranked
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, bm25 FROM bmr WHERE rnk <= 10""",
+
+    // dense leg = brute cosine top-20 (vec_id ≡ doc_id), sparse leg =
+    // BM25 top-20, fused by reciprocal-rank with c = 60
+    "retrieval_hybrid_rrf" ->
+      s"""WITH $embNorms,
+hq AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+hc AS (SELECT query_id, a.vec_id AS doc_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM n a CROSS JOIN hq WHERE a.vec_id <> query_id),
+hd AS (SELECT query_id, doc_id, rd FROM (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rd FROM hc) WHERE rd <= 20),
+$OracleBm25Ranked,
+hs AS (SELECT query_id, doc_id, rnk AS rs FROM bmr WHERE rnk <= 20),
+hf AS (SELECT coalesce(hd.query_id, hs.query_id) AS query_id, coalesce(hd.doc_id, hs.doc_id) AS doc_id,
+  round(coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE), 6) AS rrf
+  FROM hd FULL OUTER JOIN hs ON hd.query_id = hs.query_id AND hd.doc_id = hs.doc_id)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, rrf FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk FROM hf) WHERE rnk <= 10""",
 
     "ann_brute_topk" ->
       s"""WITH $embNorms,

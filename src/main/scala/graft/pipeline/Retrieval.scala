@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions.tokens
+import graft.operators.Scale
+
+/** Sparse (BM25) and hybrid (BM25 + dense cosine) retrieval over the
+  * `documents` / `embeddings` corpus — the data-curation consumer is
+  * "find training documents like these seeds" (targeted up/down-sampling,
+  * contamination triage, eval-set expansion), and the serving consumer is
+  * the retrieval layer of a RAG stack.
+  *
+  * Both operators are corpus-derived end to end: the query set is the
+  * first `nQueries` documents themselves (more-like-this), with query
+  * TERMS mined as each seed's top-TF-IDF tokens — no out-of-band query
+  * strings, so the whole computation is reproducible from the tables.
+  *
+  * Scale shape (the 100 TB story):
+  *  - the tf aggregation shuffles on (doc_id, tok) once and feeds BOTH
+  *    the query-term mining and the candidate scoring;
+  *  - dfreq is vocabulary-sized → size-gated broadcast
+  *    (`Scale.maybeBroadcast`), never assumed small;
+  *  - the mined query-term list is nQueries·nTerms rows → unconditional
+  *    broadcast; candidate generation is a broadcast-hash join of the
+  *    posting list against it (docs sharing ≥1 query term), NOT a scan
+  *    of all (query, doc) pairs;
+  *  - doc lengths ride the same tf aggregation (no second tokenize).
+  *
+  * Determinism contract (cross-engine hash): per-term BM25 partials are
+  * rounded to 6dp and summed as DECIMAL(28,10) — double addition is
+  * order-dependent across Spark partitions and DuckDB's aggregate order —
+  * then the total is re-rounded to 6dp. avgdl is exact (integer token
+  * count sum / doc count) so the double division is reproducible.
+  */
+object Retrieval {
+
+  /** (doc_id, tok, tf) posting list + (doc_id, dl) lengths, computed from
+    * one tokenize pass.
+    */
+  private def postings(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dlen = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    (tf, dlen)
+  }
+
+  /** Top-`nTerms` TF-IDF tokens of each seed doc — the mined query terms.
+    * Same score construct as `TextPipeline.tfidfTopK` (tf · ln(N/df), 6dp).
+    */
+  private def queryTerms(tf: DataFrame, dfreq: DataFrame, n: Long,
+                         nQueries: Int, nTerms: Int): DataFrame =
+    tf.filter(col("doc_id") < nQueries)
+      .join(Scale.maybeBroadcast(dfreq), "tok")
+      .select(col("doc_id").as("query_id"), col("tok"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+      .withColumn("qrk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("tok").asc)))
+      .filter(col("qrk") <= nTerms)
+      .select(col("query_id"), col("tok"))
+
+  /** BM25 more-like-this: for each seed doc (doc_id < nQueries), rank the
+    * rest of the corpus by Okapi BM25 over the seed's top-`nTerms` TF-IDF
+    * tokens. idf is the Robertson/Lucene non-negative form
+    * ln(1 + (N − df + 0.5)/(df + 0.5)); k1 = 1.2, b = 0.75.
+    */
+  def bm25MoreLikeThis(spark: SparkSession, dir: String, nQueries: Int = 10,
+                       nTerms: Int = 3, k: Int = 10,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dlen) = postings(spark, dir)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // metadata-only parquet count (same N contract as tfidfTopK)
+    val n = documents(spark, dir).count()
+    val qt = queryTerms(tf, dfreq, n, nQueries, nTerms)
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val avg = dlen.agg(sum(col("dl")).as("s"), count(lit(1)).as("c"))
+      .select((col("s").cast("double") / col("c")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(qt), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(Scale.maybeBroadcast(dfreq), Seq("tok"))
+      .join(Scale.maybeBroadcast(dlen), Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfNorm, 6).cast("decimal(28,10)").as("part"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("s"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("s").cast("double"), 6).as("bm25"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk").cast("long").as("rnk"), col("bm25"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion: fuse the dense ranking
+    * (brute-force cosine over `embeddings`; vec_id ≡ doc_id in the corpus)
+    * with the sparse BM25 ranking, score = Σ 1/(c + rank) over the
+    * rankings that retrieved the candidate (c = 60, the standard RRF
+    * constant). Each side contributes its top-`depth`; fused top-`k` out.
+    *
+    * RRF needs no score calibration between the two systems — only ranks —
+    * which is exactly why it is the default fusion in production hybrid
+    * search. Determinism: both input rankings are deterministically
+    * tie-broken, and the fused score is a two-term sum of exact
+    * reciprocals rounded to 6dp.
+    *
+    * Scale: the two rankings are top-`depth` per query (tiny) — the fusion
+    * join is nQueries·depth rows a side regardless of corpus size.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 10,
+                k: Int = 10, depth: Int = 20, c: Int = 60): DataFrame = {
+    val dense = Similarity.bruteForceTopK(spark, dir, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("rd"))
+    val sparse = bm25MoreLikeThis(spark, dir, nQueries, k = depth)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rs"))
+    val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rs")), lit(0.0)), 6).as("rrf"))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk").cast("long").as("rnk"), col("rrf"))
+  }
+}
