@@ -126,6 +126,7 @@ object SparkEntry {
     "ann_quant_topk"       -> ((s, d) => Similarity.quantTopK(s, d)),
     "ann_lsh_multiprobe"   -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "ann_pq_topk"          -> ((s, d) => Similarity.pqTopK(s, d)),
+    "ann_ivfpq_topk"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
@@ -227,6 +228,42 @@ bsc AS (SELECT query_id, doc_id, round(CAST(SUM(CAST(part AS DECIMAL(28,10))) AS
   FROM bp0 GROUP BY query_id, doc_id),
 bmr AS (SELECT query_id, doc_id, bm25,
   row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rnk FROM bsc)"""
+
+  /** PQ codebook/encode/ADC CTE chain — shared by `ann_pq_topk` (full
+    * corpus scoring) and `ann_ivfpq_topk` (cell-pruned scoring). 16
+    * subspaces of 4 dims, 16-centroid codebook per subspace (seeds =
+    * first 16 vectors + one decimal-exact Lloyd iteration); `codes` is
+    * the encoded corpus, `lut` the per-query partial-dot table.
+    */
+  private lazy val OraclePqCtes =
+    s"""sub AS (SELECT vec_id, s, emb[(s*4+1):(s*4+4)] AS sub FROM n, unnest(range(0, 16)) t(s)),
+sn AS (SELECT vec_id, s, sub, sqrt(list_reduce(list_prepend(0.0, list_transform(sub, x -> x * x)), (a, b) -> a + b)) AS snrm FROM sub),
+c1 AS (SELECT s, vec_id AS cell, sub AS cs, snrm AS csn FROM sn WHERE vec_id < 16),
+a1 AS (SELECT vec_id, s, sub, cell FROM (
+  SELECT a.vec_id, a.s, a.sub, c.cell,
+    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
+  FROM sn a JOIN c1 c ON a.s = c.s) WHERE crk = 1),
+d AS (SELECT s, cell, i AS dim, CAST(sub[i] AS DECIMAL(28,12)) AS v FROM a1, unnest(range(1, len(sub) + 1)) t(i)),
+mm AS (SELECT s, cell, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY s, cell, dim),
+c2 AS (SELECT s, cell, list(mv ORDER BY dim) AS cs FROM mm GROUP BY s, cell),
+c2n AS (SELECT s, cell, cs, sqrt(list_reduce(list_prepend(0.0, list_transform(cs, x -> x * x)), (a, b) -> a + b)) AS csn FROM c2),
+codes AS (SELECT vec_id, s, cell AS code FROM (
+  SELECT a.vec_id, a.s, c.cell,
+    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
+  FROM sn a JOIN c2n c ON a.s = c.s) WHERE crk = 1),
+lut AS (SELECT q.vec_id AS query_id, q.s, c.cell,
+  CAST(round(list_reduce(list_prepend(0.0, list_transform(list_zip(q.sub, c.cs), p -> p[1] * p[2])), (a, b) -> a + b), 6) AS DECIMAL(28,12)) AS pd
+  FROM sn q JOIN c2n c ON q.s = c.s WHERE q.vec_id < 10)"""
+
+  /** Norm-normalize summed ADC partials and rank — tail shared by the
+    * two PQ oracles; expects a CTE `sc(query_id, neighbor_id, spd)`.
+    */
+  private val OraclePqFinish =
+    """fin AS (SELECT query_id, neighbor_id, round(CAST(spd AS DOUBLE) / (qn.nrm * nn.nrm), 6) AS acos
+  FROM sc JOIN n qn ON qn.vec_id = sc.query_id JOIN n nn ON nn.vec_id = sc.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, acos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id ASC) AS rnk FROM fin)
+WHERE rnk <= 5"""
 
   /** Unigram-surprisal oracle — shared by `text_surprisal` and the decile
     * bucketing built on top of it (identical scores by construction).
@@ -1035,31 +1072,27 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <
     // approximate cosine from the code lookup table over true norms
     "ann_pq_topk" ->
       s"""WITH $embNorms,
-sub AS (SELECT vec_id, s, emb[(s*4+1):(s*4+4)] AS sub FROM n, unnest(range(0, 16)) t(s)),
-sn AS (SELECT vec_id, s, sub, sqrt(list_reduce(list_prepend(0.0, list_transform(sub, x -> x * x)), (a, b) -> a + b)) AS snrm FROM sub),
-c1 AS (SELECT s, vec_id AS cell, sub AS cs, snrm AS csn FROM sn WHERE vec_id < 16),
-a1 AS (SELECT vec_id, s, sub, cell FROM (
-  SELECT a.vec_id, a.s, a.sub, c.cell,
-    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
-  FROM sn a JOIN c1 c ON a.s = c.s) WHERE crk = 1),
-d AS (SELECT s, cell, i AS dim, CAST(sub[i] AS DECIMAL(28,12)) AS v FROM a1, unnest(range(1, len(sub) + 1)) t(i)),
-mm AS (SELECT s, cell, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY s, cell, dim),
-c2 AS (SELECT s, cell, list(mv ORDER BY dim) AS cs FROM mm GROUP BY s, cell),
-c2n AS (SELECT s, cell, cs, sqrt(list_reduce(list_prepend(0.0, list_transform(cs, x -> x * x)), (a, b) -> a + b)) AS csn FROM c2),
-codes AS (SELECT vec_id, s, cell AS code FROM (
-  SELECT a.vec_id, a.s, c.cell,
-    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
-  FROM sn a JOIN c2n c ON a.s = c.s) WHERE crk = 1),
-lut AS (SELECT q.vec_id AS query_id, q.s, c.cell,
-  CAST(round(list_reduce(list_prepend(0.0, list_transform(list_zip(q.sub, c.cs), p -> p[1] * p[2])), (a, b) -> a + b), 6) AS DECIMAL(28,12)) AS pd
-  FROM sn q JOIN c2n c ON q.s = c.s WHERE q.vec_id < 10),
+$OraclePqCtes,
 sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
   FROM codes k JOIN lut l ON l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id GROUP BY 1, 2),
-fin AS (SELECT query_id, neighbor_id, round(CAST(spd AS DOUBLE) / (qn.nrm * nn.nrm), 6) AS acos
-  FROM sc JOIN n qn ON qn.vec_id = sc.query_id JOIN n nn ON nn.vec_id = sc.neighbor_id)
-SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, acos FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id ASC) AS rnk FROM fin)
-WHERE rnk <= 5""",
+$OraclePqFinish""",
+
+    // IVF-PQ: same trained codebook + ADC table as ann_pq_topk, same
+    // coarse quantizer as ann_ivf_topk; the scoring join additionally
+    // requires the candidate's IVF cell to be probed by the query
+    "ann_ivfpq_topk" ->
+      s"""WITH $embNorms,
+$OraclePqCtes,
+icents AS (SELECT vec_id AS icell, emb AS ice, nrm AS icn FROM n WHERE vec_id < 8),
+irk AS (SELECT vec_id, icell, row_number() OVER (PARTITION BY vec_id ORDER BY icos DESC, icell ASC) AS icrk FROM
+  (SELECT a.vec_id, icell, ${cosSql("a.emb", "ice", "a.nrm", "icn")} AS icos FROM n a CROSS JOIN icents)),
+cellof AS (SELECT vec_id, icell FROM irk WHERE icrk = 1),
+iprobes AS (SELECT vec_id AS p_query, icell FROM irk WHERE vec_id < 10 AND icrk <= 2),
+sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
+  FROM codes k JOIN cellof co ON co.vec_id = k.vec_id JOIN iprobes p ON p.icell = co.icell
+  JOIN lut l ON l.query_id = p.p_query AND l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id
+  GROUP BY 1, 2),
+$OraclePqFinish""",
 
     "retrieval_bm25" ->
       s"""WITH $OracleBm25Ranked

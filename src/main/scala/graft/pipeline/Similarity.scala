@@ -403,8 +403,73 @@ object Similarity {
              m: Int = 16, ks: Int = 16): DataFrame =
     pqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks)
 
+  /** Trained PQ state shared by `pqTopKFrom` and `ivfPqTopKFrom`:
+    * `base` = (vec_id, emb, nrm) double-cast corpus, `codes` = the m
+    * per-vector subspace codes, `lut` = per-query ADC partial-dot table.
+    */
+  private case class PqModel(base: DataFrame, codes: DataFrame, lut: DataFrame)
+
   def pqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
                  m: Int = 16, ks: Int = 16): DataFrame = {
+    val md = pqTrain(raw, nQueries, m, ks)
+    // ADC scoring against the WHOLE corpus: m lookups + a decimal sum
+    val spd = md.codes
+      .join(broadcast(md.lut), col("s") === col("qs") && col("code") === col("cell")
+        && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("spd"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("spd"))
+    pqFinish(spd, md.base, nQueries, k)
+  }
+
+  /** IVF-PQ: the coarse quantizer (same seeded cells + cosine assignment
+    * as `ivfTopK`) prunes candidates to the query's nProbe cells, and PQ
+    * ADC codes score them — the composition production ANN engines ship,
+    * here as two independently-oracle-verified halves glued by one join.
+    * At 100 TB: IVF bounds the candidates touched per query
+    * (nProbe/nCells of the corpus), PQ bounds the bytes per candidate
+    * (m codes, no float vectors in the scoring join); the probe set and
+    * ADC table are broadcasts, so the corpus-side stays map-local until
+    * the final per-(query, candidate) decimal sum.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                m: Int = 16, ks: Int = 16, nCells: Int = 8, nProbe: Int = 2): DataFrame =
+    ivfPqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks, nCells, nProbe)
+
+  def ivfPqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                    m: Int = 16, ks: Int = 16, nCells: Int = 8,
+                    nProbe: Int = 2): DataFrame = {
+    val md = pqTrain(raw, nQueries, m, ks)
+    // coarse quantizer over FULL vectors — identical contract to ivfTopK
+    val cents = md.base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val ranked = md.base.join(broadcast(cents))
+      .select(col("vec_id"), col("nrm"), col("cell"),
+        cosineRFromNorms(col("emb"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
+    val cellOf = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .select(col("vec_id").as("p_query"), col("cell").as("ivf_cell"))
+    // candidates = corpus codes inside a probed cell; probe set broadcast,
+    // codes co-partitioned with cellOf on vec_id
+    val spd = md.codes
+      .join(cellOf, Seq("vec_id"))
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .join(broadcast(md.lut),
+        col("p_query") === col("query_id") && col("s") === col("qs")
+          && col("code") === col("cell") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("spd"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("spd"))
+    pqFinish(spd, md.base, nQueries, k)
+  }
+
+  /** Codebook training + corpus encoding + per-query ADC table — the
+    * shared front half of the PQ paths (doc on `pqTopK`).
+    */
+  private def pqTrain(raw: DataFrame, nQueries: Int, m: Int, ks: Int): PqModel = {
     // double-cast once: all subspace math below matches the oracle's
     // double-list rendering bit-for-bit (same fold order as graft_dot)
     val base = raw.select(col("vec_id"),
@@ -457,12 +522,13 @@ object Similarity {
       .join(broadcast(c2), col("qs") === col("cs"))
       .select(col("query_id"), col("qs"), col("cell"),
         round(dot(col("q_sub"), col("c_sub")), 6).cast("decimal(28,12)").as("pd"))
-    val spd = codes
-      .join(broadcast(lut), col("s") === col("qs") && col("code") === col("cell")
-        && col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("spd"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("spd"))
+    PqModel(base, codes, lut)
+  }
+
+  /** Normalize summed ADC partials by the TRUE stored norms and take the
+    * deterministic per-query top-k — the shared back half of the PQ paths.
+    */
+  private def pqFinish(spd: DataFrame, base: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val nrms = base.select(col("vec_id"), col("nrm"))
     val fin = spd
       .join(broadcast(nrms.filter(col("vec_id") < nQueries)
