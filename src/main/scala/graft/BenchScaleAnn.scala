@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object BenchScaleAnn {
 
-  def enforce(quantRecall: Double, lshRows: Long, ivfRows: Long): Unit = {
+  def enforce(quantRecall: Double, lshRows: Long, ivfRows: Long,
+              pqRecall: Double = 1.0, ivfpqRows: Long = 1L): Unit = {
     if (quantRecall < 0.8)
       throw new IllegalStateException(
         s"quantized recall $quantRecall < 0.8: artifact written but the run is INVALID")
-    if (lshRows == 0 || ivfRows == 0)
+    if (lshRows == 0 || ivfRows == 0 || ivfpqRows == 0)
       throw new IllegalStateException(
-        s"blocked method returned no rows (lsh=$lshRows, ivf=$ivfRows): run INVALID")
+        s"blocked method returned no rows (lsh=$lshRows, ivf=$ivfRows, " +
+          s"ivfpq=$ivfpqRows): run INVALID")
+    // 16 codes per 64-dim vector is lossy by design, but the ranking must
+    // carry real signal: far above the k/N random floor (~1e-5 at 10×)
+    if (pqRecall < 0.05)
+      throw new IllegalStateException(
+        s"PQ recall $pqRecall < 0.05 — codes carry no signal: run INVALID")
   }
 
   private def exec(df: org.apache.spark.sql.DataFrame): Long =
@@ -68,7 +75,9 @@ object BenchScaleAnn {
       "lsh"   -> (() => pipeline.Similarity.lshTopKFrom(scaledVecs, nQueries = nq)),
       "lsh_mp" -> (() => pipeline.Similarity.lshMultiProbeTopKFrom(scaledVecs, nQueries = nq)),
       "ivf"   -> (() => pipeline.Similarity.ivfTopKFrom(scaledVecs, nQueries = nq)),
-      "quant" -> (() => pipeline.Similarity.quantTopKFrom(scaledVecs, nQueries = nq)))
+      "quant" -> (() => pipeline.Similarity.quantTopKFrom(scaledVecs, nQueries = nq)),
+      "pq"    -> (() => pipeline.Similarity.pqTopKFrom(scaledVecs, nQueries = nq)),
+      "ivfpq" -> (() => pipeline.Similarity.ivfPqTopKFrom(scaledVecs, nQueries = nq)))
 
     // warm code paths once so JIT/codegen is off the clock
     variants(10).foreach { case (_, fn) =>
@@ -98,7 +107,9 @@ object BenchScaleAnn {
       "lsh"   -> pairSet(pipeline.Similarity.lshTopKFrom(scaledVecs)),
       "lsh_mp" -> pairSet(pipeline.Similarity.lshMultiProbeTopKFrom(scaledVecs)),
       "ivf"   -> pairSet(pipeline.Similarity.ivfTopKFrom(scaledVecs)),
-      "quant" -> pairSet(pipeline.Similarity.quantTopKFrom(scaledVecs)))
+      "quant" -> pairSet(pipeline.Similarity.quantTopKFrom(scaledVecs)),
+      "pq"    -> pairSet(pipeline.Similarity.pqTopKFrom(scaledVecs)),
+      "ivfpq" -> pairSet(pipeline.Similarity.ivfPqTopKFrom(scaledVecs)))
       .map { case (n, s) =>
         (n, (brute intersect s).size.toDouble / brute.size, s.size.toLong)
       }
@@ -116,6 +127,8 @@ object BenchScaleAnn {
     println(json)
     enforce(recalls.collectFirst { case ("quant", r, _) => r }.get,
       recalls.collectFirst { case ("lsh", _, n) => n }.get,
-      recalls.collectFirst { case ("ivf", _, n) => n }.get)
+      recalls.collectFirst { case ("ivf", _, n) => n }.get,
+      recalls.collectFirst { case ("pq", r, _) => r }.get,
+      recalls.collectFirst { case ("ivfpq", _, n) => n }.get)
   }
 }

@@ -93,6 +93,7 @@ object SparkEntry {
     "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
     "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
+    "sketch_cms_tokens"    -> ((s, d) => T.cmsHeavyHitters(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -1093,6 +1094,18 @@ sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
   JOIN lut l ON l.query_id = p.p_query AND l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id
   GROUP BY 1, 2),
 $OraclePqFinish""",
+
+    // d=4 hash rows × w=1024 buckets; md5-bucketed so every cell is
+    // engine-reproducible; threshold on the ESTIMATE (no false negatives)
+    "sketch_cms_tokens" ->
+      s"""WITH occ AS (SELECT unnest($TOKS) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS exact FROM occ GROUP BY tok),
+tot AS (SELECT SUM(exact) AS n_total FROM vocab),
+wb AS (SELECT tok, exact, j, ${MD5P("concat(j, '_', tok)")} % 1024 AS bucket FROM vocab, unnest([0, 1, 2, 3]) t(j)),
+cells AS (SELECT j, bucket, SUM(exact) AS cnt FROM wb GROUP BY j, bucket),
+est AS (SELECT tok, exact, MIN(cnt) AS est FROM wb JOIN cells USING (j, bucket) GROUP BY tok, exact)
+SELECT tok, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
+FROM est, tot WHERE est * 1000 >= n_total * 2""",
 
     "retrieval_bm25" ->
       s"""WITH $OracleBm25Ranked

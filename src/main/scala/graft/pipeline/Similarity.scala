@@ -412,13 +412,12 @@ object Similarity {
   def pqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
                  m: Int = 16, ks: Int = 16): DataFrame = {
     val md = pqTrain(raw, nQueries, m, ks)
-    // ADC scoring against the WHOLE corpus: m lookups + a decimal sum
-    val spd = md.codes
-      .join(broadcast(md.lut), col("s") === col("qs") && col("code") === col("cell")
-        && col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("spd"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("spd"))
+    // ADC scoring against the WHOLE corpus: one (candidate × query) row
+    // with the m lookups fused into a single codegen'd decimal fold
+    val spd = pqPacked(md, m, ks)
+      .join(broadcast(pqLutPacked(md, ks)), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pqAdcSum(m, ks).as("spd"))
     pqFinish(spd, md.base, nQueries, k)
   }
 
@@ -452,19 +451,50 @@ object Similarity {
       .select(col("vec_id"), col("cell").as("ivf_cell"))
     val probes = ranked.filter(col("vec_id") < nQueries && col("crk") <= nProbe)
       .select(col("vec_id").as("p_query"), col("cell").as("ivf_cell"))
-    // candidates = corpus codes inside a probed cell; probe set broadcast,
-    // codes co-partitioned with cellOf on vec_id
-    val spd = md.codes
+    // candidates = packed code rows inside a probed cell; probe set and
+    // ADC tables broadcast, the m lookups fused into one decimal fold
+    val spd = pqPacked(md, m, ks)
       .join(cellOf, Seq("vec_id"))
       .join(broadcast(probes), Seq("ivf_cell"))
-      .join(broadcast(md.lut),
-        col("p_query") === col("query_id") && col("s") === col("qs")
-          && col("code") === col("cell") && col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("spd"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("spd"))
+      .join(broadcast(pqLutPacked(md, ks)),
+        col("p_query") === col("query_id") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pqAdcSum(m, ks).as("spd"))
     pqFinish(spd, md.base, nQueries, k)
   }
+
+  /** Corpus codes packed to ONE row per vector: `pcodes[s+1]` = the
+    * subspace-s code. This is the stored 100 TB representation (m bytes a
+    * vector) and what makes ADC scoring a per-pair expression instead of
+    * an m-way join.
+    */
+  private def pqPacked(md: PqModel, m: Int, ks: Int): DataFrame =
+    md.codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), x => x.getField("code")).as("pcodes"))
+
+  /** Per-query ADC table packed to ONE row: `plut[s*ks + cell + 1]` = the
+    * 6dp-rounded decimal partial dot of query subvector s with centroid
+    * cell — m·ks entries, broadcast to every candidate.
+    */
+  private def pqLutPacked(md: PqModel, ks: Int): DataFrame =
+    md.lut.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct((col("qs") * ks + col("cell")).as("i"),
+        col("pd")))).as("ip"))
+      .select(col("query_id"), transform(col("ip"), x => x.getField("pd")).as("plut"))
+
+  /** The fused ADC sum: fold the m table lookups in fixed subspace order.
+    * Decimal addition is exact, so this equals the oracle's SUM over the
+    * same 6dp partials regardless of order — hash parity preserved.
+    */
+  private def pqAdcSum(m: Int, ks: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(m - 1)),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+      (acc, s) => (acc + element_at(col("plut"),
+        (s * ks + element_at(col("pcodes"), s + 1) + 1).cast("int")))
+        .cast("decimal(28,12)"))
 
   /** Codebook training + corpus encoding + per-query ADC table — the
     * shared front half of the PQ paths (doc on `pqTopK`).

@@ -679,6 +679,53 @@ object TextPipeline {
         concat_ws(",", col("rs")).as("reasons"))
   }
 
+  /** Count-Min sketch heavy hitters: approximate token frequencies under a
+    * FIXED d×w cell budget (here 4×1024 longs = 32 KB regardless of corpus
+    * size), the streaming/serving answer to "what are the hot tokens"
+    * when a vocabulary-sized exact aggregate is too big to keep. Each
+    * token increments one bucket per hash row; the estimate is the min of
+    * its d cells — always ≥ the true count (collisions only inflate), so
+    * thresholding on the estimate has NO false negatives: every true
+    * heavy hitter is in the output.
+    *
+    * Output: tokens whose ESTIMATE clears `permille`/1000 of total
+    * occurrences, with both the exact and estimated counts so the
+    * overestimate bound is observable (spec-asserted: est ≥ exact, and
+    * exact-threshold tokens are all present).
+    *
+    * Scale shape: the sketch is built from the (token, count) VOCABULARY
+    * (Heaps' law — orders smaller than the corpus), not the raw
+    * occurrence stream, one d-way explode over it; cells (d·w rows, fixed)
+    * broadcast back for the min-estimate; total occurrences is a 1-row
+    * broadcast, never a collected literal. The same plan ingesting a
+    * stream becomes: partial d×w cell aggregates per micro-batch, merged
+    * by key — the classic mergeable-sketch property.
+    *
+    * Hashing is engine-portable md5 (`md5Prefix64("j_tok") % w`) so the
+    * DuckDB oracle reproduces every cell exactly.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, d: Int = 4,
+                      w: Int = 1024, permille: Int = 2): DataFrame = {
+    val vocab = spread(spark, documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
+    val total = vocab.agg(sum(col("exact")).as("n_total"))
+    val withBuckets = vocab
+      .select(col("tok"), col("exact"),
+        explode(array((0 until d).map(lit(_)): _*)).as("j"))
+      .select(col("tok"), col("exact"), col("j"),
+        pmod(md5Prefix64(concat_ws("_", col("j"), col("tok"))), lit(w.toLong)).as("bucket"))
+    val cells = withBuckets
+      .groupBy(col("j"), col("bucket")).agg(sum(col("exact")).as("cnt"))
+    withBuckets
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("exact")).agg(min(col("cnt")).as("est"))
+      .crossJoin(broadcast(total))
+      .filter(col("est") * 1000 >= col("n_total") * permille)
+      .select(col("tok"), col("exact"), col("est"))
+  }
+
   /** Multimodal plumbing: treat payloads as opaque binary + typed metadata.
     * The decode/feature-extract step is a STUB (no image/audio libs in this
     * container): features here are byte-length and content hash — the

@@ -187,6 +187,8 @@ class ScaleSpec extends SparkSpecBase {
     intercept[IllegalStateException] { BenchScaleAnn.enforce(0.79, 10, 10) }
     intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 0, 10) }
     intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 10, 0) }
-    BenchScaleAnn.enforce(0.98, 10, 10) // no throw
+    intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 10, 10, pqRecall = 0.04) }
+    intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 10, 10, ivfpqRows = 0) }
+    BenchScaleAnn.enforce(0.98, 10, 10, 0.4, 50) // no throw
   }
 }

