@@ -475,26 +475,24 @@ object Similarity {
         transform(col("sc"), x => x.getField("code")).as("pcodes"))
 
   /** Per-query ADC table packed to ONE row: `plut[s*ks + cell + 1]` = the
-    * 6dp-rounded decimal partial dot of query subvector s with centroid
-    * cell — m·ks entries, broadcast to every candidate.
+    * 6dp-rounded partial dot of query subvector s with centroid cell, in
+    * exact 1e-6 micro-unit LONGS (pd is decimal(28,12) holding a 6dp
+    * value, so ×1e6 is integer-valued and the cast is lossless) — m·ks
+    * entries, broadcast to every candidate.
     */
   private def pqLutPacked(md: PqModel, ks: Int): DataFrame =
     md.lut.groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct((col("qs") * ks + col("cell")).as("i"),
-        col("pd")))).as("ip"))
-      .select(col("query_id"), transform(col("ip"), x => x.getField("pd")).as("plut"))
+        (col("pd") * 1000000).cast("long").as("pd6")))).as("ip"))
+      .select(col("query_id"), transform(col("ip"), x => x.getField("pd6")).as("plut"))
 
-  /** The fused ADC sum: fold the m table lookups in fixed subspace order.
-    * Decimal addition is exact, so this equals the oracle's SUM over the
-    * same 6dp partials regardless of order — hash parity preserved.
+  /** The fused ADC sum via the `graft_pq_adc` codegen kernel: m array
+    * lookups + long adds per (query, candidate) pair. Long micro-unit
+    * addition is exact, so spd/1e6 equals the oracle's decimal SUM of
+    * the same 6dp partials bit-for-bit — hash parity preserved.
     */
   private def pqAdcSum(m: Int, ks: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(m - 1)),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
-      (acc, s) => (acc + element_at(col("plut"),
-        (s * ks + element_at(col("pcodes"), s + 1) + 1).cast("int")))
-        .cast("decimal(28,12)"))
+    call_function("graft_pq_adc", col("pcodes"), col("plut"), lit(ks))
 
   /** Codebook training + corpus encoding + per-query ADC table — the
     * shared front half of the PQ paths (doc on `pqTopK`).
@@ -564,8 +562,10 @@ object Similarity {
       .join(broadcast(nrms.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("nrm").as("q_nrm"))), Seq("query_id"))
       .join(nrms.select(col("vec_id").as("neighbor_id"), col("nrm")), Seq("neighbor_id"))
+      // spd arrives in 1e-6 micro-units (long); /1e6 yields the identical
+      // nearest-double as the decimal-sum cast did — same 6dp rounding
       .select(col("query_id"), col("neighbor_id"),
-        round(col("spd").cast("double") / (col("q_nrm") * col("nrm")), 6).as("acos"))
+        round((col("spd").cast("double") / lit(1e6)) / (col("q_nrm") * col("nrm")), 6).as("acos"))
     fin.withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id").asc)))
       .filter(col("rnk") <= k)

@@ -965,3 +965,70 @@ object CharEntropy {
     acc
   }
 }
+
+/** PQ asymmetric-distance sum: Σ_s lut[s·ks + codes[s]] over long
+  * micro-unit (1e-6) partials — the ADC inner loop as one codegen'd
+  * expression instead of an m-step interpreted decimal fold per
+  * (query, candidate) pair. Long addition of micro-units is exact, so
+  * the result equals the decimal-sum rendering bit-for-bit after the
+  * single final division by 1e6.
+  */
+case class PqAdcSum(first: Expression, second: Expression, third: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc requires (array<long> codes, array<long> lut, int ks), got $other")
+    }
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = first.eval(input); val l = second.eval(input); val k = third.eval(input)
+    if (c == null || l == null || k == null) null
+    else PqAdcSum.compute(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData],
+      k.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |boolean ${ev.isNull} = $nullCheck;
+        |long ${ev.value} = 0L;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.plans.expr.PqAdcSum.compute(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value});
+        |}
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PqAdcSum =
+    copy(first = c(0), second = c(1), third = c(2))
+}
+
+object PqAdcSum {
+  def compute(codes: ArrayData, lut: ArrayData, ks: Int): Long = {
+    Kernels.requireNoNullElements(codes, "graft_pq_adc")
+    Kernels.requireNoNullElements(lut, "graft_pq_adc")
+    val m = codes.numElements()
+    require(m * ks == lut.numElements(),
+      s"graft_pq_adc: lut has ${lut.numElements()} entries, expected m*ks = ${m * ks}")
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val code = codes.getLong(s)
+      require(code >= 0 && code < ks, s"graft_pq_adc: code $code outside [0, $ks)")
+      acc += lut.getLong(s * ks + code.toInt)
+      s += 1
+    }
+    acc
+  }
+}

@@ -160,6 +160,79 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  case class BandBucket(docs: List[(Long, Seq[Long])])
+
+  /** Streaming MinHash-LSH near-duplicate PAIR detection — the streaming
+    * twin of `Dedup.minhashLsh`: as documents arrive, emit every
+    * (doc_a, doc_b, est_jaccard ≥ threshold) pair exactly once, comparing
+    * each new document only against prior documents sharing an LSH band
+    * bucket — never the whole corpus.
+    *
+    * Shape: signatures are computed by the same codegen'd kernel chain as
+    * batch, band rows are keyed by (band, band_key) so state is
+    * hash-partitioned across executors by bucket, and each bucket's state
+    * holds its admitted (doc_id, signature) list — the streaming analog of
+    * the batch band join. A colliding pair can share several buckets; it
+    * is emitted only by the FIRST shared band (computable locally from
+    * the two signatures), so global exactly-once needs no second stateful
+    * dedup operator.
+    *
+    * State at 100 TB: Σ_buckets |bucket| = Bands × corpus rows of
+    * (id, 64-long sig) ≈ 0.5 KB/doc — the same O(corpus) posture as the
+    * batch signature table, RocksDB-backed; rolling-window deployments
+    * bound it with the ST2 TTL machinery (evict via timeouts keyed on
+    * ingest time), trading re-admission of stale near-dups exactly like
+    * `streamingExactDedupTtl`.
+    */
+  def streamingNearDupPairs(docs: DataFrame, threshold: Double = 0.5): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.pipeline.Dedup.Bands
+    val rpb = graft.pipeline.Dedup.RowsPerBand
+    val nh = graft.pipeline.Dedup.NumHashes
+    def bandSlice(sig: Seq[Long], b: Int): Seq[Long] = sig.slice(b * rpb, b * rpb + rpb)
+    val banded = docs
+      .select(col("doc_id"), graft.pipeline.Dedup.minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", transform(
+            slice(col("sig"), b * rpb + 1, lit(rpb)), x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .as[(Long, Seq[Long], Int, String)]
+    banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), rows: Iterator[(Long, Seq[Long], Int, String)],
+         state: GroupState[BandBucket]) => {
+          val band = key._1
+          var seen = state.getOption.map(_.docs).getOrElse(List.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          // deterministic intra-batch order: doc_id ascending
+          rows.map(r => (r._1, r._2)).toSeq.sortBy(_._1).foreach { case (id, sig) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osig) =>
+                // first-shared-band convention = global exactly-once
+                val firstShared = (0 until bands)
+                  .find(b => bandSlice(sig, b) == bandSlice(osig, b))
+                if (firstShared.contains(band)) {
+                  val eq = sig.zip(osig).count { case (x, y) => x == y }
+                  val est = BigDecimal(eq.toDouble / nh)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (est >= threshold)
+                    out += NearDupPair(math.min(id, oid), math.max(id, oid), est)
+                }
+              }
+              seen = seen :+ (id, sig)
+            }
+          }
+          state.update(BandBucket(seen))
+          out.iterator
+        })
+  }
+
   /** A1 streaming: watermarked 10s tumbling-window visitor stats — the
     * same transform as batch (`LogPipeline.a1Transform`) with a watermark
     * bound; append mode emits each window once, like Flink's

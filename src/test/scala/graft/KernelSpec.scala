@@ -261,4 +261,31 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     assert(got("aaaa") == 0.0)
     assert(math.abs(got("ab") - math.log(2.0)) < 1e-12)
   }
+
+  test("graft_pq_adc == driver-side lookup-sum; bad code / sized lut rejected") {
+    val ks = 4
+    // m=3 subspaces, ks=4 cells: lut laid out [s*ks + cell]
+    val lut = (0 until 3 * ks).map(i => (i * 7 - 20).toLong)
+    val rows = Seq(
+      Seq(0L, 1L, 2L),
+      Seq(3L, 3L, 3L),
+      Seq(2L, 0L, 1L))
+    val df = rows.map(c => (c, lut)).toDF("codes", "lut")
+    val got = df.select(call_function("graft_pq_adc", col("codes"), col("lut"), lit(ks)))
+      .as[Long].collect()
+    val want = rows.map(c => c.zipWithIndex.map { case (code, s) =>
+      lut(s * ks + code.toInt) }.sum)
+    assert(got.toSeq == want)
+    // code outside the codebook is corruption, not a zero
+    val bad = Seq((Seq(0L, 4L, 0L), lut)).toDF("codes", "lut")
+    val e = intercept[Exception] {
+      bad.select(call_function("graft_pq_adc", col("codes"), col("lut"), lit(ks))).collect()
+    }
+    assert(e.getMessage != null)
+    // lut length must be exactly m*ks
+    val short = Seq((Seq(0L, 1L), lut)).toDF("codes", "lut")
+    intercept[Exception] {
+      short.select(call_function("graft_pq_adc", col("codes"), col("lut"), lit(ks))).collect()
+    }
+  }
 }

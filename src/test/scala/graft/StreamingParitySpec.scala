@@ -218,6 +218,35 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(byFp(batchFps.find(_ != foxFp).get) == 3L, "doc 3 (batch 1) beats doc 5 (batch 2)")
   }
 
+  test("streaming near-dup pairs parity: multi-batch LSH stream == batch minhashLsh pair set") {
+    // real corpus slice so band collisions and near-dup pairs are genuine
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 150)
+      .select("doc_id", "source", "lang", "text").as[Doc].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("sneardup").toString
+    corpus.toDF().write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batch = graft.pipeline.Dedup.minhashLsh(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "corpus slice must contain near-dup pairs")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val name = s"ndsink${System.nanoTime()}"
+    val q = StreamOps.streamingNearDupPairs(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      // three arrival waves: pairs must span batches AND within-batch
+      input.addData(corpus.take(50)); q.processAllAvailable()
+      input.addData(corpus.slice(50, 100)); q.processAllAvailable()
+      input.addData(corpus.drop(100)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .as[(Long, Long, Double)].collect()
+    // exactly-once: the first-shared-band convention emits no duplicates
+    assert(got.length == got.toSet.size, "duplicate pair emissions")
+    assert(got.toSet == batch, s"stream ${got.length} pairs != batch ${batch.size}")
+  }
+
   test("corpus-ingest dedup with watermark TTL: in-window dups suppressed under out-of-order replay, state bounded") {
     // DocTs rows carry ingest time; watermark 10 minutes.
     val t0 = ts("2024-01-01 00:00:00")
