@@ -704,6 +704,21 @@ object TextPipeline {
     * Hashing is engine-portable md5 (`md5Prefix64("j_tok") % w`) so the
     * DuckDB oracle reproduces every cell exactly.
     */
+  /** The d×w CMS cell table as a PURE transform over a (text) frame —
+    * identical under batch and `readStream` (groupBy agg in update/
+    * complete mode): the mergeable-sketch property, micro-batch partial
+    * cells merge by (j, bucket) key. `StreamingParitySpec` asserts the
+    * streamed cells equal this batch computation; `cmsHeavyHitters`
+    * builds the same cells from the vocabulary instead of raw
+    * occurrences (cheaper batch path — cross-checked in its spec).
+    */
+  def cmsCells(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .select(col("tok"), explode(array((0 until d).map(lit(_)): _*)).as("j"))
+      .select(col("j"),
+        pmod(md5Prefix64(concat_ws("_", col("j"), col("tok"))), lit(w.toLong)).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   def cmsHeavyHitters(spark: SparkSession, dir: String, d: Int = 4,
                       w: Int = 1024, permille: Int = 2): DataFrame = {
     val vocab = spread(spark, documents(spark, dir))

@@ -247,6 +247,29 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.toSet == batch, s"stream ${got.length} pairs != batch ${batch.size}")
   }
 
+  test("streaming CMS cells parity: micro-batch partials merge to the batch sketch") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100)
+      .select("doc_id", "source", "lang", "text").as[Doc].collect().toSeq
+    val batch = graft.pipeline.TextPipeline.cmsCells(corpus.toDF())
+      .as[(Int, Long, Long)].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val name = s"cmssink${System.nanoTime()}"
+    val q = graft.pipeline.TextPipeline.cmsCells(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      input.addData(corpus.take(40)); q.processAllAvailable()
+      input.addData(corpus.drop(40)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[(Int, Long, Long)].collect().toSet
+    assert(got == batch, s"streamed cells ${got.size} != batch ${batch.size}")
+    // the sketch really is d x w bounded
+    assert(got.map(c => (c._1, c._2)).size == got.size)
+    assert(got.forall { case (j, b, _) => j >= 0 && j < 4 && b >= 0 && b < 1024 })
+  }
+
   test("corpus-ingest dedup with watermark TTL: in-window dups suppressed under out-of-order replay, state bounded") {
     // DocTs rows carry ingest time; watermark 10 minutes.
     val t0 = ts("2024-01-01 00:00:00")

@@ -725,5 +725,19 @@ class TrainingOpsSpec extends SparkSpecBase {
     // sum of exact counts colliding into its min cell (per-row identity)
     val hottest = got.maxBy(_._2)
     assert(hottest._3 <= total, "estimate cannot exceed total occurrences")
+    // vocab-built sketch == occurrence-built sketch: every reported est
+    // is the min over its d cells of the pure-transform cell table
+    val cells = TextPipeline.cmsCells(Tables.documents(spark, dir).select("text"))
+      .as[(Int, Long, Long)].collect().map { case (j, b, c) => (j, b) -> c }.toMap
+    def bucket(j: Int, tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    got.foreach { case (t, _, est) =>
+      val byCells = (0 until 4).map(j => cells((j, bucket(j, t)))).min
+      assert(est == byCells, s"'$t' est $est != cell-table min $byCells")
+    }
   }
 }
