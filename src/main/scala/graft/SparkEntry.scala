@@ -94,6 +94,7 @@ object SparkEntry {
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
     "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
     "sketch_cms_tokens"    -> ((s, d) => T.cmsHeavyHitters(s, d)),
+    "text_kl_per_source"   -> ((s, d) => T.klPerSource(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
     "text_length_hist"     -> ((s, d) => T.lengthHistogram(s, d)),
@@ -1094,6 +1095,22 @@ sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
   JOIN lut l ON l.query_id = p.p_query AND l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id
   GROUP BY 1, 2),
 $OraclePqFinish""",
+
+    // add-one smoothing over the corpus vocabulary; per-token terms
+    // rounded 10dp (they range to ~1e-9), decimal sum, 6dp final
+    "text_kl_per_source" ->
+      s"""WITH occ AS (SELECT source, unnest($TOKS) AS tok FROM documents),
+cc AS (SELECT tok, COUNT(*) AS cc FROM occ GROUP BY tok),
+sc AS (SELECT source, tok, COUNT(*) AS cs FROM occ GROUP BY source, tok),
+st AS (SELECT source, COUNT(*) AS ns FROM occ GROUP BY source),
+tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc, COUNT(*) AS v FROM cc),
+grid AS (SELECT st.source, cc.tok, cc.cc, st.ns, coalesce(sc.cs, 0) AS cs, nc, v
+  FROM cc CROSS JOIN st LEFT JOIN sc ON sc.source = st.source AND sc.tok = cc.tok, tot),
+terms AS (SELECT source,
+  round(((cs + 1.0::DOUBLE) / (ns + v)) * ln(((cs + 1.0::DOUBLE) / (ns + v)) / ((cc + 1.0::DOUBLE) / (nc + v))), 10) AS term
+  FROM grid)
+SELECT source, round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+FROM terms GROUP BY source""",
 
     // d=4 hash rows × w=1024 buckets; md5-bucketed so every cell is
     // engine-reproducible; threshold on the ESTIMATE (no false negatives)

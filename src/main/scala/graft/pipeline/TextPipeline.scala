@@ -704,6 +704,46 @@ object TextPipeline {
     * Hashing is engine-portable md5 (`md5Prefix64("j_tok") % w`) so the
     * DuckDB oracle reproduces every cell exactly.
     */
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the drift diagnostic a multi-source corpus needs: KL(P_source ‖
+    * P_corpus) with add-one smoothing over the corpus vocabulary, so a
+    * source whose token mix diverges (different language register, spam
+    * infiltration, template text) scores high and an on-distribution
+    * source scores near 0. The companion to `dsirWeight` (which
+    * importance-weights DOCUMENTS against a target; this scores SOURCES
+    * against the corpus).
+    *
+    * Scale shape: one tokenize/explode pass pinned (`localCheckpoint`)
+    * feeds the three aggregates; the sum runs over the (vocab × sources)
+    * grid — vocabulary is Heaps'-law bounded and sources are a catalog,
+    * so the grid is orders below corpus size; source totals and the
+    * (N, V) constants ride as broadcasts.
+    *
+    * Determinism: per-token terms are rounded to 10dp (they range down
+    * to ~1e-9; 6dp would zero the tail) and summed as DECIMAL(28,12);
+    * the final figure re-rounds to 6dp — the engine-wide cross-engine
+    * contract.
+    */
+  def klPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val occ = spread(spark, documents(spark, dir))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val corpusCnt = occ.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val srcCnt = occ.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val srcTot = occ.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val totals = corpusCnt.agg(sum(col("cc")).cast("long").as("nc"), count(lit(1)).as("v"))
+    val ps = (col("cs") + lit(1.0)) / (col("ns") + col("v"))
+    val pc = (col("cc") + lit(1.0)) / (col("nc") + col("v"))
+    corpusCnt
+      .crossJoin(broadcast(srcTot))
+      .join(srcCnt, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), round(ps * log(ps / pc), 10).as("term"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6).as("kl"))
+  }
+
   /** The d×w CMS cell table as a PURE transform over a (text) frame —
     * identical under batch and `readStream` (groupBy agg in update/
     * complete mode): the mergeable-sketch property, micro-batch partial

@@ -740,4 +740,17 @@ class TrainingOpsSpec extends SparkSpecBase {
       assert(est == byCells, s"'$t' est $est != cell-table min $byCells")
     }
   }
+
+  test("KL per source: every source covered, Gibbs bound holds, deterministic") {
+    val got = TextPipeline.klPerSource(spark, dir).as[(String, Double)].collect()
+    val sources = Tables.documents(spark, dir)
+      .select("source").distinct().as[String].collect().toSet
+    assert(got.map(_._1).toSet == sources)
+    // both smoothed distributions are proper, so KL >= 0 (Gibbs), up to
+    // the 6dp rounding of a near-zero sum
+    got.foreach { case (s, kl) => assert(kl >= -1e-5, s"$s KL $kl negative") }
+    assert(got.exists(_._2 > 0.0), "sources cannot all be exactly on-distribution")
+    val again = TextPipeline.klPerSource(spark, dir).as[(String, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
