@@ -92,6 +92,7 @@ object SparkEntry {
     "text_quality_buckets" -> ((s, d) => T.qualityBuckets(s, d)),
     "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
+    "text_heaps_fit"       -> ((s, d) => T.heapsFit(s, d)),
     "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
     "sketch_cms_tokens"    -> ((s, d) => T.cmsHeavyHitters(s, d)),
     "text_kl_per_source"   -> ((s, d) => T.klPerSource(s, d)),
@@ -980,6 +981,28 @@ s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
   CAST(SUM(xy) AS DOUBLE) AS sxy FROM terms)
 SELECT CAST(n AS BIGINT) AS n_vocab,
 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept FROM s""",
+
+    // vocab growth at 10 corpus prefixes; checkpoint = ceil(ndocs*i/10),
+    // prefix totals from the per-doc count / first-appearance tables
+    "text_heaps_fit" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+nd AS (SELECT COUNT(*) AS ndocs FROM documents),
+cps AS (SELECT i, (ndocs * i + 9) // 10 AS cp FROM nd, unnest(range(1, 11)) t(i)),
+dc AS (SELECT doc_id, COUNT(*) AS cnt FROM occ GROUP BY doc_id),
+fd AS (SELECT tok, MIN(doc_id) AS fdoc FROM occ GROUP BY tok),
+nn AS (SELECT i, CAST(SUM(cnt) AS BIGINT) AS n FROM cps JOIN dc ON dc.doc_id < cps.cp GROUP BY i),
+vv AS (SELECT i, COUNT(*) AS v FROM cps JOIN fd ON fd.fdoc < cps.cp GROUP BY i),
+pts AS (SELECT ln(n) AS lx, ln(v) AS ly FROM nn JOIN vv USING (i)),
+terms AS (SELECT CAST(round(lx, 6) AS DECIMAL(28,10)) AS x,
+  CAST(round(ly, 6) AS DECIMAL(28,10)) AS y,
+  CAST(round(lx * lx, 6) AS DECIMAL(28,10)) AS xx,
+  CAST(round(lx * ly, 6) AS DECIMAL(28,10)) AS xy FROM pts),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+  CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+  CAST(SUM(xy) AS DOUBLE) AS sxy FROM terms)
+SELECT CAST(n AS BIGINT) AS n_points,
+round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
 round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept FROM s""",
 
     "text_chunks" ->

@@ -473,6 +473,52 @@ object TextPipeline {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** Heaps'-law fit — the companion corpus-health diagnostic to
+    * `zipfFit`: vocabulary growth V(N) ≈ K·N^β measured at `points`
+    * growing corpus prefixes (docs 0..cp_i), least-squares over
+    * (ln N_i, ln V_i). β far from the ~0.4–0.8 natural-text band flags a
+    * synthetic or truncated corpus; the fitted curve also predicts vocab
+    * (= tokenizer pressure, dedup-structure sizes) at 100 TB from a
+    * sample — which is exactly how this engine's own "vocabulary is
+    * orders below the corpus" scaling arguments are validated.
+    *
+    * Scale shape: ONE tokenize pass feeds a per-doc count table
+    * (corpus → nDocs rows) and a token-first-appearance table
+    * (vocab rows via min(doc_id)); both cross the tiny checkpoint list
+    * (broadcast, `points` rows) — prefix totals and prefix vocab sizes
+    * come from those compact tables, never a rescan per checkpoint.
+    * Same decimal least-squares determinism contract as `zipfFit`.
+    */
+  def heapsFit(spark: SparkSession, dir: String, points: Int = 10): DataFrame = {
+    val occ = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val nDocs = documents(spark, dir).count()
+    val cps = (1 to points).map(i => (i, (nDocs * i + points - 1) / points))
+    import spark.implicits._
+    val cpDf = broadcast(cps.toDF("i", "cp"))
+    val docCnt = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val firstDoc = occ.groupBy(col("tok")).agg(min(col("doc_id")).as("fdoc"))
+    val n = docCnt.crossJoin(cpDf).filter(col("doc_id") < col("cp"))
+      .groupBy(col("i")).agg(sum(col("cnt")).cast("long").as("n"))
+    val v = firstDoc.crossJoin(cpDf).filter(col("fdoc") < col("cp"))
+      .groupBy(col("i")).agg(count(lit(1)).as("v"))
+    val dec = "decimal(28,10)"
+    val sums = n.join(v, Seq("i"))
+      .select(log(col("n")).as("lx"), log(col("v")).as("ly"))
+      .select(round(col("lx"), 6).cast(dec).as("x"), round(col("ly"), 6).cast(dec).as("y"),
+        round(col("lx") * col("lx"), 6).cast(dec).as("xx"),
+        round(col("lx") * col("ly"), 6).cast(dec).as("xy"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("xx")).cast("double").as("sxx"), sum(col("xy")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").cast("long").as("n_points"),
+      round(slope, 6).as("beta"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   /** First BPE merge step (tokenizer vocabulary induction): adjacent
     * character-pair frequencies over the corpus, weighted by word count —
     * the ranked merge candidates a byte-pair encoder would fuse first.

@@ -741,6 +741,35 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("Heaps fit: 10 prefix points, sublinear growth exponent, driver recount") {
+    val Array((n, beta, icept)) = TextPipeline.heapsFit(spark, dir)
+      .as[(Long, Double, Double)].collect()
+    assert(n == 10L)
+    // vocab growth must be sublinear (beta < 1); this synthetic corpus
+    // saturates its vocabulary early, so beta ~ 0 is the expected flag
+    assert(beta >= -1e-6 && beta < 1.0, s"beta $beta outside [0, 1)")
+    assert(icept > 0.0, "ln-vocab intercept must be positive")
+    // driver recount of the two prefix series feeding the regression
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val nd = docs.length
+    val pts = (1 to 10).map { i =>
+      val cp = (nd.toLong * i + 9) / 10
+      val pre = docs.filter(_._1 < cp)
+      (pre.map(_._2.length.toLong).sum, pre.flatMap(_._2).distinct.length.toLong)
+    }
+    // regression inputs: both series strictly positive and monotone
+    assert(pts.forall { case (a, b) => a > 0 && b > 0 })
+    assert(pts.zip(pts.tail).forall { case ((n1, v1), (n2, v2)) => n2 >= n1 && v2 >= v1 })
+    // recount the slope with plain doubles; 6dp-rounded pipeline must agree
+    val xs = pts.map(p => math.log(p._1.toDouble)); val ys = pts.map(p => math.log(p._2.toDouble))
+    val sn = xs.length.toDouble
+    val slope = (sn * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      (sn * xs.map(a => a * a).sum - xs.sum * xs.sum)
+    assert(math.abs(beta - slope) < 1e-4, s"beta $beta != recount $slope")
+  }
+
   test("KL per source: every source covered, Gibbs bound holds, deterministic") {
     val got = TextPipeline.klPerSource(spark, dir).as[(String, Double)].collect()
     val sources = Tables.documents(spark, dir)
