@@ -93,6 +93,7 @@ object SparkEntry {
     "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
     "text_heaps_fit"       -> ((s, d) => T.heapsFit(s, d)),
+    "text_winnow_fps"      -> ((s, d) => T.winnowFingerprints(s, d)),
     "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
     "sketch_cms_tokens"    -> ((s, d) => T.cmsHeavyHitters(s, d)),
     "text_kl_per_source"   -> ((s, d) => T.klPerSource(s, d)),
@@ -982,6 +983,19 @@ s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
 SELECT CAST(n AS BIGINT) AS n_vocab,
 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
 round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept FROM s""",
+
+    // MOSS winnowing: char-5-gram md5 hashes, min per 4-hash window,
+    // distinct selected hashes = the doc fingerprint set
+    "text_winnow_fps" ->
+      s"""WITH h AS (SELECT doc_id,
+  list_transform(range(1, length(lower(text)) - 4 + 1),
+    i -> ${MD5P("substring(lower(text), i, 5)")}) AS hs
+  FROM documents WHERE length(lower(text)) >= 5),
+g AS (SELECT doc_id,
+  CASE WHEN len(hs) >= 4
+       THEN list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3]))
+       ELSE [list_min(hs)] END AS fps FROM h)
+SELECT DISTINCT doc_id, unnest(fps) AS fph FROM g""",
 
     // vocab growth at 10 corpus prefixes; checkpoint = ceil(ndocs*i/10),
     // prefix totals from the per-doc count / first-appearance tables

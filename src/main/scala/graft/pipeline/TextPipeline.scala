@@ -473,6 +473,39 @@ object TextPipeline {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every character 5-gram of the lowercased text,
+    * slide a window of 4 hashes, keep the minimum per window, emit the
+    * distinct selected hashes as the document's fingerprint set. The
+    * guarantee: any verbatim match of length ≥ w+k−1 = 8 chars shares a
+    * fingerprint, at ~2/(w+1) the index density of all-grams — the
+    * cheap-index complement to the exact-substring span machinery (which
+    * finds and strips the duplicated ranges; this is the partial-copy
+    * DETECTOR you run first at scale).
+    *
+    * Entirely map-side: per-row 5-gram hash array → per-window min →
+    * distinct explode; nothing shuffles but the final per-doc distinct.
+    * Hashing is engine-portable md5-prefix; docs shorter than k drop out
+    * on both engines.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String, k: Int = 5,
+                         w: Int = 4): DataFrame = {
+    val low = lower(col("text"))
+    val docs = spread(spark, documents(spark, dir))
+      .filter(length(low) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(low) - (k - 1)),
+          i => md5Prefix64(low.substr(i, lit(k)))).as("hs"))
+    docs
+      .select(col("doc_id"),
+        when(size(col("hs")) >= w,
+          transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+            j => array_min(slice(col("hs"), j, lit(w)))))
+          .otherwise(array(array_min(col("hs")))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fph"))
+      .distinct()
+  }
+
   /** Heaps'-law fit — the companion corpus-health diagnostic to
     * `zipfFit`: vocabulary growth V(N) ≈ K·N^β measured at `points`
     * growing corpus prefixes (docs 0..cp_i), least-squares over

@@ -741,6 +741,42 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("winnowing: match guarantee, density bound, fingerprints are real gram hashes") {
+    // planted corpus: docs 1 and 2 share a 40-char verbatim span (>= w+k-1=8
+    // chars, so the winnowing guarantee REQUIRES a shared fingerprint);
+    // doc 3 shares nothing
+    val shared = "the identical plagiarized span of text!"
+    val rows = Seq(
+      (1L, "web", "en", s"unique prefix one $shared and a tail"),
+      (2L, "web", "en", s"other opening here $shared differing end"),
+      (3L, "web", "en", "completely unrelated content with zero overlap at all"))
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    rows.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.winnowFingerprints(spark, tmp)
+      .as[(Long, Long)].collect()
+    val byDoc = got.groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
+    // guarantee: the shared span yields at least one shared fingerprint
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "shared span missed")
+    // every selected fingerprint is the hash of a real 5-gram of its doc
+    def gramHashes(t: String): Set[Long] = {
+      val low = t.toLowerCase
+      (0 to low.length - 5).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(low.substring(i, i + 5).getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16)
+      }.toSet
+    }
+    rows.foreach { case (id, _, _, t) =>
+      assert(byDoc(id).subsetOf(gramHashes(t)), s"doc $id emitted a non-gram hash")
+    }
+    // density: winnowing selects ~2/(w+1) of grams — far below all of them
+    rows.foreach { case (id, _, _, t) =>
+      assert(byDoc(id).size < gramHashes(t).size, s"doc $id kept every gram")
+    }
+  }
+
   test("Heaps fit: 10 prefix points, sublinear growth exponent, driver recount") {
     val Array((n, beta, icept)) = TextPipeline.heapsFit(spark, dir)
       .as[(Long, Double, Double)].collect()
