@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
     "dedup_keep_best"      -> ((s, d) => Dedup.keepBestOfCluster(s, d)),
     "dedup_contamination"  -> ((s, d) => Dedup.contamination(s, d)),
+    "sketch_bloom_contam"  -> ((s, d) => Dedup.bloomContamination(s, d)),
     "dedup_decontaminate"  -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_substr_spans"   -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_substr_strip"   -> ((s, d) => Dedup.duplicateSpanStrip(s, d)),
@@ -811,6 +812,21 @@ FROM t WHERE len(toks) >= 5),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
 SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN bench USING (gram)
 WHERE doc_id >= 50 GROUP BY doc_id""",
+
+    // benchmark grams → 3 md5 bit positions each, distinct set bits;
+    // a corpus gram is bloom-positive when all 3 of its bits are set
+    "sketch_bloom_contam" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+FROM t WHERE len(toks) >= 5),
+bits AS (SELECT DISTINCT ${MD5P("concat(j, '_', gram)")} % 16384 AS bit
+  FROM (SELECT DISTINCT gram FROM g WHERE doc_id < 50), unnest([0, 1, 2]) t(j)),
+probe AS (SELECT doc_id, gram, ${MD5P("concat(j, '_', gram)")} % 16384 AS bit
+  FROM g, unnest([0, 1, 2]) t(j) WHERE doc_id >= 50),
+pos AS (SELECT doc_id, gram FROM probe JOIN bits USING (bit)
+  GROUP BY doc_id, gram HAVING COUNT(*) = 3)
+SELECT doc_id, COUNT(*) AS n_bloom_pos FROM pos GROUP BY doc_id""",
 
     "dedup_substr_spans" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

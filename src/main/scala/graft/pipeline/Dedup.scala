@@ -381,12 +381,14 @@ object Dedup {
     * The benchmark gram set is small by construction → broadcast join;
     * the corpus side only ever shuffles its distinct grams.
     */
-  def contamination(spark: SparkSession, dir: String, benchBound: Long = 50,
-                    n: Int = 5): DataFrame = {
-    // gram arrays materialized BEFORE the explode: Generate re-evaluates
-    // its generator input per OUTPUT row, which would re-run the whole
-    // array construction once per emitted gram
-    val grams = spread(spark, documents(spark, dir))
+  /** Per-doc DISTINCT word n-grams — shared by the exact contamination
+    * check and its Bloom-filter rendering. Gram arrays materialized
+    * BEFORE the explode: Generate re-evaluates its generator input per
+    * OUTPUT row, which would re-run the whole array construction once
+    * per emitted gram.
+    */
+  private def wordGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
+    spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         when(size(col("toks")) >= n,
@@ -395,11 +397,52 @@ object Dedup {
           .otherwise(array().cast("array<string>")).as("gram_arr"))
       .localCheckpoint()
       .select(col("doc_id"), explode(col("gram_arr")).as("gram"))
+
+  def contamination(spark: SparkSession, dir: String, benchBound: Long = 50,
+                    n: Int = 5): DataFrame = {
+    val grams = wordGrams(spark, dir, n)
     val bench = grams.filter(col("doc_id") < benchBound).select(col("gram")).distinct()
     grams.filter(col("doc_id") >= benchBound)
       .join(broadcast(bench), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Bloom-filter contamination screen: the benchmark gram set compiled
+    * into kHash·mBits md5 bit positions (a FIXED 2 KB bitmap at the
+    * defaults, vs the exact check's gram-string broadcast), corpus docs
+    * scored by how many of their grams test bloom-positive (all kHash
+    * bits set). One-sided by construction: a gram actually in the
+    * benchmark always tests positive, so `n_bloom_pos ≥ n_shared` per
+    * doc and a zero here clears a doc with NO exact check needed — the
+    * membership analog of the CMS frequency sketch, and the screen a
+    * 100 TB decontamination pass runs before the exact verify (the
+    * bitmap ships to every executor no matter how large the benchmark
+    * suite grows; false-positive rate is the classic (1−e^{−kn/m})^k).
+    *
+    * The bit table is built as DISTINCT set positions (≤ mBits rows)
+    * and broadcast; the probe is explode(kHash)→join→count==kHash, all
+    * md5-portable so the oracle reproduces every bit.
+    */
+  def bloomContamination(spark: SparkSession, dir: String, benchBound: Long = 50,
+                         n: Int = 5, kHash: Int = 3, mBits: Int = 16384): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix64
+    val grams = wordGrams(spark, dir, n)
+    val js = explode(array((0 until kHash).map(lit(_)): _*)).as("j")
+    def bit = pmod(md5Prefix64(concat_ws("_", col("j"), col("gram"))), lit(mBits.toLong))
+    val bits = grams.filter(col("doc_id") < benchBound)
+      .select(col("gram")).distinct()
+      .select(col("gram"), js)
+      .select(bit.as("bit")).distinct()
+    grams.filter(col("doc_id") >= benchBound)
+      .select(col("doc_id"), col("gram"), js)
+      .select(col("doc_id"), col("gram"), bit.as("bit"))
+      .join(broadcast(bits), "bit")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kHash)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_pos"))
   }
 
   /** Exact-substring duplicate spans (the removal semantics of

@@ -741,6 +741,24 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom contamination screen: one-sided vs the exact check (no false negatives)") {
+    val exact = Dedup.contamination(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomContamination(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty && bloom.nonEmpty)
+    // every exactly-contaminated doc tests bloom-positive with at least
+    // as many grams — a benchmark gram's bits are set by construction
+    exact.foreach { case (doc, nShared) =>
+      assert(bloom.contains(doc), s"doc $doc contaminated but bloom-negative")
+      assert(bloom(doc) >= nShared,
+        s"doc $doc bloom $nShared grams > bloom-positive ${bloom(doc)}")
+    }
+    // and the sketch is a SCREEN, not an oracle: false positives are
+    // allowed (collisions), clean verdicts are not
+    assert(bloom.keySet.forall(_ >= 50L), "benchmark docs must not self-report")
+  }
+
   test("winnowing: match guarantee, density bound, fingerprints are real gram hashes") {
     // planted corpus: docs 1 and 2 share a 40-char verbatim span (>= w+k-1=8
     // chars, so the winnowing guarantee REQUIRES a shared fingerprint);
