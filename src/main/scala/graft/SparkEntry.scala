@@ -94,6 +94,7 @@ object SparkEntry {
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
     "text_heaps_fit"       -> ((s, d) => T.heapsFit(s, d)),
     "text_winnow_fps"      -> ((s, d) => T.winnowFingerprints(s, d)),
+    "dedup_winnow_pairs"   -> ((s, d) => T.winnowPairs(s, d)),
     "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
     "sketch_cms_tokens"    -> ((s, d) => T.cmsHeavyHitters(s, d)),
     "text_kl_per_source"   -> ((s, d) => T.klPerSource(s, d)),
@@ -269,6 +270,21 @@ lut AS (SELECT q.vec_id AS query_id, q.s, c.cell,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, acos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id ASC) AS rnk FROM fin)
 WHERE rnk <= 5"""
+
+  /** Winnowing fingerprint CTEs (char-5-gram md5 hashes → min per 4-hash
+    * window → distinct per doc as `wf(doc_id, fph)`) — shared by
+    * `text_winnow_fps` and the `dedup_winnow_pairs` consumer.
+    */
+  private lazy val OracleWinnowFps =
+    s"""h AS (SELECT doc_id,
+  list_transform(range(1, length(lower(text)) - 4 + 1),
+    i -> ${MD5P("substring(lower(text), i, 5)")}) AS hs
+  FROM documents WHERE length(lower(text)) >= 5),
+g AS (SELECT doc_id,
+  CASE WHEN len(hs) >= 4
+       THEN list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3]))
+       ELSE [list_min(hs)] END AS fps FROM h),
+wf AS (SELECT DISTINCT doc_id, unnest(fps) AS fph FROM g)"""
 
   /** Unigram-surprisal oracle — shared by `text_surprisal` and the decile
     * bucketing built on top of it (identical scores by construction).
@@ -1003,15 +1019,18 @@ round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS interce
     // MOSS winnowing: char-5-gram md5 hashes, min per 4-hash window,
     // distinct selected hashes = the doc fingerprint set
     "text_winnow_fps" ->
-      s"""WITH h AS (SELECT doc_id,
-  list_transform(range(1, length(lower(text)) - 4 + 1),
-    i -> ${MD5P("substring(lower(text), i, 5)")}) AS hs
-  FROM documents WHERE length(lower(text)) >= 5),
-g AS (SELECT doc_id,
-  CASE WHEN len(hs) >= 4
-       THEN list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3]))
-       ELSE [list_min(hs)] END AS fps FROM h)
-SELECT DISTINCT doc_id, unnest(fps) AS fph FROM g""",
+      s"""WITH $OracleWinnowFps
+SELECT doc_id, fph FROM wf""",
+
+    // partial-copy pairs: docs sharing >= 2 winnow fingerprints after
+    // dropping boilerplate hashes present in > 50 docs
+    "dedup_winnow_pairs" ->
+      s"""WITH $OracleWinnowFps,
+rare AS (SELECT fph FROM wf GROUP BY fph HAVING COUNT(*) <= 50),
+p AS (SELECT wf.doc_id, wf.fph FROM wf JOIN rare USING (fph))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM p a JOIN p b ON a.fph = b.fph AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // vocab growth at 10 corpus prefixes; checkpoint = ceil(ndocs*i/10),
     // prefix totals from the per-doc count / first-appearance tables

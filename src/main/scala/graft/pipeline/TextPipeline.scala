@@ -506,6 +506,28 @@ object TextPipeline {
       .distinct()
   }
 
+  /** Partial-copy pair detection — the consumer of `winnowFingerprints`:
+    * document pairs sharing ≥ `minShared` selected fingerprints, after
+    * dropping "stop fingerprints" present in more than `maxDf` docs
+    * (corpus boilerplate — headers, templates — is repetition, not
+    * copying, and without the cut its buckets go quadratic). The same
+    * bucket-join discipline as MinHash-LSH: candidates meet only inside
+    * a fingerprint bucket whose fan-out the df cut bounds, so the
+    * self-join is Σ_fph df² with df ≤ maxDf — never corpus².
+    */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 5, w: Int = 4,
+                  minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(spark, dir, k, w).localCheckpoint()
+    val rare = fps.groupBy(col("fph")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fph"))
+    val pruned = fps.join(graft.operators.Scale.maybeBroadcast(rare), "fph")
+    pruned.as("x").join(pruned.as("y"),
+        col("x.fph") === col("y.fph") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Heaps'-law fit — the companion corpus-health diagnostic to
     * `zipfFit`: vocabulary growth V(N) ≈ K·N^β measured at `points`
     * growing corpus prefixes (docs 0..cp_i), least-squares over

@@ -793,6 +793,12 @@ class TrainingOpsSpec extends SparkSpecBase {
     rows.foreach { case (id, _, _, t) =>
       assert(byDoc(id).size < gramHashes(t).size, s"doc $id kept every gram")
     }
+    // the pairs consumer: the planted copy pair is detected, the
+    // unrelated doc pairs with neither
+    val pairs = TextPipeline.winnowPairs(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), "planted partial copy missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
   }
 
   test("Heaps fit: 10 prefix points, sublinear growth exponent, driver recount") {
