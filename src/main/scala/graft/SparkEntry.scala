@@ -82,6 +82,7 @@ object SparkEntry {
     "sample_stratified"    -> ((s, d) => T.stratifiedSample(s, d)),
     "sample_token_budget"  -> ((s, d) => T.tokenBudgetSample(s, d)),
     "sample_lang_balance"  -> ((s, d) => T.langBalanceSample(s, d)),
+    "sample_temperature"   -> ((s, d) => T.temperatureSample(s, d)),
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
     "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
@@ -950,6 +951,16 @@ FROM c WHERE cum_tokens <= 20000""",
       s"""WITH h AS (SELECT doc_id, ${MD5P("CAST(doc_id AS VARCHAR)")} AS h64 FROM documents)
 SELECT doc_id, CAST(h64 % 64 AS BIGINT) AS shard,
 CAST(row_number() OVER (PARTITION BY h64 % 64 ORDER BY h64, doc_id) AS BIGINT) AS pos FROM h""",
+
+    // rate ∝ n_s^(τ−1) (τ=0.7), normalized so the smallest source keeps
+    // permille 1000; same md5 membership cut as every sampler
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+q AS (SELECT source, round(pow(n_s, 0.7::DOUBLE), 6) / n_s AS q FROM c),
+m AS (SELECT MAX(q) AS mq FROM q),
+r AS (SELECT source, least(1000, CAST(floor(1000.0::DOUBLE * q / mq) AS BIGINT)) AS permille FROM q, m)
+SELECT doc_id, d.source AS source, permille FROM documents d JOIN r ON d.source = r.source
+WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < permille""",
 
     "sample_lang_balance" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),

@@ -417,6 +417,32 @@ object TextPipeline {
       .select(col("doc_id"), col("lang"), col("permille"))
   }
 
+  /** Temperature-based source mixture sampling — the standard
+    * multilingual/multi-source rebalancing knob: target share of source s
+    * ∝ n_s^τ (τ < 1 flattens the mixture, upweighting small sources
+    * without the min-clamp cliff of `langBalanceSample`). Per-source
+    * sampling rate ∝ share/size = n_s^(τ−1), normalized so the smallest
+    * source keeps everything (permille 1000); membership is the same
+    * engine-portable md5 cut as every sampler here, so any worker
+    * recomputes the draw without coordination.
+    *
+    * Scale: a source-catalog-sized aggregate, two one-row broadcasts,
+    * and a map-side filter — nothing scales but the scan.
+    */
+  def temperatureSample(spark: SparkSession, dir: String, tau: Double = 0.7): DataFrame = {
+    val docs = spread(spark, documents(spark, dir)).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val rates0 = counts
+      .select(col("source"), (round(pow(col("n_s"), lit(tau)), 6) / col("n_s")).as("q"))
+    val mx = rates0.agg(max(col("q")).as("mq"))
+    val rates = rates0.crossJoin(broadcast(mx))
+      .select(col("source"),
+        least(lit(1000L), floor(lit(1000.0) * col("q") / col("mq"))).as("permille"))
+    docs.join(broadcast(rates), "source")
+      .filter(pmod(md5Prefix64(col("doc_id").cast("string")), lit(1000L)) < col("permille"))
+      .select(col("doc_id"), col("source"), col("permille"))
+  }
+
   /** Vocabulary coverage table — the statistic a tokenizer vocabulary is
     * cut from: the top-`topK` tokens by corpus frequency with their global
     * rank and CUMULATIVE coverage fraction ("the top 200 tokens cover X%

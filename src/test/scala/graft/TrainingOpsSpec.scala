@@ -741,6 +741,35 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("temperature sampling: skewed mixture flattens toward n^tau, smallest source kept whole") {
+    // 80/16/4 skew — the regime the knob exists for (the sf corpus is
+    // uniform across sources, where every rate is legitimately 1000)
+    val rows = (0 until 400).map(i => (i.toLong, "big", "en", s"doc $i")) ++
+      (400 until 480).map(i => (i.toLong, "mid", "en", s"doc $i")) ++
+      (480 until 500).map(i => (i.toLong, "small", "en", s"doc $i"))
+    val tmp = java.nio.file.Files.createTempDirectory("tsample").toString
+    rows.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.temperatureSample(spark, tmp)
+      .as[(Long, String, Long)].collect()
+    val permille = got.groupBy(_._2).map { case (s, g) => s -> g.head._3 }
+    // smallest source is the rate anchor; larger sources are downsampled
+    // by (n_small/n_s)^(1-tau): (20/400)^0.3 = 0.407, (20/80)^0.3 = 0.660
+    assert(permille("small") == 1000L)
+    assert(permille("big") == 407L, s"big rate ${permille("big")}")
+    assert(permille("mid") == 659L || permille("mid") == 660L, s"mid rate ${permille("mid")}")
+    // the md5 cut actually thins the big source near its rate
+    val kept = got.groupBy(_._2).map { case (s, g) => s -> g.length }
+    assert(kept("small") == 20)
+    assert(kept("big") < 400 && kept("big") > 100, s"big kept ${kept("big")}")
+    // every emitted row respects its own permille cut (recount)
+    got.foreach { case (id, _, p) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      assert(java.lang.Long.parseLong(hex, 16) % 1000 < p)
+    }
+  }
+
   test("bloom contamination screen: one-sided vs the exact check (no false negatives)") {
     val exact = Dedup.contamination(spark, dir)
       .as[(Long, Long)].collect().toMap
