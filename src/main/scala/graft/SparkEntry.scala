@@ -139,6 +139,7 @@ object SparkEntry {
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     "sample_cluster_balance" -> ((s, d) => Similarity.clusterBalanceSample(s, d)),
     "sample_split"         -> ((s, d) => Dedup.leakageFreeSplit(s, d)),
@@ -1282,6 +1283,16 @@ FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
 WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
 
     "kmeans_assign" -> OracleKmeans,
+
+    // bottom-decile centroid affinity per trained cluster
+    "embedding_outliers" ->
+      s"""WITH km AS ($OracleKmeans),
+sz AS (SELECT cluster, COUNT(*) AS n_c FROM km GROUP BY cluster)
+SELECT vec_id, cluster, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT km.vec_id, km.cluster, km.cos, sz.n_c,
+    row_number() OVER (PARTITION BY km.cluster ORDER BY cos ASC, vec_id ASC) AS rnk
+  FROM km JOIN sz USING (cluster))
+WHERE rnk * 1000 <= n_c * 100""",
 
     "sample_cluster_balance" ->
       s"""WITH km AS ($OracleKmeans)

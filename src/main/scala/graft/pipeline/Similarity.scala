@@ -234,6 +234,27 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Embedding outliers — the per-cluster least-central vectors: rank
+    * every vector within its trained k-means cluster by cosine to the
+    * centroid ascending and keep the bottom `permille`/1000. Low
+    * centroid affinity in embedding space flags mislabeled, noisy, or
+    * out-of-domain documents — the embedding-side analog of the
+    * text-quality filters, and the triage list a curation pass reviews
+    * before dropping. Composes directly on `kmeansAssign` (same trained
+    * assignment the cluster-balanced sampler draws from); one
+    * catalog-sized cluster-count broadcast + a per-cluster window rank,
+    * no new corpus-scale shuffle beyond the assignment it consumes.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String, permille: Int = 100): DataFrame = {
+    val km = kmeansAssign(spark, dir)
+    val sizes = km.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    km.join(broadcast(sizes), "cluster")
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("cos").asc, col("vec_id").asc)))
+      .filter(col("rnk") * 1000 <= col("n_c") * permille)
+      .select(col("vec_id"), col("cluster"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: assign every vector to its
     * `nProbe` nearest seed centroids (the same coarse quantizer as
     * `ivfTopK` — deterministic seeds; a real deployment trains k-means via

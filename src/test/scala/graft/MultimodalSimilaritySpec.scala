@@ -88,6 +88,27 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     assert(agree >= 0.5, s"IVF-PQ diverges from PQ beyond pruning: $agree")
   }
 
+  test("embedding outliers: bottom decile per cluster, least-central first") {
+    val d = "/root/testdata/sf0.001"
+    val km = Similarity.kmeansAssign(spark, d)
+      .as[(Long, Long, Double)].collect()
+    val out = Similarity.embeddingOutliers(spark, d)
+      .select("vec_id", "cluster", "cos", "rnk").as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // cardinality: per cluster exactly floor-by-construction 10% of members
+    val sizes = km.groupBy(_._2).map { case (c, g) => c -> g.length }
+    out.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.length == sizes(c) / 10, s"cluster $c kept ${g.length} of ${sizes(c)}")
+    }
+    // every outlier's cos is <= every non-outlier's cos in its cluster
+    val outSet = out.map(_._1).toSet
+    out.groupBy(_._2).foreach { case (c, g) =>
+      val maxOut = g.map(_._3).max
+      val minIn = km.filter(r => r._2 == c && !outSet(r._1)).map(_._3).min
+      assert(maxOut <= minIn, s"cluster $c outlier cos $maxOut above kept min $minIn")
+    }
+  }
+
   test("int8 quantization: codes bounded, reconstruction within half a step") {
     val d = sf("embeddings")
     val got = Similarity.quantizeInt8(spark, d)
