@@ -509,28 +509,24 @@ object TextPipeline {
     * finds and strips the duplicated ranges; this is the partial-copy
     * DETECTOR you run first at scale).
     *
-    * Entirely map-side: per-row 5-gram hash array → per-window min →
-    * distinct explode; nothing shuffles but the final per-doc distinct.
-    * Hashing is engine-portable md5-prefix; docs shorter than k drop out
-    * on both engines.
+    * Entirely map-side, one `graft_winnow` kernel call per row (hash +
+    * O(m) deque sliding-min + dedup in a single native pass; the kernel
+    * returns the distinct selected hashes, so no post-explode distinct
+    * shuffle). The first rendering was an interpreted three-HOF tree —
+    * lower(text) re-evaluated per gram, a slice per window — which AQE's
+    * small-bytes coalescing then funneled into ONE task: ~17 min on a
+    * core at sf0.1 for work the kernel does in under a second. Compute-
+    * heavy narrow transforms must be codegen'd AND their cost is
+    * invisible to size-based partition coalescing — the kernel fixes
+    * both. Hashing is engine-portable md5-prefix; docs shorter than k
+    * drop out on both engines.
     */
   def winnowFingerprints(spark: SparkSession, dir: String, k: Int = 5,
-                         w: Int = 4): DataFrame = {
-    val low = lower(col("text"))
-    val docs = spread(spark, documents(spark, dir))
-      .filter(length(low) >= k)
+                         w: Int = 4): DataFrame =
+    spread(spark, documents(spark, dir))
+      .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(low) - (k - 1)),
-          i => md5Prefix64(low.substr(i, lit(k)))).as("hs"))
-    docs
-      .select(col("doc_id"),
-        when(size(col("hs")) >= w,
-          transform(sequence(lit(1), size(col("hs")) - (w - 1)),
-            j => array_min(slice(col("hs"), j, lit(w)))))
-          .otherwise(array(array_min(col("hs")))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fph"))
-      .distinct()
-  }
+        explode(call_function("graft_winnow", col("text"), lit(k), lit(w))).as("fph"))
 
   /** Partial-copy pair detection — the consumer of `winnowFingerprints`:
     * document pairs sharing ≥ `minShared` selected fingerprints, after

@@ -1032,3 +1032,96 @@ object PqAdcSum {
     acc
   }
 }
+
+/** Winnowing fingerprint selection (MOSS) as ONE native pass per
+  * document: lowercase, hash every character k-gram (md5 first-4-bytes,
+  * identical to `md5Prefix64(substring(lower(text), i, k))`), sliding
+  * min over w-hash windows via a monotonic deque, distinct selected
+  * hashes out (sorted for determinism). Replaces an interpreted
+  * three-HOF tree that re-evaluated lower(text) per gram and re-sliced
+  * per window — the rendering that pinned one core for ~17 minutes at
+  * sf0.1 before this kernel existed.
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow requires (string, int k, int w), got $other")
+    }
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = first.eval(input); val k = second.eval(input); val w = third.eval(input)
+    if (t == null || k == null || w == null) null
+    else WinnowFingerprints.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |boolean ${ev.isNull} = $nullCheck;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.plans.expr.WinnowFingerprints.compute(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value});
+        |}
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): WinnowFingerprints =
+    copy(first = c(0), second = c(1), third = c(2))
+}
+
+object WinnowFingerprints {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int,
+              w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, s"graft_winnow: k=$k, w=$w must be >= 1")
+    // character semantics: identical to substring(lower(text), i, k)
+    val low = text.toLowerCase.toString
+    val n = low.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(low.substring(i, i + k).getBytes("UTF-8"))
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m < w) {
+      var mn = hs(0); var j = 1
+      while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      out.add(mn)
+    } else {
+      // monotonic deque sliding-window minimum, O(m)
+      val dq = new Array[Int](m); var head = 0; var tail = 0
+      var j = 0
+      while (j < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - w) head += 1
+        if (j >= w - 1) out.add(hs(dq(head)))
+        j += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator(); var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+}

@@ -107,9 +107,11 @@ class OperatorSpec extends SparkSpecBase {
 
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0)
-    // every oracle key must have a matching query
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
-      s"orphan oracles: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+    // the correctness gate is total: every registered query carries a
+    // DuckDB oracle and every oracle names a registered query
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"orphan oracles: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}; " +
+        s"oracle-less queries: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
   }
 
   test("q1/q5 plans push filters and prune columns at the parquet scan") {
