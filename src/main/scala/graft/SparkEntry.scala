@@ -83,6 +83,7 @@ object SparkEntry {
     "sample_token_budget"  -> ((s, d) => T.tokenBudgetSample(s, d)),
     "sample_lang_balance"  -> ((s, d) => T.langBalanceSample(s, d)),
     "sample_temperature"   -> ((s, d) => T.temperatureSample(s, d)),
+    "corpus_report"        -> ((s, d) => T.corpusReport(s, d)),
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
     "text_boilerplate"     -> ((s, d) => T.boilerplateNgrams(s, d)),
@@ -952,6 +953,39 @@ FROM c WHERE cum_tokens <= 20000""",
       s"""WITH h AS (SELECT doc_id, ${MD5P("CAST(doc_id AS VARCHAR)")} AS h64 FROM documents)
 SELECT doc_id, CAST(h64 % 64 AS BIGINT) AS shard,
 CAST(row_number() OVER (PARTITION BY h64 % 64 ORDER BY h64, doc_id) AS BIGINT) AS pos FROM h""",
+
+    // dataset-card rollup: doc/token counts, quality pass rate, and
+    // within-source near-dup pairs per source (composes the filter and
+    // LSH oracles)
+    "corpus_report" ->
+      s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+np AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+src AS (SELECT doc_id, source FROM documents),
+sp AS (SELECT a.source, COUNT(*) AS dup_pairs FROM np p
+  JOIN src a ON a.doc_id = p.doc_a JOIN src b ON b.doc_id = p.doc_b AND b.source = a.source
+  GROUP BY a.source),
+tq AS (SELECT doc_id, $TOKS AS toks FROM documents),
+fq AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+  CASE WHEN len(toks) >= 20 AND len(toks) <= 80
+    AND (CASE WHEN len(toks) > 1 THEN round(1.0 -
+      CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) /
+      (len(toks) - 1), 6) ELSE 0.0 END) <= 0.05
+    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.4
+    THEN 1 ELSE 0 END AS kept FROM tq),
+agg AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+  round(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 2) AS mean_tokens,
+  (1000 * SUM(kept)) // COUNT(*) AS kept_permille
+  FROM fq JOIN src USING (doc_id) GROUP BY source)
+SELECT agg.source, n_docs, n_tokens, mean_tokens,
+CAST(kept_permille AS BIGINT) AS kept_permille,
+CAST(COALESCE(sp.dup_pairs, 0) AS BIGINT) AS dup_pairs
+FROM agg LEFT JOIN sp ON agg.source = sp.source""",
 
     // rate ∝ n_s^(τ−1) (τ=0.7), normalized so the smallest source keeps
     // permille 1000; same md5 membership cut as every sampler

@@ -417,6 +417,38 @@ object TextPipeline {
       .select(col("doc_id"), col("lang"), col("permille"))
   }
 
+  /** Per-source corpus report — the "dataset card" rollup a curation run
+    * publishes: document and token counts, mean document length, the
+    * quality-filter pass rate (permille, integer-exact), and the
+    * within-source near-duplicate pair count, one row per source. Pure
+    * composition of already-audited pipelines (`filterReasons`,
+    * `Dedup.minhashLsh`) joined down to a catalog-sized aggregate — the
+    * expensive inputs are the pipelines themselves, each with its own
+    * oracle; the report adds only source-keyed joins over id-sized rows.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val src = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .localCheckpoint()
+    val kept = filterReasons(spark, dir).select(col("doc_id"), col("kept"))
+    val agg = src.join(kept, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        round(sum(col("n_toks")).cast("double") / count(lit(1)), 2).as("mean_tokens"),
+        expr("(1000 * sum(kept)) DIV count(1)").as("kept_permille"))
+    val ids = src.select(col("doc_id"), col("source"))
+    val dups = graft.pipeline.Dedup.minhashLsh(spark, dir)
+      .join(ids.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(ids.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source"))
+      .agg(count(lit(1)).as("dup_pairs"))
+    agg.join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_tokens"),
+        col("kept_permille"), coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"))
+  }
+
   /** Temperature-based source mixture sampling — the standard
     * multilingual/multi-source rebalancing knob: target share of source s
     * ∝ n_s^τ (τ < 1 flattens the mixture, upweighting small sources

@@ -741,6 +741,23 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus report: totals reconcile with the component pipelines") {
+    val rep = TextPipeline.corpusReport(spark, dir)
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rep.map(_._2).sum == nDocs, "per-source doc counts must total the corpus")
+    // kept permille reconciles with filterReasons
+    val keptTotal = TextPipeline.filterReasons(spark, dir)
+      .agg(sum(col("kept"))).as[Long].head()
+    val impliedKept = rep.map(r => r._5 * r._2 / 1000.0).sum
+    assert(math.abs(impliedKept - keptTotal) <= rep.length,
+      s"kept permille drifts: implied $impliedKept vs $keptTotal")
+    // within-source dup pairs total <= all near-dup pairs
+    val allPairs = Dedup.minhashLsh(spark, dir).count()
+    assert(rep.map(_._6).sum <= allPairs)
+    assert(rep.forall(r => r._4 > 0.0 && r._3 >= r._2), "token stats sane")
+  }
+
   test("temperature sampling: skewed mixture flattens toward n^tau, smallest source kept whole") {
     // 80/16/4 skew — the regime the knob exists for (the sf corpus is
     // uniform across sources, where every rate is legitimately 1000)
