@@ -322,4 +322,81 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("winnow kernel: adversarial texts — unicode case folding, short docs, constant text, driver parity") {
+    val docs = Seq(
+      (0L, "ab", "en", "src", 2L),                     // shorter than k → no fingerprints
+      (1L, "abcde", "en", "src", 5L),                  // exactly one gram → one fingerprint
+      (2L, "aaaaaaaaaaaa", "en", "src", 12L),          // constant text → ONE distinct gram/fingerprint
+      (3L, "ÜBUNG macht den Meister ÜBUNG", "de", "src", 29L), // unicode lowercasing
+      (4L, "abcdefghij", "en", "src", 10L))            // more grams than the window
+    val tmp = java.nio.file.Files.createTempDirectory("winprop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.winnowFingerprints(spark, tmp)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, g) => d -> g.map(_._2).toSet }
+    assert(!got.contains(0L), "sub-k doc must drop out")
+    assert(got(1L).size == 1 && got(2L).size == 1)
+    // driver reference: same k=5/w=4 semantics over lowercased chars
+    def ref(t: String): Set[Long] = {
+      val low = t.toLowerCase
+      if (low.length < 5) return Set.empty
+      val hs = (0 to low.length - 5).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(low.substring(i, i + 5).getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      if (hs.length < 4) Set(hs.min)
+      else hs.sliding(4).map(_.min).toSet
+    }
+    docs.filter(_._1 != 0L).foreach { case (id, t, _, _, _) =>
+      assert(got(id) == ref(t), s"doc $id kernel != driver reference")
+    }
+    // unicode: the uppercase Ü gram set equals that of the lowercased text
+    assert(got(3L) == ref("übung macht den meister übung"))
+  }
+
+  test("BM25 more-like-this: adversarial corpora — empty seeds, identical docs, singleton vocabulary") {
+    val docs = Seq(
+      (0L, "", "en", "src", 0L),                        // empty seed doc: no terms, retrieves nothing
+      (1L, "alpha beta gamma", "en", "src", 1L),
+      (2L, "alpha beta gamma", "en", "src", 1L),        // identical to 1 → symmetric retrieval
+      (3L, "delta epsilon zeta", "en", "src", 1L),
+      (4L, "alpha alpha alpha alpha", "en", "src", 1L), // tf saturation
+      (5L, "omega", "en", "src", 1L))                   // vocabulary singleton
+    val tmp = java.nio.file.Files.createTempDirectory("bmprop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.pipeline.Retrieval.bm25MoreLikeThis(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    // the empty doc mines no query terms → absent as a query
+    assert(!byQ.contains(0L), "empty seed must retrieve nothing")
+    // identical docs retrieve each other at rank 1
+    assert(byQ(1L).minBy(_._3)._2 == 2L && byQ(2L).minBy(_._3)._2 == 1L)
+    // no self-retrieval anywhere, all scores positive
+    assert(got.forall(r => r._1 != r._2 && r._4 > 0.0))
+    // omega appears in exactly one doc: doc 5 retrieves nothing (no other
+    // doc shares its only term)
+    assert(!byQ.contains(5L))
+    // tf saturation: doc 4's repeated alpha must not dominate doc 1's
+    // retrieval beyond the identical doc 2
+    assert(byQ(1L).minBy(_._3)._2 == 2L)
+  }
+
+  test("CMS: adversarial corpus — single hot token dominates, estimate still >= exact") {
+    val docs = ((0 until 50).map(i => (i.toLong, "hot " * 20, "en", "src", 1L)) :+
+      (50L, (0 until 200).map(j => s"rare$j").mkString(" "), "en", "src", 1L))
+    val tmp = java.nio.file.Files.createTempDirectory("cmsprop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.cmsHeavyHitters(spark, tmp)
+      .as[(String, Long, Long)].collect()
+    // the planted heavy hitter is found with its exact count preserved
+    val hot = got.find(_._1 == "hot")
+    assert(hot.isDefined, "dominant token missed")
+    assert(hot.get._2 == 1000L && hot.get._3 >= 1000L)
+    // the 200 rare singletons never clear a 0.2% threshold
+    assert(!got.exists(_._1.startsWith("rare")), "singleton passed the threshold")
+  }
 }
