@@ -38,11 +38,11 @@ import graft.operators.Scale
 object Retrieval {
 
   /** (doc_id, tok, tf) posting list + (doc_id, dl) lengths, computed from
-    * one tokenize pass.
+    * one tokenize pass over an arbitrary (doc_id, text) frame — the entry
+    * point the scale sweep feeds replicated corpora through.
     */
-  private def postings(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = spread(spark, documents(spark, dir))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  private def postingsFrom(docsIn: DataFrame): (DataFrame, DataFrame) = {
+    val docs = docsIn.select(col("doc_id"), tokens(col("text")).as("toks"))
     val tf = docs
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -73,11 +73,16 @@ object Retrieval {
     */
   def bm25MoreLikeThis(spark: SparkSession, dir: String, nQueries: Int = 10,
                        nTerms: Int = 3, k: Int = 10,
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (tf, dlen) = postings(spark, dir)
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     // metadata-only parquet count (same N contract as tfidfTopK)
-    val n = documents(spark, dir).count()
+    bm25MoreLikeThisFrom(spread(spark, documents(spark, dir)),
+      documents(spark, dir).count(), nQueries, nTerms, k, k1, b)
+
+  def bm25MoreLikeThisFrom(docs: DataFrame, n: Long, nQueries: Int = 10,
+                           nTerms: Int = 3, k: Int = 10,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dlen) = postingsFrom(docs)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val qt = queryTerms(tf, dfreq, n, nQueries, nTerms)
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf") * lit(k1 + 1.0) /
@@ -119,10 +124,15 @@ object Retrieval {
     * join is nQueries·depth rows a side regardless of corpus size.
     */
   def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 10,
-                k: Int = 10, depth: Int = 20, c: Int = 60): DataFrame = {
-    val dense = Similarity.bruteForceTopK(spark, dir, nQueries, depth)
+                k: Int = 10, depth: Int = 20, c: Int = 60): DataFrame =
+    hybridRrfFrom(spread(spark, documents(spark, dir)), documents(spark, dir).count(),
+      spread(spark, embeddings(spark, dir)), nQueries, k, depth, c)
+
+  def hybridRrfFrom(docs: DataFrame, n: Long, vecs: DataFrame, nQueries: Int = 10,
+                    k: Int = 10, depth: Int = 20, c: Int = 60): DataFrame = {
+    val dense = Similarity.bruteForceTopKFrom(vecs, nQueries, depth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("rd"))
-    val sparse = bm25MoreLikeThis(spark, dir, nQueries, k = depth)
+    val sparse = bm25MoreLikeThisFrom(docs, n, nQueries, k = depth)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rs"))
     val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),

@@ -191,4 +191,10 @@ class ScaleSpec extends SparkSpecBase {
     intercept[IllegalStateException] { BenchScaleAnn.enforce(0.98, 10, 10, ivfpqRows = 0) }
     BenchScaleAnn.enforce(0.98, 10, 10, 0.4, 50) // no throw
   }
+
+  test("BenchScaleRetrieval enforces full top-k at both scales") {
+    intercept[IllegalStateException] { BenchScaleRetrieval.enforce(90, 100, 100, 100, 10, 10) }
+    intercept[IllegalStateException] { BenchScaleRetrieval.enforce(100, 100, 100, 99, 10, 10) }
+    BenchScaleRetrieval.enforce(100, 100, 100, 100, 10, 10) // no throw
+  }
 }
