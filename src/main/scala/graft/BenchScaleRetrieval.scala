@@ -69,7 +69,12 @@ object BenchScaleRetrieval {
       s"bm25_${f}x" -> (() =>
         pipeline.Retrieval.bm25MoreLikeThisFrom(scaledDocs(f), nBase * f)),
       s"hybrid_${f}x" -> (() =>
-        pipeline.Retrieval.hybridRrfFrom(scaledDocs(f), nBase * f, scaledVecs(f))))
+        pipeline.Retrieval.hybridRrfFrom(scaledDocs(f), nBase * f, scaledVecs(f))),
+      // the documented past-RAM swap: IVF dense leg (nProbe/nCells of the
+      // corpus per query) instead of the exact brute scan
+      s"hybrid_ivf_${f}x" -> (() =>
+        pipeline.Retrieval.hybridRrfFrom(scaledDocs(f), nBase * f, scaledVecs(f),
+          denseLeg = (v, nq, d) => pipeline.Similarity.ivfTopKFrom(v, nq, d))))
 
     // warm code paths once so JIT/codegen is off the clock
     variants(1).foreach { case (_, fn) =>
@@ -110,6 +115,7 @@ object BenchScaleRetrieval {
         s""""times_sec":{${(base ++ scaled).map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}},""" +
         s""""ratio_bm25":${t(s"bm25_${factor}x") / t("bm25_1x")},""" +
         s""""ratio_hybrid":${t(s"hybrid_${factor}x") / t("hybrid_1x")},""" +
+        s""""ratio_hybrid_ivf":${t(s"hybrid_ivf_${factor}x") / t("hybrid_ivf_1x")},""" +
         s""""rows":{"bm25_base":$bmB,"bm25_scaled":$bmS,"hybrid_base":$hyB,"hybrid_scaled":$hyS},""" +
         s""""nonpositive_scores":${bmBadB + bmBadS + hyBadB + hyBadS}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_retrieval.json"),

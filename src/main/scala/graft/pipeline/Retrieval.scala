@@ -129,8 +129,13 @@ object Retrieval {
       spread(spark, embeddings(spark, dir)), nQueries, k, depth, c)
 
   def hybridRrfFrom(docs: DataFrame, n: Long, vecs: DataFrame, nQueries: Int = 10,
-                    k: Int = 10, depth: Int = 20, c: Int = 60): DataFrame = {
-    val dense = Similarity.bruteForceTopKFrom(vecs, nQueries, depth)
+                    k: Int = 10, depth: Int = 20, c: Int = 60,
+                    denseLeg: (DataFrame, Int, Int) => DataFrame =
+                      Similarity.bruteForceTopKFrom(_, _, _)): DataFrame = {
+    // denseLeg is swappable: brute cosine is the exact default (and the
+    // oracle contract); pass ivfTopKFrom / pqTopKFrom past RAM scale —
+    // the sweep records the IVF-leg variant's scaling
+    val dense = denseLeg(vecs, nQueries, depth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("rd"))
     val sparse = bm25MoreLikeThisFrom(docs, n, nQueries, k = depth)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rs"))
