@@ -47,7 +47,9 @@ class ProvinceStreamSpec extends SparkSpecBase {
     val d = "/root/testdata/sf0.001"
     val src = Files.createTempDirectory("a2_src").toString
     val ev = Tables.events(spark, d)
-      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      // watermarks require TIMESTAMP (LTZ); testdata parquet reads as NTZ
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("user_id"), col("value"))
     ev.write.mode("overwrite").parquet(src)
 
     val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
