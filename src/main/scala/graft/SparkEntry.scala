@@ -64,6 +64,9 @@ object SparkEntry {
     "p9_set_ops"           -> ((s, d) => R.p9SetOps(s, d)),
     "j7_semi_anti"         -> ((s, d) => R.j7SemiAnti(s, d)),
     "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
+    "a13_event_funnel"     -> ((s, d) => L.a13EventFunnel(s, d)),
+    "cdc_scd2_history"     -> ((s, d) => L.cdcScd2History(s, d)),
+    "cdc_snapshot_at"      -> ((s, d) => L.cdcSnapshotAt(s, d)),
     // serving SQL surface (§3.3)
     "sql_gmv_serving"      -> ((s, d) => Serving.sqlGmvByBrand(s, d)),
     "sql_keyword_lateral"  -> ((s, d) => Serving.sqlKeywordLateralView(s, d)),
@@ -592,6 +595,35 @@ AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
 x AS (SELECT tb - i * INTERVAL 5 MINUTE AS w, event_type FROM e, (SELECT unnest([0, 1]) AS i) t)
 SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt, strftime(w + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
 event_type, COUNT(*) AS ct FROM x GROUP BY w, event_type""",
+
+    "a13_event_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, $ETS AS t FROM events),
+s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END) OVER (PARTITION BY user_id) AS t1 FROM e),
+s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t1 THEN t END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t2 THEN t END) OVER (PARTITION BY user_id) AS t3 FROM s2)
+SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_view_click_purchase FROM s3""",
+
+    "cdc_scd2_history" ->
+      s"""WITH ops AS (SELECT user_id, $ETS AS t, event_id, value,
+CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op FROM events),
+c AS (SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS vt FROM ops),
+u AS (SELECT user_id, value, t, vt, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
+FROM c WHERE op = 'upsert')
+SELECT user_id, version, value, strftime(t, '%Y-%m-%d %H:%M:%S') AS valid_from,
+strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current FROM u""",
+
+    "cdc_snapshot_at" ->
+      s"""WITH ops AS (SELECT user_id, $ETS AS t, event_id, value,
+CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op FROM events),
+c AS (SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS vt FROM ops),
+u AS (SELECT user_id, value, t, vt, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
+FROM c WHERE op = 'upsert')
+SELECT user_id, version, value, strftime(t, '%Y-%m-%d %H:%M:%S') AS valid_from FROM u
+WHERE t <= TIMESTAMP '2024-01-15 00:00:00'
+AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 00:00:00')""",
 
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),

@@ -318,4 +318,78 @@ object LogPipeline {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("user_ct"), col("amount"), col("ct"))
+
+  /** SCD2 core: the event log as a per-user change stream with validity
+    * intervals. A non-error event upserts the user's `value`; an `error`
+    * event is the delete that closes the open interval without opening a
+    * new one (the op mapping `sources/Cdc.normalizeOp` gives a Debezium
+    * feed). `lead` runs over ALL ops so a delete closes its predecessor;
+    * versions then number the surviving upserts. Both window passes share
+    * one hash partitioning by user — a single shuffle, per-key sorts,
+    * nothing global at any scale.
+    */
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byKey))
+      .filter(col("op") === "upsert")
+      .withColumn("version", row_number().over(byKey).cast("long"))
+  }
+
+  /** CDC→SCD2 history (beyond-reference warehouse op): the type-2
+    * slowly-changing-dimension rendering of the reference's dim stream —
+    * where `sources/DimStore.upsert` keeps last-write-wins CURRENT rows
+    * (the reference's Phoenix sink, `app/function/DimSinkFunction.java`),
+    * this keeps every version with [valid_from, valid_to) and an
+    * is_current flag, the audit-trail twin a warehouse ships alongside.
+    */
+  def cdcScd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2(spark, dir).select(
+      col("user_id"), col("version"), col("value"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+      date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+      col("valid_to_ts").isNull.cast("int").as("is_current"))
+
+  /** Time travel over the SCD2 history: the dimension as it stood at `at` —
+    * the row whose validity interval covers the instant. A user whose open
+    * interval was closed by a delete before `at` has no row, matching the
+    * CDC delete semantics. Filter over `scd2`'s single-shuffle plan; the
+    * predicate is map-side.
+    */
+  def cdcSnapshotAt(spark: SparkSession, dir: String,
+      at: String = "2024-01-15 00:00:00"): DataFrame = {
+    val hist = scd2(spark, dir)
+    // cast the instant to ts's OWN type: the testdata parquet reads as
+    // TIMESTAMP_NTZ and an LTZ literal would not compare against it
+    val t = lit(at).cast(hist.schema("ts").dataType)
+    hist.filter(col("ts") <= t && (col("valid_to_ts").isNull || col("valid_to_ts") > t))
+      .select(col("user_id"), col("version"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"))
+  }
+
+  /** A13 (beyond-reference analytics): strictly-ordered conversion funnel
+    * view → click → purchase over each user's history. Stage k's entry
+    * time is the EARLIEST matching event strictly after stage k-1's —
+    * three whole-partition `min` windows chained over ONE hash
+    * partitioning by user (no self-joins, no global sort), then a
+    * one-row distinct-user rollup. The multi-step sequence j4's two-step
+    * CEP (`app/dwm/UserJumpDetailApp.java:68-117`) generalizes to.
+    */
+  def a13EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy("user_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(perUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(perUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(perUser))
+      .agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_view_click_purchase"))
+  }
 }

@@ -105,6 +105,86 @@ class OperatorSpec extends SparkSpecBase {
     assert(t2 == n2)
   }
 
+  test("SCD2 history: dense versions, delete-closed intervals, one current row") {
+    val d = sf("events")
+    val hist = LogPipeline.cdcScd2History(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), Option(r.getString(4)), r.getInt(5)))
+    // driver-side replay of the same change-log semantics
+    val log = graft.Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "value", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1).toString, r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    val byUser = log.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)))
+    hist.groupBy(_._1).foreach { case (uid, rows) =>
+      val versions = rows.map(_._2).sorted
+      assert(versions.toSeq == (1L to versions.length).toSeq,
+        s"versions not dense for user $uid: ${versions.toSeq}")
+      assert(rows.count(_._6 == 1) <= 1, s"multiple current rows for user $uid")
+      // is_current == open interval == the user's LAST op is this upsert
+      val lastOpIsUpsert = byUser(uid).last._5 != "error"
+      assert((rows.count(_._6 == 1) == 1) == lastOpIsUpsert,
+        s"current-row flag disagrees with the log tail for user $uid")
+      // upsert count matches the non-error ops
+      assert(rows.length == byUser(uid).count(_._5 != "error"))
+    }
+    // intervals never invert (valid_from <= valid_to as formatted strings —
+    // the format is sortable)
+    hist.foreach { case (_, _, _, from, to, _) =>
+      to.foreach(t => assert(from <= t, s"inverted interval: $from > $t")) }
+    // one shuffle total: both window passes share the user_id partitioning
+    val plan = LogPipeline.cdcScd2History(spark, d)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"SCD2 must hash-partition by user exactly once:\n$plan")
+  }
+
+  test("SCD2 snapshot: the dim state a driver-side replay reaches at T") {
+    val d = sf("events")
+    val at = "2024-01-15 00:00:00"
+    val got = LogPipeline.cdcSnapshotAt(spark, d, at).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // replay: last op at-or-before T per user; deletes clear the state.
+    // Cutoff and ordering use the FULL-precision ISO string (lexicographic
+    // == chronological for a shared date prefix) so a same-second event
+    // after T can't sneak in.
+    val atIso = at.replace(' ', 'T')
+    val state = graft.Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "value", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1).toString, r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+      .filter(_._2 <= atIso)
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).last)
+      .collect { case (uid, last) if last._5 != "error" => uid -> last._4 }
+      .toMap
+    assert(got == state,
+      s"snapshot diverges from replay: extra=${got.keySet -- state.keySet} " +
+        s"missing=${state.keySet -- got.keySet}")
+  }
+
+  test("A13 funnel: stage counts match a driver-side ordered replay; monotone") {
+    val d = sf("events")
+    val Array(nView, nClick, nBuy) = LogPipeline.a13EventFunnel(spark, d)
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(nView >= nClick && nClick >= nBuy, "funnel must be monotone")
+    val byUser = graft.Tables.events(spark, d)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Any](2).toString))
+      .groupBy(_._1)
+    def stages(evs: Array[(Long, String, String)]): Int = {
+      val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => evs.filter(e => e._2 == "click" && e._3 > a).map(_._3).minOption)
+      val t3 = t2.flatMap(a => evs.filter(e => e._2 == "purchase" && e._3 > a).map(_._3).minOption)
+      Seq(t1, t2, t3).count(_.isDefined)
+    }
+    val reached = byUser.values.map(stages).toSeq
+    assert(nView == reached.count(_ >= 1) && nClick == reached.count(_ >= 2) &&
+      nBuy == reached.count(_ >= 3),
+      s"replay disagrees: got ($nView,$nClick,$nBuy) vs " +
+        s"(${reached.count(_ >= 1)},${reached.count(_ >= 2)},${reached.count(_ >= 3)})")
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0)
     // the correctness gate is total: every registered query carries a
