@@ -279,14 +279,17 @@ object LogPipeline {
     * the classic gap-and-island rendering (lag + cumulative sum), which is
     * also what DuckDB runs.
     */
-  def a6SessionWindows(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame =
-    events(spark, dir)
+  def a6SessionTransform(ev: DataFrame, gap: String = "30 minutes"): DataFrame =
+    ev
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("events_ct"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .select(
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("user_id"), col("events_ct"), col("value_sum"))
+
+  def a6SessionWindows(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame =
+    a6SessionTransform(events(spark, dir), gap)
 
   /** A7 (beyond-reference windowing): sliding windows — 10-minute width,
     * 5-minute slide; every event lands in width/slide buckets.
@@ -328,15 +331,18 @@ object LogPipeline {
     * one hash partitioning by user — a single shuffle, per-key sorts,
     * nothing global at any scale.
     */
-  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Transform(ev: DataFrame): DataFrame = {
     val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    events(spark, dir)
+    ev
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
       .withColumn("valid_to_ts", lead(col("ts"), 1).over(byKey))
       .filter(col("op") === "upsert")
       .withColumn("version", row_number().over(byKey).cast("long"))
   }
+
+  private def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Transform(events(spark, dir))
 
   /** CDC→SCD2 history (beyond-reference warehouse op): the type-2
     * slowly-changing-dimension rendering of the reference's dim stream —

@@ -287,6 +287,68 @@ object StreamOps {
       }
   }
 
+  /** Closed SCD2 interval emitted as the change log advances. */
+  case class Scd2Row(user_id: Long, version: Long, value: Double,
+                     valid_from: String, valid_to: String)
+
+  /** Per-user SCD2 state: count of upserts so far plus the open interval
+    * (if the latest op was an upsert, not a delete).
+    */
+  case class Scd2State(version: Long, hasOpen: Boolean,
+                       openTs: Timestamp, openValue: Double)
+
+  /** SCD2 streaming: the incremental rendering of
+    * `LogPipeline.scd2Transform` — keyed state holds the OPEN validity
+    * interval per user; each arriving op closes it (emitting the finished
+    * version row downstream, e.g. to the warehouse's history table) and a
+    * non-delete op opens the next. Deletes close without opening, exactly
+    * the batch lead()-over-all-ops semantics. Open intervals stay in
+    * state — they are the dim's CURRENT rows, not yet history.
+    *
+    * Scale note: state is one fixed-width row per user key in the state
+    * store; arrival order across micro-batches must follow event time
+    * (the CDC source contract), and within a batch rows are sorted, the
+    * same convention as `j6AsofJoin`.
+    */
+  def scd2History(events: Dataset[Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Scd2Row]
+          var st = state.getOption.getOrElse(Scd2State(0L, hasOpen = false, null, 0.0))
+          sorted.foreach { e =>
+            if (st.hasOpen)
+              out += Scd2Row(user, st.version, st.openValue, fmt(st.openTs), fmt(e.ts))
+            st =
+              if (e.event_type == "error") st.copy(hasOpen = false)
+              else Scd2State(st.version + 1, hasOpen = true, e.ts, e.value)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** A6 streaming: session windows — the SAME `session_window` expression
+    * as the batch rendering (`operators/LogPipeline.a6SessionWindows`),
+    * with a watermark so merged sessions finalize and emit append-mode
+    * rows once event time passes gap + delay. Spark merges overlapping
+    * session state per key in the state store — the scale shape is one
+    * open session row per active (user, session).
+    */
+  def a6SessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("user_id"), col("events_ct"), col("value_sum"))
+
   /** A2 streaming: product-stats windowed aggregation
     * (`app/dws/ProductStatsApp.java:215-261`). The batch rendering keeps
     * the reference's exact HashSet distinct (`size(collect_set)`); inside

@@ -115,6 +115,66 @@ class StreamingParitySpec extends SparkSpecBase {
     }
   }
 
+  test("SCD2 parity: streaming open/close state == batch lead() closed intervals") {
+    import spark.implicits._
+    // upserts and deletes interleaved; user 1 ends open, user 2 ends deleted
+    val fx = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 00:20:00"), 1, "error", 0.0),    // delete closes v2
+      Event(4, ts("2024-01-01 00:30:00"), 1, "purchase", 3.0), // v3 reopens, stays open
+      Event(5, ts("2024-01-01 00:00:00"), 2, "view", 5.0),
+      Event(6, ts("2024-01-01 00:05:00"), 2, "error", 0.0))    // closes v1, no reopen
+    def batchClosed(ev: org.apache.spark.sql.DataFrame) =
+      graft.operators.LogPipeline.scd2Transform(ev)
+        .filter(col("valid_to_ts").isNotNull)
+        .select(col("user_id"), col("version"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as[(Long, Long, Double, String, String)].collect().toSet
+    val batch = batchClosed(fx.toDF())
+    val got = runStream(Seq(fx.take(3), fx.drop(3)), "update") { df =>
+      StreamOps.scd2History(df.as[Event]).toDF()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getString(3), r.getString(4))).toSet
+    assert(got == batch, s"\n stream-only=${got -- batch}\n batch-only=${batch -- got}")
+    // the open intervals are exactly the batch is_current rows (in state,
+    // never emitted): closed = all versions minus per-user open tail
+    assert(got.size == 3 && !got.exists(r => r._1 == 1L && r._2 == 3L))
+    // and on the full sf0.001 events fixture, chunked in event-time order
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val all = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = all.grouped((all.size / 3).max(1)).toSeq
+    val gotReal = runStream(chunks, "update") { df =>
+      StreamOps.scd2History(df.as[Event]).toDF()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getString(3), r.getString(4))).toSet
+    assert(gotReal == batchClosed(evDf))
+  }
+
+  test("A6 parity: streaming session windows finalize to the batch gap-and-islands result") {
+    import spark.implicits._
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.operators.LogPipeline.a6SessionTransform(evDf)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val all = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    // two far-future sentinels advance the watermark past every real
+    // session (append mode only emits FINALIZED sessions); the second
+    // sentinel triggers the batch in which the advanced watermark flushes
+    val sentinels = Seq(
+      Event(9000001L, ts("2099-01-01 00:00:00"), 999999L, "view", 0.0),
+      Event(9000002L, ts("2099-01-01 00:00:01"), 999999L, "view", 0.0))
+    val got = runStream(Seq(all, Seq(sentinels.head), Seq(sentinels.last)), "append") { df =>
+      StreamOps.a6SessionWindows(df)
+    }.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 != 999999L).toSet
+    assert(got == batch, s"\n stream-only=${(got -- batch).take(5)}\n batch-only=${(batch -- got).take(5)}")
+  }
+
   test("J6 parity: streaming as-of state == batch union-window rendering") {
     // fixture with views preceding clicks across users; reuse Event shape
     val asofFx = Seq(
