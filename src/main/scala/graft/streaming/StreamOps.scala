@@ -331,6 +331,55 @@ object StreamOps {
       }
   }
 
+  /** Funnel stage transition: `user` entered `stage` (1=view, 2=click,
+    * 3=purchase) at `entry_ts`.
+    */
+  case class FunnelRow(user_id: Long, stage: Int, entry_ts: String)
+
+  /** Per-user funnel progress: entry epoch-millis per reached stage
+    * (0 = not reached). Strictly-ordered semantics: stage k only arms
+    * after stage k-1's entry time.
+    */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** A13 streaming: the ordered view→click→purchase funnel as a live
+    * stage-transition stream — each user's first qualifying event per
+    * stage emits one transition row; keyed state is three epoch longs.
+    * The batch rendering (`LogPipeline.a13EventFunnel`) is the same
+    * chained-min semantics collapsed to stage counts; parity asserts the
+    * transition stream reaches exactly the batch counts.
+    */
+  def a13FunnelStages(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    // full micro precision: strict-after comparisons must see the same
+    // instants the batch rendering's timestamp comparisons do, not a
+    // millis truncation that could tie sub-millisecond neighbors
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = Seq.newBuilder[FunnelRow]
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if st.t1 == 0L =>
+                st = st.copy(t1 = t); out += FunnelRow(user, 1, fmt(e.ts))
+              case "click" if st.t1 != 0L && st.t2 == 0L && t > st.t1 =>
+                st = st.copy(t2 = t); out += FunnelRow(user, 2, fmt(e.ts))
+              case "purchase" if st.t2 != 0L && st.t3 == 0L && t > st.t2 =>
+                st = st.copy(t3 = t); out += FunnelRow(user, 3, fmt(e.ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** A6 streaming: session windows — the SAME `session_window` expression
     * as the batch rendering (`operators/LogPipeline.a6SessionWindows`),
     * with a watermark so merged sessions finalize and emit append-mode

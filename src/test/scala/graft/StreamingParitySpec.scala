@@ -175,6 +175,42 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batch, s"\n stream-only=${(got -- batch).take(5)}\n batch-only=${(batch -- got).take(5)}")
   }
 
+  test("A13 parity: streaming funnel transitions reach the batch stage counts") {
+    import spark.implicits._
+    // user 1 full funnel; user 2's click precedes its view (never arms);
+    // user 3 purchases without clicking (stuck at stage 1)
+    val fx = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "view", 0),
+      Event(2, ts("2024-01-01 00:01:00"), 1, "click", 0),
+      Event(3, ts("2024-01-01 00:02:00"), 1, "purchase", 0),
+      Event(4, ts("2024-01-01 00:00:00"), 2, "click", 0),
+      Event(5, ts("2024-01-01 00:01:00"), 2, "view", 0),
+      Event(6, ts("2024-01-01 00:00:00"), 3, "view", 0),
+      Event(7, ts("2024-01-01 00:01:00"), 3, "purchase", 0))
+    val got = runStream(Seq(fx.take(4), fx.drop(4)), "update") { df =>
+      StreamOps.a13FunnelStages(df.as[Event]).toDF()
+    }.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 1, "2024-01-01 00:00:00"), (1L, 2, "2024-01-01 00:01:00"),
+      (1L, 3, "2024-01-01 00:02:00"), (2L, 1, "2024-01-01 00:01:00"),
+      (3L, 1, "2024-01-01 00:00:00")))
+    // full sf0.001 log: per-stage transition counts == the batch funnel row
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val all = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val trans = runStream(all.grouped((all.size / 3).max(1)).toSeq, "update") { df =>
+      StreamOps.a13FunnelStages(df.as[Event]).toDF()
+    }
+    val byStage = trans.groupBy(_.getInt(1)).view.mapValues(_.size.toLong).toMap
+    val batchRow = graft.operators.LogPipeline.a13EventFunnel(spark, sf("events"))
+      .collect().head
+    assert(byStage.getOrElse(1, 0L) == batchRow.getLong(0) &&
+      byStage.getOrElse(2, 0L) == batchRow.getLong(1) &&
+      byStage.getOrElse(3, 0L) == batchRow.getLong(2),
+      s"stream $byStage vs batch ${batchRow.toSeq}")
+  }
+
   test("J6 parity: streaming as-of state == batch union-window rendering") {
     // fixture with views preceding clicks across users; reuse Event shape
     val asofFx = Seq(
