@@ -65,6 +65,8 @@ object SparkEntry {
     "j7_semi_anti"         -> ((s, d) => R.j7SemiAnti(s, d)),
     "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
     "a13_event_funnel"     -> ((s, d) => L.a13EventFunnel(s, d)),
+    "a14_cohort_retention" -> ((s, d) => L.a14CohortRetention(s, d)),
+    "a15_rfm_segments"     -> ((s, d) => L.a15RfmSegments(s, d)),
     "cdc_scd2_history"     -> ((s, d) => L.cdcScd2History(s, d)),
     "cdc_snapshot_at"      -> ((s, d) => L.cdcSnapshotAt(s, d)),
     // serving SQL surface (§3.3)
@@ -604,6 +606,32 @@ s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t2 THEN t END) OV
 SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
 count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
 count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_view_click_purchase FROM s3""",
+
+    "a14_cohort_retention" ->
+      s"""WITH e AS (SELECT user_id, CAST($ETS AS DATE) AS d FROM events),
+c AS (SELECT *, min(d) OVER (PARTITION BY user_id) AS cd FROM e)
+SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+CAST(date_diff('day', cd, d) AS BIGINT) AS day_offset,
+count(DISTINCT user_id) AS users FROM c GROUP BY cd, date_diff('day', cd, d)""",
+
+    "a15_rfm_segments" ->
+      s"""WITH m AS (SELECT user_id, max(CAST($ETS AS DATE)) AS last_day,
+count(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+coalesce(sum(CASE WHEN event_type = 'purchase' THEN ${DEC("value")} END), 0) AS mon_dec
+FROM events GROUP BY user_id),
+g AS (SELECT max(CAST($ETS AS DATE)) AS corpus_max FROM events),
+mm AS (SELECT m.*, CAST(date_diff('day', last_day, corpus_max) AS BIGINT) AS recency_days,
+CAST(mon_dec * 100 AS BIGINT) AS mon_cents FROM m, g),
+b AS (SELECT quantile_disc(recency_days, 0.25) AS r1, quantile_disc(recency_days, 0.5) AS r2,
+quantile_disc(recency_days, 0.75) AS r3, quantile_disc(frequency, 0.25) AS f1,
+quantile_disc(frequency, 0.5) AS f2, quantile_disc(frequency, 0.75) AS f3,
+quantile_disc(mon_cents, 0.25) AS m1, quantile_disc(mon_cents, 0.5) AS m2,
+quantile_disc(mon_cents, 0.75) AS m3 FROM mm)
+SELECT user_id, recency_days, frequency, CAST(mon_dec AS DOUBLE) AS monetary,
+CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT) + CAST(recency_days > r3 AS INT) AS BIGINT) AS r_seg,
+CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT) + CAST(frequency > f3 AS INT) AS BIGINT) AS f_seg,
+CAST(1 + CAST(mon_cents > m1 AS INT) + CAST(mon_cents > m2 AS INT) + CAST(mon_cents > m3 AS INT) AS BIGINT) AS m_seg
+FROM mm, b""",
 
     "cdc_scd2_history" ->
       s"""WITH ops AS (SELECT user_id, $ETS AS t, event_id, value,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -321,6 +321,65 @@ object LogPipeline {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("user_ct"), col("amount"), col("ct"))
+
+  /** A14 (beyond-reference analytics): cohort retention — users grouped by
+    * first-activity day, counted per day-offset since their cohort. One
+    * whole-partition `min` window by user (the same shuffle-once shape as
+    * A13), then a (cohort, offset)-keyed distinct count whose key space is
+    * days², not events.
+    */
+  def a14CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy("user_id")
+    events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort_day", min(col("d")).over(perUser))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("users"))
+  }
+
+  /** A15 (beyond-reference analytics): RFM segmentation. Per-user
+    * recency/frequency/monetary metrics (one user-keyed aggregate), then
+    * quartile boundaries from `percentile_disc` — actual data values, so
+    * the strict-greater segment comparisons are exact integer/cent
+    * comparisons with no float-interpolation tie ambiguity. Boundaries
+    * are a ONE-ROW broadcast and assignment is map-side: no global NTILE
+    * window, so the plan holds at any user cardinality (the same
+    * boundary-broadcast discipline as `text_quality_buckets`' prefix
+    * sum, but cheaper — RFM needs only the three cut points).
+    */
+  def a15RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val metrics = ev.groupBy("user_id").agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(when(col("event_type") === "purchase", 1)).as("frequency"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)")).as("mon_dec"))
+    val corpusMax = ev.agg(max(to_date(col("ts"))).as("corpus_max"))
+    val m = metrics.crossJoin(broadcast(corpusMax))
+      .withColumn("recency_days", datediff(col("corpus_max"), col("last_day")).cast("long"))
+      .withColumn("mon_cents", (col("mon_dec") * 100).cast("long"))
+    val bounds = m.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days)").as("r1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days)").as("r2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days)").as("r3"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency)").as("f1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency)").as("f2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)").as("f3"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY mon_cents)").as("m1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mon_cents)").as("m2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY mon_cents)").as("m3"))
+    def seg(c: Column, b1: String, b2: String, b3: String) =
+      (lit(1) + (c > col(b1)).cast("int") + (c > col(b2)).cast("int") +
+        (c > col(b3)).cast("int")).cast("long")
+    m.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("mon_dec").cast("double").as("monetary"),
+        seg(col("recency_days"), "r1", "r2", "r3").as("r_seg"),
+        seg(col("frequency"), "f1", "f2", "f3").as("f_seg"),
+        seg(col("mon_cents"), "m1", "m2", "m3").as("m_seg"))
+  }
 
   /** SCD2 core: the event log as a per-user change stream with validity
     * intervals. A non-error event upserts the user's `value`; an `error`

@@ -185,6 +185,56 @@ class OperatorSpec extends SparkSpecBase {
         s"(${reached.count(_ >= 1)},${reached.count(_ >= 2)},${reached.count(_ >= 3)})")
   }
 
+  test("A14 cohort retention: offsets replay per user; day-0 covers every user") {
+    val d = sf("events")
+    val rows = LogPipeline.a14CohortRetention(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keys.forall(_._2 >= 0), "negative day offset")
+    val byUser = graft.Tables.events(spark, d)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+    // every user contributes exactly one cohort (its min day) at offset 0
+    val nUsers = byUser.size.toLong
+    val day0 = rows.collect { case ((_, 0L), n) => n }.sum
+    assert(day0 == nUsers, s"day-0 must cover all $nUsers users, got $day0")
+    // full replay: distinct users per (cohort, offset)
+    val fmtDay = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val expected = byUser.toSeq.flatMap { case (uid, evs) =>
+      val days = evs.map(_._2)
+      val cohort = days.min
+      days.map(dy => (cohort,
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(cohort, fmtDay), java.time.LocalDate.parse(dy, fmtDay)))
+        -> uid).distinct
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(rows == expected)
+  }
+
+  test("A15 RFM: segments are monotone quartiles on exact integer metrics") {
+    val d = sf("events")
+    val out = LogPipeline.a15RfmSegments(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    assert(out.forall(r => Seq(r._5, r._6, r._7).forall(s => s >= 1 && s <= 4)))
+    // same metric → same segment; larger metric → segment at least as large
+    def monotone(metric: ((Long, Long, Long, Double, Long, Long, Long)) => Long,
+        seg: ((Long, Long, Long, Double, Long, Long, Long)) => Long): Unit =
+      out.sortBy(metric).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(seg(a) <= seg(b), s"segment not monotone: $a vs $b")
+          if (metric(a) == metric(b))
+            assert(seg(a) == seg(b), s"equal metric, unequal segment: $a vs $b")
+        case _ => ()
+      }
+    monotone(_._2, _._5); monotone(_._3, _._6); monotone(r => (r._4 * 100).round, _._7)
+    // one row per active user; monetary is the exact 2dp purchase sum
+    assert(out.map(_._1).distinct.length == out.length)
+    // no window anywhere: boundaries broadcast, assignment map-side
+    val plan = LogPipeline.a15RfmSegments(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"RFM must not plan a window:\n$plan")
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0)
     // the correctness gate is total: every registered query carries a
