@@ -442,9 +442,9 @@ object LogPipeline {
     * one-row distinct-user rollup. The multi-step sequence j4's two-step
     * CEP (`app/dwm/UserJumpDetailApp.java:68-117`) generalizes to.
     */
-  def a13EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def a13FunnelTransform(ev: DataFrame): DataFrame = {
     val perUser = Window.partitionBy("user_id")
-    events(spark, dir)
+    ev
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ts"))).over(perUser))
@@ -457,4 +457,7 @@ object LogPipeline {
         countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
         countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_view_click_purchase"))
   }
+
+  def a13EventFunnel(spark: SparkSession, dir: String): DataFrame =
+    a13FunnelTransform(events(spark, dir))
 }

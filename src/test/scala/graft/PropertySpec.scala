@@ -399,4 +399,60 @@ class PropertySpec extends SparkSpecBase {
     // the 200 rare singletons never clear a 0.2% threshold
     assert(!got.exists(_._1.startsWith("rare")), "singleton passed the threshold")
   }
+
+  /** Random change log with HEAVY timestamp ties (50-slot second grid) and
+    * interleaved deletes — the adversarial shape for interval closing.
+    */
+  private def randomChangeLog(n: Int, users: Int, slots: Int) =
+    (1 to n).map { i =>
+      (i.toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(slots) * 1000L),
+        rnd.nextInt(users).toLong,
+        Seq("view", "click", "error")(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+
+  test("SCD2: transform == naive per-user fold on random logs with ts ties and deletes") {
+    val evs = randomChangeLog(400, 7, 50)
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogPipeline.scd2Transform(df)
+      .select("user_id", "version", "value", "ts", "valid_to_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, Option(r.getTimestamp(4)).map(_.getTime)))
+      .toSet
+    val expected = evs.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._1)).toIndexedSeq
+      var version = 0L
+      sorted.zipWithIndex.collect {
+        case ((_, ts, _, tpe, v), i) if tpe != "error" =>
+          version += 1
+          (u, version, v, ts.getTime, sorted.lift(i + 1).map(_._2.getTime))
+      }
+    }.toSet
+    assert(got == expected,
+      s"\n engine-only=${(got -- expected).take(5)}\n fold-only=${(expected -- got).take(5)}")
+  }
+
+  test("A13: funnel counts == exhaustive simulator on random logs") {
+    val evs = (1 to 600).map { i =>
+      (i.toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(80) * 1000L),
+        rnd.nextInt(23).toLong,
+        Seq("view", "click", "purchase", "signup")(rnd.nextInt(4)))
+    }
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type")
+    val row = LogPipeline.a13FunnelTransform(df).collect().head
+    val reached = evs.groupBy(_._3).values.map { es =>
+      val t1 = es.filter(_._4 == "view").map(_._2.getTime).minOption
+      val t2 = t1.flatMap(a => es.filter(e => e._4 == "click" && e._2.getTime > a)
+        .map(_._2.getTime).minOption)
+      val t3 = t2.flatMap(a => es.filter(e => e._4 == "purchase" && e._2.getTime > a)
+        .map(_._2.getTime).minOption)
+      Seq(t1, t2, t3).count(_.isDefined)
+    }.toSeq
+    assert(row.getLong(0) == reached.count(_ >= 1) &&
+      row.getLong(1) == reached.count(_ >= 2) &&
+      row.getLong(2) == reached.count(_ >= 3),
+      s"got ${row.toSeq} vs simulator (${reached.count(_ >= 1)},${reached.count(_ >= 2)},${reached.count(_ >= 3)})")
+  }
 }
