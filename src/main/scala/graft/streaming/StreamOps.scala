@@ -380,6 +380,51 @@ object StreamOps {
       }
   }
 
+  /** Retention increment: `user_id` was active on `day_offset` days after
+    * its `cohort_day` (first activity) — emitted once per (user, offset).
+    */
+  case class CohortRow(cohort_day: String, day_offset: Long, user_id: Long)
+
+  /** Per-user retention state: first-activity epoch day + the offsets
+    * already credited. Offsets are calendar-bounded (a production job
+    * caps the tracked horizon — `maxOffsets` here), so state is a small
+    * per-user list, not event-scale.
+    */
+  case class CohortState(cohortDay: Long, seen: Seq[Long])
+
+  /** A14 streaming: live cohort retention — each arriving event credits
+    * its user's (cohort_day, day_offset) cell exactly once; downstream a
+    * per-cell count assembles the same retention matrix the batch
+    * rendering (`LogPipeline.a14CohortRetention`) computes with a window
+    * + distinct count. Arrival must follow event time (the shared
+    * streaming convention), so the first-seen day IS the min day.
+    */
+  def a14CohortIncrements(events: Dataset[Event],
+      maxOffsets: Int = 4096): Dataset[CohortRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[CohortState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[CohortRow]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val day = math.floorDiv(e.ts.getTime, 86400000L)
+            if (st == null) st = CohortState(day, Nil)
+            val offset = day - st.cohortDay
+            if (!st.seen.contains(offset) && st.seen.size < maxOffsets) {
+              st = st.copy(seen = st.seen :+ offset)
+              // LocalDate.toString is ISO yyyy-MM-dd, the batch format
+              out += CohortRow(java.time.LocalDate.ofEpochDay(st.cohortDay).toString,
+                offset, user)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** A6 streaming: session windows — the SAME `session_window` expression
     * as the batch rendering (`operators/LogPipeline.a6SessionWindows`),
     * with a watermark so merged sessions finalize and emit append-mode

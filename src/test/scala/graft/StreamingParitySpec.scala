@@ -211,6 +211,25 @@ class StreamingParitySpec extends SparkSpecBase {
       s"stream $byStage vs batch ${batchRow.toSeq}")
   }
 
+  test("A14 parity: streaming cohort increments assemble the batch retention matrix") {
+    import spark.implicits._
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.operators.LogPipeline.a14CohortRetention(spark, sf("events"))
+      .as[(String, Long, Long)].collect()
+      .map { case (cd, off, n) => (cd, off) -> n }.toMap
+    val all = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val inc = runStream(all.grouped((all.size / 3).max(1)).toSeq, "update") { df =>
+      StreamOps.a14CohortIncrements(df.as[Event]).toDF()
+    }.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly-once per (user, offset): no duplicate increments
+    assert(inc.distinct.size == inc.size, "duplicate retention increment")
+    val got = inc.groupBy(r => (r._1, r._2)).view.mapValues(_.size.toLong).toMap
+    assert(got == batch,
+      s"\n stream-only=${(got.toSet -- batch.toSet).take(5)}\n batch-only=${(batch.toSet -- got.toSet).take(5)}")
+  }
+
   test("J6 parity: streaming as-of state == batch union-window rendering") {
     // fixture with views preceding clicks across users; reuse Event shape
     val asofFx = Seq(
