@@ -67,6 +67,7 @@ object SparkEntry {
     "a13_event_funnel"     -> ((s, d) => L.a13EventFunnel(s, d)),
     "a14_cohort_retention" -> ((s, d) => L.a14CohortRetention(s, d)),
     "a15_rfm_segments"     -> ((s, d) => L.a15RfmSegments(s, d)),
+    "a16_attribution"      -> ((s, d) => L.a16LastTouchAttribution(s, d)),
     "cdc_scd2_history"     -> ((s, d) => L.cdcScd2History(s, d)),
     "cdc_snapshot_at"      -> ((s, d) => L.cdcSnapshotAt(s, d)),
     // serving SQL surface (§3.3)
@@ -632,6 +633,15 @@ CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT) + CAST(
 CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT) + CAST(frequency > f3 AS INT) AS BIGINT) AS f_seg,
 CAST(1 + CAST(mon_cents > m1 AS INT) + CAST(mon_cents > m2 AS INT) + CAST(mon_cents > m3 AS INT) AS BIGINT) AS m_seg
 FROM mm, b""",
+
+    "a16_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_type, value, $ETS AS t, event_id FROM events),
+w AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+FROM e)
+SELECT coalesce(touch, 'direct') AS channel, count(*) AS purchases,
+CAST(SUM(${DEC("value")}) AS DOUBLE) AS revenue
+FROM w WHERE event_type = 'purchase' GROUP BY 1""",
 
     "cdc_scd2_history" ->
       s"""WITH ops AS (SELECT user_id, $ETS AS t, event_id, value,

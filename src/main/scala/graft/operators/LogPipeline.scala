@@ -381,6 +381,29 @@ object LogPipeline {
         seg(col("mon_cents"), "m1", "m2", "m3").as("m_seg"))
   }
 
+  /** A16 (beyond-reference analytics): last-touch revenue attribution —
+    * each purchase credits the user's most recent strictly-earlier
+    * non-purchase event type ("channel"); purchases with no prior touch
+    * go to `direct`. One `last(..., ignoreNulls)` window over the shared
+    * user partitioning, then a channel-keyed rollup whose key space is
+    * the event-type catalog.
+    */
+  def a16AttributionTransform(ev: DataFrame): DataFrame = {
+    val perUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(perUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  def a16LastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
+    a16AttributionTransform(events(spark, dir))
+
   /** SCD2 core: the event log as a per-user change stream with validity
     * intervals. A non-error event upserts the user's `value`; an `error`
     * event is the delete that closes the open interval without opening a

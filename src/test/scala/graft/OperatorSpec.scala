@@ -235,6 +235,29 @@ class OperatorSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"RFM must not plan a window:\n$plan")
   }
 
+  test("A16 attribution: channel credits match a driver-side last-touch replay") {
+    val d = sf("events")
+    val got = LogPipeline.a16LastTouchAttribution(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val log = graft.Tables.events(spark, d)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1).toString, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val credits = log.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.collect { case ((_, _, _, "purchase", v), i) =>
+        val touch = sorted.take(i).reverse.find(_._4 != "purchase").map(_._4)
+        touch.getOrElse("direct") -> BigDecimal(v).setScale(2)
+      }
+    }.toSeq
+    val expected = credits.groupBy(_._1).map { case (ch, cs) =>
+      ch -> (cs.size.toLong, cs.map(_._2).sum.toDouble)
+    }
+    assert(got == expected, s"\n got=$got\n expected=$expected")
+    // purchases never self-attribute
+    assert(!got.contains("purchase"))
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0)
     // the correctness gate is total: every registered query carries a
