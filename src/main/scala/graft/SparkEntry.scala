@@ -68,6 +68,8 @@ object SparkEntry {
     "a14_cohort_retention" -> ((s, d) => L.a14CohortRetention(s, d)),
     "a15_rfm_segments"     -> ((s, d) => L.a15RfmSegments(s, d)),
     "a16_attribution"      -> ((s, d) => L.a16LastTouchAttribution(s, d)),
+    "a17_funnel_latency"   -> ((s, d) => L.a17FunnelLatency(s, d)),
+    "a18_active_users"     -> ((s, d) => L.a18ActiveUsers(s, d)),
     "cdc_scd2_history"     -> ((s, d) => L.cdcScd2History(s, d)),
     "cdc_snapshot_at"      -> ((s, d) => L.cdcSnapshotAt(s, d)),
     // serving SQL surface (§3.3)
@@ -642,6 +644,28 @@ FROM e)
 SELECT coalesce(touch, 'direct') AS channel, count(*) AS purchases,
 CAST(SUM(${DEC("value")}) AS DOUBLE) AS revenue
 FROM w WHERE event_type = 'purchase' GROUP BY 1""",
+
+    "a17_funnel_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type, $ETS AS t FROM events),
+s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END) OVER (PARTITION BY user_id) AS t1 FROM e),
+s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t1 THEN t END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t2 THEN t END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3 FROM s3 GROUP BY user_id),
+l AS (SELECT date_diff('microsecond', t1, t2) AS lat12, date_diff('microsecond', t2, t3) AS lat23 FROM u)
+SELECT count(lat12) AS n_view_click, count(lat23) AS n_click_purchase,
+round(quantile_cont(lat12, 0.5) / 1e6, 6) AS p50_view_click_s,
+round(quantile_cont(lat12, 0.9) / 1e6, 6) AS p90_view_click_s,
+round(quantile_cont(lat23, 0.5) / 1e6, 6) AS p50_click_purchase_s,
+round(quantile_cont(lat23, 0.9) / 1e6, 6) AS p90_click_purchase_s FROM l""",
+
+    "a18_active_users" ->
+      s"""WITH a AS (SELECT DISTINCT CAST($ETS AS DATE) AS d, user_id FROM events),
+dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM a GROUP BY d),
+w AS (SELECT a.d + CAST(x.k AS INT) AS wd, a.user_id FROM a, (SELECT unnest(range(0, 7)) AS k) x),
+wau AS (SELECT wd, count(DISTINCT user_id) AS wau7 FROM w GROUP BY wd)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau7,
+round(CAST(dau.dau AS DOUBLE) / wau.wau7, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.wd""",
 
     "cdc_scd2_history" ->
       s"""WITH ops AS (SELECT user_id, $ETS AS t, event_id, value,

@@ -465,7 +465,10 @@ object LogPipeline {
     * one-row distinct-user rollup. The multi-step sequence j4's two-step
     * CEP (`app/dwm/UserJumpDetailApp.java:68-117`) generalizes to.
     */
-  def a13FunnelTransform(ev: DataFrame): DataFrame = {
+  /** Shared funnel staging: per-event rows carrying the user's stage entry
+    * times (constant within a user partition).
+    */
+  private def funnelStaged(ev: DataFrame): DataFrame = {
     val perUser = Window.partitionBy("user_id")
     ev
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -475,12 +478,60 @@ object LogPipeline {
         min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(perUser))
       .withColumn("t3",
         min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(perUser))
+  }
+
+  def a13FunnelTransform(ev: DataFrame): DataFrame =
+    funnelStaged(ev)
       .agg(
         countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
         countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
         countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_view_click_purchase"))
-  }
 
   def a13EventFunnel(spark: SparkSession, dir: String): DataFrame =
     a13FunnelTransform(events(spark, dir))
+
+  /** A17 (beyond-reference analytics): funnel time-to-convert — exact
+    * percentiles of the view→click and click→purchase latencies among
+    * converting users, in seconds. Latencies are exact microsecond longs
+    * (`unix_micros`), percentiles the same exact-interpolated `percentile`
+    * A8 hash-matches against `quantile_cont`; the percentile input is one
+    * row per converting user, collapsed from `funnelStaged`'s shared
+    * user partitioning.
+    */
+  def a17FunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelStaged(events(spark, dir))
+      .groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(
+        (unix_micros(col("t2").cast("timestamp")) -
+          unix_micros(col("t1").cast("timestamp"))).as("lat12"),
+        (unix_micros(col("t3").cast("timestamp")) -
+          unix_micros(col("t2").cast("timestamp"))).as("lat23"))
+      .agg(
+        count(col("lat12")).as("n_view_click"),
+        count(col("lat23")).as("n_click_purchase"),
+        round(element_at(expr("percentile(lat12, array(0.5D, 0.9D))"), 1) / 1e6, 6).as("p50_view_click_s"),
+        round(element_at(expr("percentile(lat12, array(0.5D, 0.9D))"), 2) / 1e6, 6).as("p90_view_click_s"),
+        round(element_at(expr("percentile(lat23, array(0.5D, 0.9D))"), 1) / 1e6, 6).as("p50_click_purchase_s"),
+        round(element_at(expr("percentile(lat23, array(0.5D, 0.9D))"), 2) / 1e6, 6).as("p90_click_purchase_s"))
+
+  /** A18 (beyond-reference analytics): daily/rolling-weekly active users
+    * and the DAU/WAU stickiness ratio. One DISTINCT (day, user) activity
+    * table feeds both: DAU directly, rolling 7-day WAU by fanning each
+    * activity day out to the ≤7 window days it covers (a bounded ×7
+    * explode of the compact activity table — never a range self-join of
+    * the corpus).
+    */
+  def a18ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val act = events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = act.groupBy("d").agg(countDistinct("user_id").as("dau"))
+    val wau = act
+      .select(col("d"), col("user_id"), explode(sequence(lit(0), lit(6))).as("k"))
+      .select(expr("date_add(d, k)").as("wd"), col("user_id"))
+      .groupBy("wd").agg(countDistinct("user_id").as("wau7"))
+    dau.join(wau, col("d") === col("wd"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("dau"), col("wau7"),
+        round(col("dau").cast("double") / col("wau7"), 6).as("stickiness"))
+  }
 }

@@ -258,6 +258,58 @@ class OperatorSpec extends SparkSpecBase {
     assert(!got.contains("purchase"))
   }
 
+  test("A17 funnel latency: counts agree with the funnel; percentiles bound the replayed latencies") {
+    val d = sf("events")
+    val row = LogPipeline.a17FunnelLatency(spark, d).collect().head
+    val funnel = LogPipeline.a13EventFunnel(spark, d).collect().head
+    assert(row.getLong(0) == funnel.getLong(1), "n_view_click must match the funnel")
+    assert(row.getLong(1) == funnel.getLong(2), "n_click_purchase must match the funnel")
+    // replay the stage latencies driver-side
+    val evs = graft.Tables.events(spark, d)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Any](2).toString))
+    def lats(s1: String, s2: String, s3: String) =
+      evs.groupBy(_._1).values.flatMap { es =>
+        val t1 = es.filter(_._2 == s1).map(_._3).minOption
+        val t2 = t1.flatMap(a => es.filter(e => e._2 == s2 && e._3 > a).map(_._3).minOption)
+        val t3 = t2.flatMap(a => es.filter(e => e._2 == s3 && e._3 > a).map(_._3).minOption)
+        (t2, t3) match { case _ => Seq((t1, t2, t3)) }
+      }.toSeq
+    val staged = lats("view", "click", "purchase")
+    def secs(a: String, b: String) =
+      java.time.Duration.between(java.time.LocalDateTime.parse(a),
+        java.time.LocalDateTime.parse(b)).toNanos / 1e9
+    val l12 = staged.collect { case (Some(a), Some(b), _) => secs(a, b) }
+    val l23 = staged.collect { case (_, Some(b), Some(c)) => secs(b, c) }
+    for ((p50, p90, ls) <- Seq((row.getDouble(2), row.getDouble(3), l12),
+        (row.getDouble(4), row.getDouble(5), l23))) {
+      assert(p50 <= p90, "p50 must not exceed p90")
+      assert(p50 >= ls.min - 1e-6 && p90 <= ls.max + 1e-6,
+        s"percentiles outside replayed range: $p50/$p90 vs [${ls.min}, ${ls.max}]")
+    }
+  }
+
+  test("A18 active users: DAU/rolling-WAU replay exactly; stickiness is their ratio") {
+    val d = sf("events")
+    val got = LogPipeline.a18ActiveUsers(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val act = graft.Tables.events(spark, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    val byDay = act.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    val expected = days.map { day =>
+      val ld = java.time.LocalDate.parse(day)
+      val window = (0 to 6).map(k => ld.minusDays(k.toLong).toString)
+      val wau = window.flatMap(byDay.getOrElse(_, Set.empty)).toSet.size.toLong
+      val dau = byDay(day).size.toLong
+      day -> (dau, wau, BigDecimal(dau.toDouble / wau).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got == expected,
+      s"\n engine-only=${(got.toSet -- expected.toSet).take(3)}\n replay-only=${(expected.toSet -- got.toSet).take(3)}")
+  }
+
   test("driver contract: entry() returns rows; every query has runnable shape") {
     assert(SparkEntry.entry(spark).count() > 0)
     // the correctness gate is total: every registered query carries a
