@@ -433,6 +433,30 @@ class PropertySpec extends SparkSpecBase {
       s"\n engine-only=${(got -- expected).take(5)}\n fold-only=${(expected -- got).take(5)}")
   }
 
+  test("A16: attribution == exhaustive last-touch replay on random tied logs") {
+    val evs = (1 to 500).map { i =>
+      (i.toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(60) * 1000L), // heavy ties
+        rnd.nextInt(13).toLong,
+        Seq("view", "click", "purchase", "signup")(rnd.nextInt(4)),
+        math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = LogPipeline.a16AttributionTransform(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val credits = evs.groupBy(_._3).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._1)).toIndexedSeq
+      sorted.zipWithIndex.collect { case ((_, _, _, "purchase", v), i) =>
+        sorted.take(i).reverse.find(_._4 != "purchase").map(_._4).getOrElse("direct") ->
+          BigDecimal(v).setScale(2)
+      }
+    }.toSeq
+    val expected = credits.groupBy(_._1).map { case (ch, cs) =>
+      ch -> (cs.size.toLong, cs.map(_._2).sum.toDouble)
+    }
+    assert(got == expected, s"\n got=$got\n expected=$expected")
+  }
+
   test("A13: funnel counts == exhaustive simulator on random logs") {
     val evs = (1 to 600).map { i =>
       (i.toLong,
