@@ -328,9 +328,9 @@ object LogPipeline {
     * A13), then a (cohort, offset)-keyed distinct count whose key space is
     * days², not events.
     */
-  def a14CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+  def a14CohortTransform(ev: DataFrame): DataFrame = {
     val perUser = Window.partitionBy("user_id")
-    events(spark, dir)
+    ev
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .withColumn("cohort_day", min(col("d")).over(perUser))
       .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
@@ -338,6 +338,9 @@ object LogPipeline {
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("users"))
   }
+
+  def a14CohortRetention(spark: SparkSession, dir: String): DataFrame =
+    a14CohortTransform(events(spark, dir))
 
   /** A15 (beyond-reference analytics): RFM segmentation. Per-user
     * recency/frequency/monetary metrics (one user-keyed aggregate), then
@@ -522,8 +525,8 @@ object LogPipeline {
     * explode of the compact activity table — never a range self-join of
     * the corpus).
     */
-  def a18ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val act = events(spark, dir)
+  def a18ActiveTransform(ev: DataFrame): DataFrame = {
+    val act = ev
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
     val dau = act.groupBy("d").agg(countDistinct("user_id").as("dau"))
     val wau = act
@@ -534,4 +537,7 @@ object LogPipeline {
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("dau"), col("wau7"),
         round(col("dau").cast("double") / col("wau7"), 6).as("stickiness"))
   }
+
+  def a18ActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    a18ActiveTransform(events(spark, dir))
 }

@@ -176,6 +176,13 @@ class ScaleSpec extends SparkSpecBase {
     BenchScale.enforcePairEquality(jaccardEqual = true, containEqual = true) // no throw
   }
 
+  test("BenchScaleAnalytics enforces the exact factor-multiple invariant") {
+    intercept[IllegalStateException] { BenchScaleAnalytics.enforce("h", 0, 0, 10) }
+    intercept[IllegalStateException] { BenchScaleAnalytics.enforce("h", 80190, 801901, 10) }
+    intercept[IllegalStateException] { BenchScaleAnalytics.enforce("h", 80190, 80190, 10) }
+    BenchScaleAnalytics.enforce("h", 80190, 801900, 10) // no throw
+  }
+
   test("BenchScaleSubstr enforces the exact factor-multiple span invariant") {
     intercept[IllegalStateException] { BenchScaleSubstr.enforce(0, 0, 10) }      // empty base
     intercept[IllegalStateException] { BenchScaleSubstr.enforce(58, 579, 10) }   // off by one
