@@ -287,6 +287,35 @@ object StreamOps {
       }
   }
 
+  /** A live purchase credit: `value` attributed to `channel` (the user's
+    * most recent strictly-earlier non-purchase event type, `direct` when
+    * none).
+    */
+  case class CreditRow(user_id: Long, channel: String, value: Double, ts: String)
+
+  /** A16 streaming: last-touch attribution as a live credit stream —
+    * keyed state holds each user's latest non-purchase touch (the same
+    * one-value state `j6AsofJoin` keeps); every purchase emits one
+    * credit row. Summing credits per channel downstream reproduces the
+    * batch rollup (`LogPipeline.a16AttributionTransform`).
+    */
+  def a16AttributionCredits(events: Dataset[Event]): Dataset[CreditRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[CreditRow]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += CreditRow(user, state.getOption.getOrElse("direct"), e.value, fmt(e.ts))
+            else state.update(e.event_type)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Closed SCD2 interval emitted as the change log advances. */
   case class Scd2Row(user_id: Long, version: Long, value: Double,
                      valid_from: String, valid_to: String)

@@ -230,6 +230,28 @@ class StreamingParitySpec extends SparkSpecBase {
       s"\n stream-only=${(got.toSet -- batch.toSet).take(5)}\n batch-only=${(batch.toSet -- got.toSet).take(5)}")
   }
 
+  test("A16 parity: streaming credit stream sums to the batch attribution rollup") {
+    import spark.implicits._
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.operators.LogPipeline.a16AttributionTransform(evDf)
+      .select(col("channel"), col("purchases"),
+        // keep the exact decimal until the compare: per-credit doubles
+        // summed driver-side must match to the cent, not to double noise
+        (col("revenue") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+      .map { case (ch, n, c) => ch -> ((n, c)) }.toMap
+    val all = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val credits = runStream(all.grouped((all.size / 3).max(1)).toSeq, "update") { df =>
+      StreamOps.a16AttributionCredits(df.as[Event]).toDF()
+    }.map(r => (r.getString(1), BigDecimal(r.getDouble(2)).setScale(2)))
+    val got = credits.groupBy(_._1).map { case (ch, cs) =>
+      ch -> ((cs.size.toLong, (cs.map(_._2).sum * 100).toLong))
+    }
+    assert(got == batch, s"\n got=$got\n batch=$batch")
+  }
+
   test("J6 parity: streaming as-of state == batch union-window rendering") {
     // fixture with views preceding clicks across users; reuse Event shape
     val asofFx = Seq(
