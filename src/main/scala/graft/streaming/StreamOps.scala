@@ -492,6 +492,19 @@ object StreamOps {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("user_ct"), col("amount"), col("ct"))
 
+  /** A18 streaming: live DAU — watermarked daily tumbling window with
+    * HLL distinct users (the streaming-legal + 100 TB rendering, same
+    * swap as A2/A3's exact-set → `approx_count_distinct`). The rolling
+    * 7-day WAU stays a batch/serving-side rollup over the emitted days —
+    * the mergeable-sketch variant of the batch ×7 fan-out.
+    */
+  def a18DailyActive(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("dau"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("dau"))
+
   /** A4 streaming: windowed keyword stats
     * (`app/dws/KeywordStatsApp.java:64-75`): tokenize → explode → 10s
     * tumbling event-time window count keyed by (lang, keyword). The

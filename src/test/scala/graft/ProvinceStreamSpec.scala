@@ -43,6 +43,29 @@ class ProvinceStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming DAU ≈ batch active-users (HLL tolerance per day)") {
+    val d = "/root/testdata/sf0.001"
+    val src = Files.createTempDirectory("dau_src").toString
+    // watermarks require TIMESTAMP (LTZ); testdata parquet reads as NTZ
+    Tables.events(spark, d)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamOps.a18DailyActive(stream)
+      .writeStream.format("memory").queryName("dau_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dau_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.LogPipeline.a18ActiveUsers(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (day, dau) =>
+      assert(math.abs(got(day) - dau) <= math.max(2L, (dau * 0.15).toLong),
+        s"HLL DAU out of tolerance for $day: ${got(day)} vs $dau")
+    }
+  }
+
   test("streaming product stats ≈ batch (HLL distinct users, exact sums)") {
     val d = "/root/testdata/sf0.001"
     val src = Files.createTempDirectory("a2_src").toString
