@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LogPipeline => L, Relational => R, Serving}
+import graft.operators.{LogPipeline => L, Relational => R, Scale, Serving}
 import graft.pipeline.{Dedup, Retrieval, Similarity, TextPipeline => T}
 
 /** Driver contract — query registry + DuckDB oracle SQL.
@@ -155,6 +155,13 @@ object SparkEntry {
     // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
     "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
                                  .select("id", "media_type", "n_bytes")),
+    // layout / table management (operators.Layout)
+    "profile_columns"      -> ((s, d) => graft.operators.Layout.profileColumns(s, d)),
+    "layout_zorder"        -> ((s, d) => graft.operators.Layout.zorderKey(s, d)),
+    // hot-key exact distinct (operators.Scale.saltedDistinctCount)
+    "skew_salted_distinct" -> ((s, d) => Scale.saltedDistinctCount(
+                                 graft.Tables.events(s, d), "event_type", "user_id",
+                                 salt = 16, outCol = "uniq_users")),
   )
 
   // ---- shared oracle fragments ---------------------------------------------
@@ -1428,5 +1435,26 @@ SELECT vec_id, cluster, CAST(rnk AS BIGINT) AS rnk FROM
 (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
   ORDER BY ${MD5P("CAST(vec_id AS VARCHAR)")} % 1000000, vec_id) AS rnk FROM km)
 WHERE rnk <= 40""",
+
+    // layout / table management
+    "profile_columns" ->
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, COUNT($c) AS non_null,
+CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem""")
+        .mkString("\nUNION ALL\n"),
+
+    "layout_zorder" -> {
+      val z = (0 until 16).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+l_partkey, l_suppkey, CAST($z AS BIGINT) AS zval,
+CAST(($z) >> 27 AS BIGINT) AS zbucket FROM lineitem"""
+    },
+
+    "skew_salted_distinct" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users FROM events GROUP BY event_type",
   )
 }

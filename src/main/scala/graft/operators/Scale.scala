@@ -158,4 +158,36 @@ object Scale {
       base.withColumn(rc, (col("__roff") + row_number().over(cumW)).cast("long"))
     }.drop("__pid", "__off", "__roff")
   }
+
+  /** Exact COUNT(DISTINCT distinctCol) per `key`, restructured for hot
+    * keys. Salting is pointless for algebraic aggregates (sum/count/min —
+    * Spark's partial aggregation already combines map-side, so a hot key
+    * costs one reducer one merge pass over pre-reduced rows); the
+    * aggregate that genuinely melts a reducer is the HOLISTIC distinct,
+    * whose state is the full value set of the hottest key. Two phases:
+    *
+    *  1. dedup on (key, salt) where salt = hash(distinctCol) % `salt` —
+    *     the hot key's VALUE SET spreads over `salt` reducers, each
+    *     deduping a disjoint value slice (disjointness is what makes the
+    *     final sum exact: identical values share a salt, distinct values
+    *     of one key spread);
+    *  2. per-salt distinct counts, then an algebraic SUM per key — which
+    *     partial aggregation handles, closing the loop.
+    *
+    * Same result as `groupBy(key).agg(countDistinct(...))`, but no
+    * reducer ever holds more than ~1/salt of a hot key's set. (At the
+    * extreme end the HLL rewrite in scale mode replaces exactness
+    * entirely; this is the EXACT answer's scale shape.)
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, distinctCol: String,
+                          salt: Int, outCol: String): DataFrame = {
+    val perSalt = df
+      .withColumn("__salt", pmod(xxhash64(col(distinctCol)), lit(salt.toLong)).cast("int"))
+      .select(col(key), col("__salt"), col(distinctCol))
+      .distinct()                                      // phase 1: dedup value slices
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__ct"))                   // per-slice distinct sizes
+    perSalt.groupBy(col(key))
+      .agg(sum(col("__ct")).cast("long").as(outCol))   // phase 2: algebraic combine
+  }
 }

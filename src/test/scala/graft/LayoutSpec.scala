@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Scale}
+
+/** Layout / table-management operators + the salted exact-distinct. */
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  // reference bit-interleave, written independently of the Column version
+  private def zRef(a: Long, b: Long): Long =
+    (0 until Layout.ZBits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zInterleave matches the scalar Morton reference on random keys") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = rows.toDF("a", "b")
+      .select($"a", $"b", Layout.zInterleave($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == zRef(a, b), s"($a,$b)") }
+  }
+
+  test("zorder key: zbucket is the top-5-bit range of zval") {
+    val out = Layout.zorderKey(spark, d)
+      .select($"zval", $"zbucket").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (z, bkt) => assert(bkt == (z >> 27), s"z=$z") }
+  }
+
+  test("zorderLayout range-partitions disjointly on the Z-value") {
+    val laid = Layout.zorderLayout(Tables.lineitem(spark, d), "l_partkey", "l_suppkey",
+      buckets = 8)
+    val ranges = laid
+      .select(spark_partition_id().as("pid"),
+        Layout.zInterleave($"l_partkey", $"l_suppkey").as("z"))
+      .groupBy($"pid").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // clustering quality: rows near in BOTH dims share a partition, so the
+    // number of partitions a small 2-D box touches stays O(1). The pid must
+    // be captured BEFORE the box filter (a filter projected after a
+    // nondeterministic spark_partition_id cannot be pushed below it —
+    // filtering first would range-partition only the box rows).
+    // box = ~3% of rows (sf0.001 keys: l_partkey<200, l_suppkey<10)
+    val boxParts = laid
+      .select(spark_partition_id().as("pid"), $"l_partkey", $"l_suppkey")
+      .filter($"l_partkey" < 16 && $"l_suppkey" < 4)
+      .select($"pid").distinct().count()
+    assert(boxParts <= 2, s"2-D box scattered over $boxParts partitions")
+  }
+
+  test("profileColumns reads the table exactly once") {
+    val prof = Layout.profileColumns(spark, d)
+    val rows = prof.collect()
+    assert(rows.length == 5)
+    val plan = prof.queryExecution.executedPlan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum +
+        other.subqueries.map(scans).sum
+    }
+    assert(scans(plan) == 1, s"expected a single scan:\n$plan")
+    // spot-check one row against direct aggregation
+    val li = Tables.lineitem(spark, d)
+    val flag = rows.find(_.getString(0) == "l_returnflag").get
+    assert(flag.getLong(1) == li.filter($"l_returnflag".isNotNull).count())
+    assert(flag.getLong(2) ==
+      li.select($"l_returnflag").distinct().count())
+  }
+
+  test("saltedDistinctCount is exact, including on a single hot key") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(5000)(("hot", rnd.nextInt(700).toLong)) ++
+      Seq.fill(200)(("cold", rnd.nextInt(40).toLong))
+    val df = rows.toDF("k", "u")
+    val got = Scale.saltedDistinctCount(df, "k", "u", salt = 16, outCol = "n")
+      .as[(String, Long)].collect().toMap
+    val want = df.groupBy($"k").agg(countDistinct($"u").cast("long"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+}
