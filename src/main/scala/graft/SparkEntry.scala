@@ -162,6 +162,9 @@ object SparkEntry {
     "skew_salted_distinct" -> ((s, d) => Scale.saltedDistinctCount(
                                  graft.Tables.events(s, d), "event_type", "user_id",
                                  salt = 16, outCol = "uniq_users")),
+    // corpus mining (pipeline.Mining)
+    "mine_bitext"          -> ((s, d) => graft.pipeline.Mining.bitextMarginPairs(s, d)),
+    "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
   )
 
   // ---- shared oracle fragments ---------------------------------------------
@@ -1456,5 +1459,25 @@ CAST(($z) >> 27 AS BIGINT) AS zbucket FROM lineitem"""
 
     "skew_salted_distinct" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users FROM events GROUP BY event_type",
+
+    // corpus mining
+    "mine_bitext" ->
+      s"""WITH $embNorms,
+j AS (SELECT vec_id, lang, emb, nrm FROM n JOIN documents ON vec_id = doc_id),
+src AS (SELECT vec_id AS src_id, lang AS src_lang, emb AS se, nrm AS sn FROM j WHERE lang <> 'en'),
+tgt AS (SELECT vec_id AS tgt_id, emb AS te, nrm AS tn FROM j WHERE lang = 'en'),
+sc AS (SELECT src_id, src_lang, tgt_id, ${cosSql("se", "te", "sn", "tn")} AS cos
+FROM src CROSS JOIN tgt),
+w AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rnk,
+round(cos - lead(cos) OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC), 6) AS margin FROM sc)
+SELECT src_id, src_lang, tgt_id, cos, margin FROM w WHERE rnk = 1 AND cos >= 0.3""",
+
+    "er_blocked_pairs" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+a.c_name AS a_name, b.c_name AS b_name,
+CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2""",
   )
 }

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Scale
+
+/** Corpus-mining operators for multilingual training data: margin-based
+  * bitext pair mining (Artetxe & Schwenk, "Margin-based Parallel Corpus
+  * Mining with Multilingual Sentence Embeddings") and blocked entity
+  * resolution (record linkage via blocking + edit-distance verify).
+  *
+  * Neither exists in the reference (bigdataBC/FlinkProject is a
+  * click-stream warehouse); both are staples of an LLM-data curation
+  * stack.
+  */
+object Mining {
+
+  /** Margin-based bitext mining: for every non-`pivotLang` document, the
+    * best `pivotLang` neighbor by embedding cosine plus the MARGIN over the
+    * runner-up (absolute margin `cos1 - cos2`; a confident pair is not just
+    * close, it is clearly closer than the next candidate — raw-cosine
+    * thresholds over-fire in dense hubs of the embedding space).
+    *
+    * Scale shape: the pivot-language side rides the size-gated broadcast
+    * (`Scale.maybeBroadcast`) — at test SF it broadcasts, at corpus scale
+    * the gate falls back to a shuffled join; there the candidate
+    * generation belongs on the ANN index paths (`Similarity.lshBucket` /
+    * IVF cells) with this exact scoring applied per candidate bucket, the
+    * same composition `Dedup.embeddingNearDup` uses. Norms are computed
+    * once per vector in their own projection, never per pair.
+    */
+  def bitextMarginPairs(spark: SparkSession, dir: String,
+                        pivotLang: String = "en", cosMin: Double = 0.3): DataFrame = {
+    val normed = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"), col("embedding"), col("nrm"))
+      .localCheckpoint() // scored twice (src + tgt legs) off one computation
+    val src = normed.filter(col("lang") =!= pivotLang)
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+    val tgt = normed.filter(col("lang") === pivotLang)
+      .select(col("vec_id").as("tgt_id"),
+        col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+    val scored = src.join(Scale.maybeBroadcast(tgt))
+      .select(col("src_id"), col("src_lang"), col("tgt_id"),
+        cosineRFromNorms(col("s_emb"), col("t_emb"), col("s_nrm"), col("t_nrm")).as("cos"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("margin", round(col("cos") - lead(col("cos"), 1).over(w), 6))
+      .filter(col("rnk") === 1 && col("cos") >= cosMin)
+      .select(col("src_id"), col("src_lang"), col("tgt_id"), col("cos"), col("margin"))
+  }
+
+  /** Blocked entity resolution over customer names: candidate pairs share
+    * a block (here the nation key — in production a q-gram or phonetic
+    * key), verified by Levenshtein distance ≤ `maxDist`. The
+    * blocking-then-verify shape is what makes ER tractable at scale: the
+    * edit-distance kernel runs on within-block pairs only, never on the
+    * full cross product, and a skewed block salts through
+    * `Scale.saltedJoin` exactly like the dedup block joins.
+    */
+  def erBlockedPairs(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_nationkey").as("block"))
+    val b = c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+      col("c_nationkey").as("block"))
+    a.join(b, Seq("block"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Mining
+
+/** Corpus-mining operators: margin-based bitext pairs + blocked ER. */
+class MiningSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("bitext pairs are cross-lingual, unique per source, and margin-consistent") {
+    val out = Mining.bitextMarginPairs(spark, d).collect()
+    assert(out.nonEmpty)
+    // one row per source doc
+    val srcs = out.map(_.getLong(0))
+    assert(srcs.distinct.length == srcs.length)
+    // all pairs leave the source language (targets are the en leg)
+    assert(out.forall(_.getString(1) != "en"))
+    out.foreach { r =>
+      val (cos, margin) = (r.getDouble(3), r.getDouble(4))
+      assert(cos >= 0.3)
+      assert(margin >= 0.0, "top-1 must beat the runner-up") // ties → 0
+    }
+  }
+
+  test("bitext margin equals top1 - top2 against a brute recomputation") {
+    val emb = Tables.embeddings(spark, d)
+    val docs = Tables.documents(spark, d).select($"doc_id", $"lang")
+    val vecs = emb.join(docs, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"lang", $"embedding").as[(Long, String, Array[Float])]
+      .collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dp / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val tgts = vecs.filter(_._2 == "en")
+    val expect = vecs.filter(_._2 != "en").map { case (sid, _, se) =>
+      val scored = tgts.map { case (tid, _, te) => (tid, cos(se, te)) }
+        .sortBy { case (tid, c) => (-c, tid) }
+      sid -> (scored(0), scored(1))
+    }.toMap
+    Mining.bitextMarginPairs(spark, d).collect().foreach { r =>
+      val (top1, top2) = expect(r.getLong(0))
+      assert(r.getLong(2) == top1._1, s"src ${r.getLong(0)}: wrong top-1")
+      assert(math.abs(r.getDouble(3) - top1._2) < 1e-9)
+      assert(math.abs(r.getDouble(4) - (top1._2 - top2._2)) < 1e-6)
+    }
+  }
+
+  test("blocked ER verifies only within-block pairs at the set distance") {
+    val out = Mining.erBlockedPairs(spark, d).collect()
+    assert(out.nonEmpty)
+    val nations = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order")
+      assert(nations(r.getLong(0)) == nations(r.getLong(1)), "cross-block pair leaked")
+      assert(r.getLong(4) == lev(r.getString(2), r.getString(3)).toLong)
+      assert(r.getLong(4) <= 2)
+    }
+  }
+}
