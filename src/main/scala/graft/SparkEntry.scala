@@ -165,6 +165,8 @@ object SparkEntry {
     // corpus mining (pipeline.Mining)
     "mine_bitext"          -> ((s, d) => graft.pipeline.Mining.bitextMarginPairs(s, d)),
     "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
+    // bloom-pruned semi join (Relational.bloomPruneSemiJoin)
+    "j8_bloom_semi"        -> ((s, d) => R.bloomPruneSemiJoin(s, d)),
   )
 
   // ---- shared oracle fragments ---------------------------------------------
@@ -1479,5 +1481,12 @@ CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
 FROM customer a JOIN customer b
 ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+
+    "j8_bloom_semi" ->
+      s"""SELECT l_returnflag, COUNT(*) AS line_ct,
+CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
+FROM lineitem WHERE l_orderkey IN
+(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
+GROUP BY l_returnflag""",
   )
 }

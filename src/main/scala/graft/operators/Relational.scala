@@ -350,4 +350,39 @@ object Relational {
       .orderBy(col("order_amount").desc, col("p_brand").asc)
       .limit(5)
   }
+
+  /** Bloom-pruned semi join: revenue of lineitems whose order passed a
+    * selective orders predicate. The dim keys are folded into a Bloom
+    * filter (Spark's own runtime-filter sketch, surfaced as
+    * `graft_bloom_agg`), the filter is applied to the FACT SCAN as a
+    * codegen'd `might_contain` predicate, and the exact `left_semi` join
+    * afterwards removes the false positives — so the result is exactly
+    * the semi join while ~(1 - selectivity) of the fact table drops
+    * before the shuffle instead of after it.
+    *
+    * Why explicit: Catalyst's automatic runtime bloom injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) fires only past size
+    * thresholds and only below shuffles it can see at planning time;
+    * this operator is the same machinery as an API primitive, for
+    * pipelines that KNOW the build side is selective. The one-row bloom
+    * collect to the driver mirrors what Spark's own
+    * `SubqueryBroadcast`/`InSubquery` runtime filters do; the binary is
+    * n·~10 bits, bounded by `expectedItems`.
+    */
+  def bloomPruneSemiJoin(spark: SparkSession, dir: String,
+                         expectedItems: Long = 1000000L): DataFrame = {
+    val dimKeys = orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+      .select(col("o_orderkey"))
+    val bloom: Array[Byte] = dimKeys
+      .agg(call_function("graft_bloom_agg", col("o_orderkey"),
+        lit(expectedItems)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    lineitem(spark, dir)
+      .filter(call_function("graft_bloom_might_contain", lit(bloom), col("l_orderkey")))
+      .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
 }

@@ -141,5 +141,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_minhash", 1, a => MinHashSig(a(0))))
     ext.injectFunction(fn("graft_simhash32", 1, a => SimHash32(a(0))))
     ext.injectFunction(fn("graft_char_entropy", 1, a => CharEntropy(a(0))))
+    // Spark's own runtime-filter bloom expressions, surfaced as callable
+    // functions so an explicit semi-join reduction can build/apply the
+    // filter where the optimizer's injection heuristics don't reach
+    // (Relational.bloomPruneSemiJoin). Pure re-exposure — the sketch,
+    // aggregation, and codegen'd membership probe are Spark's.
+    ext.injectFunction(fn("graft_bloom_agg", 2,
+      a => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        a(0), a(1))))
+    ext.injectFunction(fn("graft_bloom_might_contain", 2,
+      a => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))))
   }
 }

@@ -80,6 +80,31 @@ class LayoutSpec extends SparkSpecBase {
       li.select($"l_returnflag").distinct().count())
   }
 
+  test("bloom-pruned semi join is exact and the bloom genuinely prunes") {
+    val got = graft.operators.Relational.bloomPruneSemiJoin(spark, d)
+      .orderBy($"l_returnflag").as[(String, Long, Double)].collect().toSeq
+    val o = Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 200000.0)
+      .select($"o_orderkey")
+    val want = Tables.lineitem(spark, d)
+      .join(o, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("line_ct"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy($"l_returnflag").as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+    // the pre-filter must pass all true matches and drop most non-matches
+    val li = Tables.lineitem(spark, d)
+    val bloom = o.agg(call_function("graft_bloom_agg", $"o_orderkey", lit(1000000L)))
+      .head.getAs[Array[Byte]](0)
+    val kept = li.filter(
+      call_function("graft_bloom_might_contain", lit(bloom), $"l_orderkey")).count()
+    val trueMatches = li.join(o, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    val total = li.count()
+    assert(kept >= trueMatches, "bloom must have no false negatives")
+    assert(kept < total / 2, s"bloom kept $kept of $total — not pruning")
+  }
+
   test("saltedDistinctCount is exact, including on a single hot key") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(5000)(("hot", rnd.nextInt(700).toLong)) ++
