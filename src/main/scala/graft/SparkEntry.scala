@@ -167,6 +167,8 @@ object SparkEntry {
     "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
     // bloom-pruned semi join (Relational.bloomPruneSemiJoin)
     "j8_bloom_semi"        -> ((s, d) => R.bloomPruneSemiJoin(s, d)),
+    // iterative BPE merge training (TextPipeline.bpeTrain)
+    "text_bpe_train"       -> ((s, d) => T.bpeTrain(s, d)),
   )
 
   // ---- shared oracle fragments ---------------------------------------------
@@ -1488,5 +1490,30 @@ CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
 FROM lineitem WHERE l_orderkey IN
 (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
 GROUP BY l_returnflag""",
+
+    // iterative BPE merges, unrolled as one CTE chain per step: pair
+    // counts over the step-k symbol strings → 1-row top pair b{k} →
+    // double literal replace (same two-pass fuse as the engine)
+    "text_bpe_train" -> {
+      val steps = (1 to 8).map { k =>
+        val (prev, cur) = (s"s${k - 1}", s"s$k")
+        s"""p$k AS (SELECT l[i] AS a, l[i + 1] AS b, SUM(wf) AS freq FROM
+  (SELECT string_split(trim(sym), ' ') AS l, wf FROM $prev),
+  unnest(range(1, len(l))) AS t(i) GROUP BY a, b),
+b$k AS (SELECT a, b, CAST(freq AS BIGINT) AS freq FROM p$k
+  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+$cur AS (SELECT replace(replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+  ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, wf FROM $prev CROSS JOIN b$k)"""
+      }.mkString(",\n")
+      val out = (1 to 8)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS step, a AS pair_a, b AS pair_b, freq FROM b$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH wf AS (SELECT tok AS word, COUNT(*) AS wf FROM
+  (SELECT unnest($TOKS) AS tok FROM documents) GROUP BY tok),
+s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS sym, wf
+  FROM wf WHERE len(word) >= 2),
+$steps
+$out"""
+    },
   )
 }

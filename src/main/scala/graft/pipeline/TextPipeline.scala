@@ -952,4 +952,61 @@ object TextPipeline {
         col("doc_id"), col("media_type"),
         length(col("media")).cast("long").as("n_bytes"),
         md5(col("media")).as("content_hash"))
+
+  /** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016): `nMerges`
+    * iterations of count-adjacent-pairs → pick the most frequent → fuse
+    * it corpus-wide. Extends `bpePairFreq` (which ranks the FIRST merge's
+    * candidates) to the full iterative loop.
+    *
+    * The distributed shape is the industrial one: train on the (word,
+    * count) VOCABULARY — sub-linear in corpus size by Heaps' law — never
+    * on raw text. Each word is a padded space-separated symbol string
+    * (`" h e l l o "`); an iteration is (a) one agg over exploded
+    * adjacent symbol pairs, (b) a single-row collect of the winner (the
+    * merge table IS driver state, like trained k-means centroids), (c)
+    * one literal `replace` of `" a b "` with `" ab "` — left-to-right
+    * non-overlapping, exactly BPE's greedy fuse. The vocabulary is
+    * `localCheckpoint`ed each round so iteration K's plan doesn't replay
+    * rounds 1..K-1.
+    *
+    * Returns the learned merge table (step, pair_a, pair_b, freq) —
+    * deterministic ties broken by (freq desc, a asc, b asc).
+    */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    var vocab = spread(spark, documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+      .select(concat(lit(" "),
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+        lit(" ")).as("sym"), col("wf"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = vocab
+        .withColumn("toks", split(trim(col("sym")), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).as("freq"))
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, f))
+        // replace TWICE: back-to-back occurrences (" a b a b ") share the
+        // boundary space, so one left-to-right non-overlapping pass skips
+        // every other one; after a pass the skipped pairs are isolated
+        // (each skip directly follows a merge), so the second pass reaches
+        // the fixpoint — which equals BPE's greedy fuse.
+        val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
+        vocab = vocab
+          .withColumn("sym", replace(replace(col("sym"), pat, rep), pat, rep))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "pair_a", "pair_b", "freq")
+  }
 }

@@ -888,4 +888,42 @@ class TrainingOpsSpec extends SparkSpecBase {
     val again = TextPipeline.klPerSource(spark, dir).as[(String, Double)].collect()
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("BPE training matches an independent in-memory trainer") {
+    // reference trainer: greedy left-to-right fuse over (word, freq)
+    def refBpe(vocab: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var words: Map[Vector[String], Long] = vocab.collect {
+        case (w, f) if w.length >= 2 => w.map(_.toString).toVector -> f
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      (1 to n).flatMap { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- words; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (counts.isEmpty) None
+        else {
+          val ((a, b), f) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+          words = words.map { case (syms, wf) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> wf
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          Some((a, b, f))
+        }
+      }
+    }
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).cast("long").as("f"))
+      .as[(String, Long)].collect().toMap
+    val want = refBpe(vocab, 8).zipWithIndex
+      .map { case ((a, b, f), i) => (i + 1L, a, b, f) }
+    val got = TextPipeline.bpeTrain(spark, dir, 8)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
 }
