@@ -165,6 +165,7 @@ object SparkEntry {
     // corpus mining (pipeline.Mining)
     "mine_bitext"          -> ((s, d) => graft.pipeline.Mining.bitextMarginPairs(s, d)),
     "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
+    "er_entities"          -> ((s, d) => graft.pipeline.Mining.erEntities(s, d)),
     // bloom-pruned semi join (Relational.bloomPruneSemiJoin)
     "j8_bloom_semi"        -> ((s, d) => R.bloomPruneSemiJoin(s, d)),
     // iterative BPE merge training (TextPipeline.bpeTrain)
@@ -1483,6 +1484,16 @@ CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
 FROM customer a JOIN customer b
 ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+
+    "er_entities" ->
+      """WITH RECURSIVE p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+FROM customer a JOIN customer b
+ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2),
+edges AS (SELECT a_key AS src, b_key AS dst FROM p UNION ALL SELECT b_key, a_key FROM p),
+reach(id, lab) AS (SELECT c_custkey, c_custkey FROM customer
+UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id AS c_custkey, MIN(lab) AS entity_id FROM reach GROUP BY id""",
 
     "j8_bloom_semi" ->
       s"""SELECT l_returnflag, COUNT(*) AS line_ct,

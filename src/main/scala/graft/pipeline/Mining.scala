@@ -78,4 +78,20 @@ object Mining {
       .filter(col("dist") <= maxDist)
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
   }
+
+  /** ER capstone: collapse the verified match pairs into ENTITIES — the
+    * transitive closure of [[erBlockedPairs]], labeled by the minimum
+    * member key. Rides the same pointer-jumping label propagation as the
+    * dedup cluster capstone (`Dedup.clusterLabels` — O(log diameter)
+    * rounds, edge-induced subgraph only), because match graphs and
+    * near-dup graphs are the same object at scale. Singleton records keep
+    * their own key as entity id.
+    */
+  def erEntities(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val pairs = erBlockedPairs(spark, dir, maxDist)
+      .select(col("a_key").as("doc_a"), col("b_key").as("doc_b"))
+    Dedup.clusterLabels(pairs,
+      Tables.customer(spark, dir).select(col("c_custkey").as("doc_id")))
+      .select(col("doc_id").as("c_custkey"), col("cluster_id").as("entity_id"))
+  }
 }

@@ -50,6 +50,24 @@ class MiningSpec extends SparkSpecBase {
     }
   }
 
+  test("ER entities: pair endpoints co-labeled, min-key labels, singletons self-labeled") {
+    val entities = Mining.erEntities(spark, d).as[(Long, Long)].collect().toMap
+    val pairs = Mining.erBlockedPairs(spark, d)
+      .select($"a_key", $"b_key").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(entities(a) == entities(b), s"pair ($a,$b) split across entities")
+    }
+    // every label is the minimum key of its member set
+    entities.groupBy(_._2).foreach { case (lab, members) =>
+      assert(members.keys.min == lab)
+    }
+    // records with no match pair keep their own key
+    val matched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    entities.foreach { case (k, lab) =>
+      if (!matched.contains(k)) assert(lab == k, s"singleton $k relabeled $lab")
+    }
+  }
+
   test("blocked ER verifies only within-block pairs at the set distance") {
     val out = Mining.erBlockedPairs(spark, d).collect()
     assert(out.nonEmpty)
