@@ -164,6 +164,7 @@ object SparkEntry {
                                  salt = 16, outCol = "uniq_users")),
     // corpus mining (pipeline.Mining)
     "mine_bitext"          -> ((s, d) => graft.pipeline.Mining.bitextMarginPairs(s, d)),
+    "mine_bitext_lsh"      -> ((s, d) => graft.pipeline.Mining.bitextMarginPairsLsh(s, d)),
     "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
     "er_entities"          -> ((s, d) => graft.pipeline.Mining.erEntities(s, d)),
     // bloom-pruned semi join (Relational.bloomPruneSemiJoin)
@@ -1475,6 +1476,19 @@ sc AS (SELECT src_id, src_lang, tgt_id, ${cosSql("se", "te", "sn", "tn")} AS cos
 FROM src CROSS JOIN tgt),
 w AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rnk,
 round(cos - lead(cos) OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC), 6) AS margin FROM sc)
+SELECT src_id, src_lang, tgt_id, cos, margin FROM w WHERE rnk = 1 AND cos >= 0.3""",
+
+    "mine_bitext_lsh" ->
+      s"""WITH $embNorms,
+$LshBuckets,
+j AS (SELECT vec_id, lang, emb, nrm, bucket FROM nb JOIN documents ON vec_id = doc_id),
+s0 AS (SELECT vec_id AS src_id, lang AS src_lang, emb AS se, nrm AS sn, bucket AS own FROM j WHERE lang <> 'en'),
+s AS (SELECT src_id, src_lang, se, sn, CASE WHEN f = -1 THEN own
+  ELSE xor(own, CAST(1 AS BIGINT) << f) END AS bucket FROM s0, unnest(range(-1, 8)) t(f)),
+t AS (SELECT vec_id AS tgt_id, emb AS te, nrm AS tn, bucket FROM j WHERE lang = 'en'),
+c AS (SELECT src_id, src_lang, tgt_id, ${cosSql("se", "te", "sn", "tn")} AS cos FROM t JOIN s USING (bucket)),
+w AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rnk,
+round(cos - lead(cos) OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC), 6) AS margin FROM c)
 SELECT src_id, src_lang, tgt_id, cos, margin FROM w WHERE rnk = 1 AND cos >= 0.3""",
 
     "er_blocked_pairs" ->

@@ -79,6 +79,51 @@ object Mining {
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
   }
 
+  /** The 100 TB rendering of [[bitextMarginPairs]]: candidates come from
+    * multi-probe sign-LSH buckets (own bucket + every one-bit flip — the
+    * same probe discipline as `Similarity.lshMultiProbeTopK`) instead of
+    * the full cross product, so each source doc scores only the
+    * pivot-language vectors its buckets contain. Semantics are therefore
+    * ANN-best-match: top-1 and margin are over the CANDIDATE set (margin
+    * null when a source finds exactly one candidate). Both sides shuffle
+    * on bucket when the size gate closes — the banded-join shape every
+    * dedup path here uses.
+    */
+  def bitextMarginPairsLsh(spark: SparkSession, dir: String,
+                           pivotLang: String = "en", cosMin: Double = 0.3,
+                           nPlanes: Int = 8): DataFrame = {
+    val base = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"), col("embedding"), col("nrm"))
+      .localCheckpoint()
+    val dim = base.select(size(col("embedding"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    val bucketed = base.withColumn("bucket",
+      Similarity.lshBucket(col("embedding"), nPlanes, dim))
+    val src = bucketed.filter(col("lang") =!= pivotLang)
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"),
+        explode(array((lit(-1) +: (0 until nPlanes).map(lit(_))): _*)).as("flip"),
+        col("bucket").as("own"))
+      .select(col("src_id"), col("src_lang"), col("s_emb"), col("s_nrm"),
+        when(col("flip") === -1, col("own"))
+          .otherwise(expr("own ^ (CAST(1 AS BIGINT) << flip)")).as("bucket"))
+    val scored = bucketed.filter(col("lang") === pivotLang)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
+        col("nrm").as("t_nrm"), col("bucket"))
+      .join(Scale.maybeBroadcast(src), Seq("bucket"))
+      .select(col("src_id"), col("src_lang"), col("tgt_id"),
+        cosineRFromNorms(col("s_emb"), col("t_emb"), col("s_nrm"), col("t_nrm")).as("cos"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("margin", round(col("cos") - lead(col("cos"), 1).over(w), 6))
+      .filter(col("rnk") === 1 && col("cos") >= cosMin)
+      .select(col("src_id"), col("src_lang"), col("tgt_id"), col("cos"), col("margin"))
+  }
+
   /** ER capstone: collapse the verified match pairs into ENTITIES — the
     * transitive closure of [[erBlockedPairs]], labeled by the minimum
     * member key. Rides the same pointer-jumping label propagation as the

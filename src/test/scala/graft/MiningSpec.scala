@@ -50,6 +50,41 @@ class MiningSpec extends SparkSpecBase {
     }
   }
 
+  test("LSH bitext: top-1/margin correct over the multi-probe candidate set") {
+    val emb = Tables.embeddings(spark, d)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val buckets = emb
+      .select($"vec_id", graft.pipeline.Similarity.lshBucket($"embedding", 8, dim).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, d).select($"doc_id", $"lang")
+    val vecs = emb.join(docs, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"lang", $"embedding").as[(Long, String, Array[Float])]
+      .collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      BigDecimal(dp / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val en = vecs.filter(_._2 == "en")
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val out = graft.pipeline.Mining.bitextMarginPairsLsh(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sid = r.getLong(0)
+      val probes = (Set(buckets(sid)) ++ (0 until 8).map(f => buckets(sid) ^ (1L << f))).toSet
+      val cands = en.filter(t => probes.contains(buckets(t._1)))
+        .map(t => (t._1, cos(byId(sid), t._3)))
+        .sortBy { case (tid, c) => (-c, tid) }
+      assert(cands.nonEmpty && r.getLong(2) == cands.head._1,
+        s"src $sid: wrong candidate top-1")
+      assert(math.abs(r.getDouble(3) - cands.head._2) < 1e-9)
+      if (cands.length >= 2)
+        assert(math.abs(r.getDouble(4) - (cands(0)._2 - cands(1)._2)) < 1e-6)
+      else assert(r.isNullAt(4), "single-candidate source must carry a null margin")
+    }
+  }
+
   test("ER entities: pair endpoints co-labeled, min-key labels, singletons self-labeled") {
     val entities = Mining.erEntities(spark, d).as[(Long, Long)].collect().toMap
     val pairs = Mining.erBlockedPairs(spark, d)
