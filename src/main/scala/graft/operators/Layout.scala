@@ -37,19 +37,27 @@ object Layout {
     * distinct here is written in the rewrite-eligible `size(collect_set)`
     * form rather than `countDistinct`.
     */
-  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val aggs: Seq[Column] = ProfileCols.flatMap { c =>
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    profileStats(Tables.lineitem(spark, dir), ProfileCols)
+
+  /** The profiling core as a PURE dual-mode transform: under `readStream`
+    * + complete output mode the same plan becomes a live data-quality
+    * monitor — micro-batch partials merge into the stateful global
+    * aggregate, so the emitted table always profiles everything ingested
+    * so far (parity-tested against the batch rendering).
+    */
+  def profileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
         size(collect_set(col(c))).cast("long").as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__mn"),
         max(col(c)).cast("string").as(s"${c}__mx"))
     }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = ProfileCols.map { c =>
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
       s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx"
-    }.mkString(s"stack(${ProfileCols.size}, ", ", ", ")")
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
     wide.select(expr(
       s"$stackExpr as (col_name, non_null, n_distinct, min_val, max_val)"))
   }

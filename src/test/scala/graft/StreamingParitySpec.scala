@@ -384,6 +384,31 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.toSet == batch, s"stream ${got.length} pairs != batch ${batch.size}")
   }
 
+  test("streaming column-profile parity: the live monitor converges to the batch profile") {
+    val cols = Seq("doc_id", "lang", "n_chars")
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 120)
+      .select("doc_id", "source", "lang", "text").as[Doc].collect().toSeq
+      .map(r => (r.doc_id, r.lang, r.text.length.toLong))
+    val asDf = rows.toDF("doc_id", "lang", "n_chars")
+    val batch = graft.operators.Layout.profileStats(asDf, cols)
+      .as[(String, Long, Long, String, String)].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val name = s"profsink${System.nanoTime()}"
+    val q = graft.operators.Layout.profileStats(
+        input.toDF().toDF("doc_id", "lang", "n_chars"), cols)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      input.addData(rows.take(50)); q.processAllAvailable()
+      input.addData(rows.drop(50)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .as[(String, Long, Long, String, String)].collect().toSet
+    assert(got == batch, s"streamed profile $got != batch $batch")
+  }
+
   test("streaming CMS cells parity: micro-batch partials merge to the batch sketch") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
