@@ -75,15 +75,22 @@ object Bench {
       val times = timedReps(name, fn)
       if (times.contains(-1.0)) -1.0 else times.min
     }
-    val repResults = SparkEntry.queries.toSeq.map { case (name, fn) => name -> timedReps(name, fn) }
+    // iteration counts of the clusterLabels convergence loop, snapshot
+    // RIGHT AFTER each caller's reps (the counter is last-call state —
+    // reading it once at the end would report whichever caller ran last;
+    // round 8 added er_entities as a second caller and the end-read
+    // silently recorded its graph's count under dedup_clusters)
+    val clusterCallers = Set("dedup_clusters", "er_entities")
+    val iterByQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val repResults = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val r = name -> timedReps(name, fn)
+      if (clusterCallers(name))
+        iterByQuery(name) = graft.pipeline.Dedup.lastClusterIterations
+      r
+    }
     val results = repResults.map { case (name, ts) =>
       name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
-    // iteration count of the convergence loop behind `dedup_clusters` (the
-    // only clusterLabels caller in the query map): recorded so a slow run
-    // is attributable — extra rounds vs rig noise (round-6 flagged 3.2×
-    // swings on identical bytes)
-    val clusterIterations = graft.pipeline.Dedup.lastClusterIterations
     // Scale-mode appendix: the documented 100 TB profile (README "Scale
     // mode") — sketch rewrites on — re-timing the queries whose plans the
     // rules change. Approximate results, so they are NOT the oracle-gated
@@ -119,10 +126,12 @@ object Bench {
         .mkString("{", ",", "}")
     // per-rep times for the iterative family go on the driver line (small);
     // the FULL file carries every query's rep vector
-    val iterativeReps = repResults.filter { case (k, _) => k == "dedup_clusters" }
+    val iterativeReps = repResults.filter { case (k, _) => clusterCallers(k) }
+    val iterationsJson = iterByQuery
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def line(f: Double => String, appendix: String): String =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(results, f)},"failed":$failed,""" +
-        s""""iterative":{"reps":${repsJson(iterativeReps, f)},"iterations":{"dedup_clusters":$clusterIterations}}$appendix,"sf":"$sfDir"}"""
+        s""""iterative":{"reps":${repsJson(iterativeReps, f)},"iterations":$iterationsJson}$appendix,"sf":"$sfDir"}"""
     val full = line(_.toString,
       s""","scale_mode":${toJson(scaleResults, _.toString)},"reps":${repsJson(repResults, _.toString)}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"),

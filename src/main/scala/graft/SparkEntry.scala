@@ -167,6 +167,7 @@ object SparkEntry {
     "mine_bitext_lsh"      -> ((s, d) => graft.pipeline.Mining.bitextMarginPairsLsh(s, d)),
     "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
     "er_entities"          -> ((s, d) => graft.pipeline.Mining.erEntities(s, d)),
+    "er_sorted_neighborhood" -> ((s, d) => graft.pipeline.Mining.erSortedNeighborhood(s, d)),
     // bloom-pruned semi join (Relational.bloomPruneSemiJoin)
     "j8_bloom_semi"        -> ((s, d) => R.bloomPruneSemiJoin(s, d)),
     // iterative BPE merge training (TextPipeline.bpeTrain)
@@ -1497,6 +1498,15 @@ a.c_name AS a_name, b.c_name AS b_name,
 CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
 FROM customer a JOIN customer b
 ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+
+    "er_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey, c_name,
+row_number() OVER (ORDER BY c_name, c_custkey) AS rnk FROM customer)
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+a.c_name AS a_name, b.c_name AS b_name,
+CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
 WHERE levenshtein(a.c_name, b.c_name) <= 2""",
 
     "er_entities" ->

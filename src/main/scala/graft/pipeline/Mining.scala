@@ -66,14 +66,22 @@ object Mining {
     * `Scale.saltedJoin` exactly like the dedup block joins.
     */
   def erBlockedPairs(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
-    val c = Tables.customer(spark, dir)
+    // spread the probe leg: the block join fans ~|block|²/2 candidates out
+    // of byte-small inputs, exactly the cheap-bytes-expensive-CPU shape
+    // AQE's size-based coalescing misjudges (the winnowing lesson,
+    // PLANS.md round 7) — without it the whole Levenshtein bill lands on
+    // a handful of tasks
+    val c = Tables.spread(spark, Tables.customer(spark, dir))
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val a = c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
       col("c_nationkey").as("block"))
     val b = c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
-      col("c_nationkey").as("block"))
-    a.join(b, Seq("block"))
-      .filter(col("a_key") < col("b_key"))
+      col("c_nationkey").as("block_b"))
+    // the LENGTH filter rides the join condition: |len(a)−len(b)| ≤ d is
+    // implied by lev ≤ d, so it prunes candidates for free (cheap ints)
+    // before the O(len²) edit-distance kernel runs — result unchanged
+    a.join(b, col("block") === col("block_b") && col("a_key") < col("b_key") &&
+        abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
@@ -122,6 +130,39 @@ object Mining {
       .withColumn("margin", round(col("cos") - lead(col("cos"), 1).over(w), 6))
       .filter(col("rnk") === 1 && col("cos") >= cosMin)
       .select(col("src_id"), col("src_lang"), col("tgt_id"), col("cos"), col("margin"))
+  }
+
+  /** Sorted-neighborhood ER — the complementary blocking discipline to
+    * [[erBlockedPairs]]: records are globally ordered by the sort key
+    * (name, id tie-break) and each record is compared with its `window−1`
+    * successors, catching matches a hard blocking key splits (here:
+    * same-name typos in DIFFERENT nations). The global rank comes from
+    * `Scale.distributedPrefixSum` (range-partition + broadcast offsets),
+    * NOT a single-partition `Window.orderBy`; the neighbor join is an
+    * explode of `window−1` rank offsets + one equi join on rank — both
+    * scale-shaped. Σ work is n·(window−1) verifications, independent of
+    * block skew.
+    */
+  def erSortedNeighborhood(spark: SparkSession, dir: String,
+                           window: Int = 5, maxDist: Int = 2): DataFrame = {
+    val c = Tables.spread(spark, Tables.customer(spark, dir))
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("__one", lit(1L))
+    val ranked = Scale.distributedPrefixSum(c,
+        Seq(col("c_name"), col("c_custkey")), "__one", "__cum", rankCol = Some("rnk"))
+      .drop("__cum", "__one")
+      .localCheckpoint() // both join legs read it; pin one computation
+    val a = ranked.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("rnk"))
+    val b = ranked.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+      col("rnk").as("rnk_b"))
+    a.withColumn("off", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("rnk_b", col("rnk") + col("off"))
+      .select(col("a_key"), col("a_name"), col("rnk_b"))
+      .join(b, Seq("rnk_b"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
   }
 
   /** ER capstone: collapse the verified match pairs into ENTITIES — the

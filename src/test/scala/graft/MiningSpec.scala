@@ -85,6 +85,26 @@ class MiningSpec extends SparkSpecBase {
     }
   }
 
+  test("sorted-neighborhood ER stays in-window and finds cross-block matches") {
+    val out = Mining.erSortedNeighborhood(spark, d).collect()
+    assert(out.nonEmpty)
+    val ranked = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_name").as[(Long, String)].collect()
+      .sortBy { case (k, n) => (n, k) }.zipWithIndex
+      .map { case ((k, _), i) => k -> (i + 1) }.toMap
+    out.foreach { r =>
+      val (ra, rb) = (ranked(r.getLong(0)), ranked(r.getLong(1)))
+      assert(rb > ra && rb <= ra + 4, s"pair out of window: ranks $ra,$rb")
+      assert(r.getLong(4) <= 2)
+    }
+    // the point of SNM: it crosses hard blocking keys — at least one found
+    // pair must span two nations (a pair erBlockedPairs cannot emit)
+    val nations = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    assert(out.exists(r => nations(r.getLong(0)) != nations(r.getLong(1))),
+      "no cross-block pair found — window blocking adds nothing here")
+  }
+
   test("ER entities: pair endpoints co-labeled, min-key labels, singletons self-labeled") {
     val entities = Mining.erEntities(spark, d).as[(Long, Long)].collect().toMap
     val pairs = Mining.erBlockedPairs(spark, d)
