@@ -27,6 +27,13 @@ object SparkEntry {
     "q1_pricing_summary"   -> ((s, d) => R.q1PricingSummary(s, d)),
     "q3_top_revenue"       -> ((s, d) => R.q3TopRevenue(s, d)),
     "q5_region_revenue"    -> ((s, d) => R.q5RegionRevenue(s, d)),
+    // correlated-subquery family (decorrelated by hand — see Relational)
+    "q4_order_priority"    -> ((s, d) => R.q4OrderPriority(s, d)),
+    "q7_nation_trade"      -> ((s, d) => R.q7NationTrade(s, d)),
+    "q10_returned_items"   -> ((s, d) => R.q10ReturnedItems(s, d)),
+    "q17_small_qty"        -> ((s, d) => R.q17SmallQty(s, d)),
+    "q18_large_orders"     -> ((s, d) => R.q18LargeOrders(s, d)),
+    "q22_idle_balance"     -> ((s, d) => R.q22IdleBalance(s, d)),
     // joins (SURVEY §2.4)
     "j1_interval_join"     -> ((s, d) => R.j1IntervalJoin(s, d)),
     "j2_interval_join_asym"-> ((s, d) => R.j2IntervalJoinAsym(s, d)),
@@ -388,6 +395,68 @@ COUNT(*) AS line_ct
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name""",
+
+    "q4_order_priority" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS order_ct
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+
+    "q7_nation_trade" ->
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS volume,
+COUNT(*) AS line_ct
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name""",
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q17_small_qty" ->
+      s"""WITH pa AS (
+  SELECT l_partkey AS pa_partkey, SUM(${DEC("l_quantity")}) AS sum_qty, COUNT(*) AS qty_ct
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) / 7.0 AS avg_yearly, COUNT(*) AS line_ct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON l_partkey = pa_partkey
+WHERE p_brand = 'Brand#13' AND ${DEC("l_quantity")} * 5 * qty_ct < sum_qty""",
+
+    "q18_large_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+CAST(${DEC("o_totalprice")} AS DOUBLE) AS total_price,
+CAST(qty_dec AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(${DEC("l_quantity")}) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(${DEC("l_quantity")}) > ${DEC("250")}) big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""",
+
+    "q22_idle_balance" ->
+      s"""WITH pos AS (
+  SELECT SUM(${DEC("c_acctbal")}) AS bal_sum, COUNT(*) AS bal_ct
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, COUNT(*) AS cust_ct,
+CAST(SUM(${DEC("c_acctbal")}) AS DOUBLE) AS total_bal
+FROM customer, pos
+WHERE ${DEC("c_acctbal")} * bal_ct > bal_sum
+AND NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01')
+GROUP BY c_nationkey""",
 
     "j1_interval_join" ->
       s"""SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate,

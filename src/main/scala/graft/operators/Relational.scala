@@ -385,4 +385,155 @@ object Relational {
       .agg(count(lit(1)).as("line_ct"),
         sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
   }
+
+  // --------------------------------------------------------------------
+  // Correlated-subquery family (beyond ref): the four classic TPC-H
+  // decorrelation shapes, hand-rendered as the joins Catalyst's
+  // RewriteCorrelatedScalarSubquery / RewritePredicateSubquery would
+  // produce — EXISTS → left_semi, IN-over-HAVING → join on the selective
+  // aggregate, correlated scalar AVG → per-key aggregate joined back,
+  // uncorrelated scalar → one-row broadcast. Declaring the decorrelated
+  // plan directly keeps every shape available to users of the DataFrame
+  // API (no SQL subquery syntax needed) and makes the scale posture
+  // explicit per join.
+  // --------------------------------------------------------------------
+
+  /** q4 (TPC-H Q4 shape): order counts per priority for orders with at
+    * least one LATE line (shipped > 60 days after the order date) — the
+    * EXISTS correlated subquery. Rendered as a left_semi join whose
+    * condition carries both the equi key and the cross-table date
+    * predicate: the semi join stops probing an order on its first late
+    * line, and the lineitem side is projected to (key, shipdate) before
+    * the exchange. At scale: one SMJ on orderkey; the semi join's output
+    * is at most |orders| rows regardless of lineitem fan-out.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val lateLines = lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(lateLines,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+  }
+
+  /** q7 (TPC-H Q7 shape): cross-border trade volume — customer nation ×
+    * supplier nation pairs. The fact row reaches BOTH nation dims through
+    * different foreign keys (customer side via orders, supplier side via
+    * l_suppkey), so nation joins twice under different aliases. nation is
+    * fixed-cardinality (broadcast unconditionally); customer/supplier
+    * scale with the corpus (size-gated). At 100 TB: two fact shuffles
+    * (orderkey, then nothing — supplier side is all broadcast-or-gated),
+    * group-by key space is |nations|².
+    */
+  def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(maybeBroadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("volume"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** q10 (TPC-H Q10 shape): top-20 customers by lost revenue from
+    * RETURNED items. Fact filter (l_returnflag='R') sits on the scan and
+    * pushes into parquet; the join chain is the q5 discipline (facts
+    * shuffled, customer gated, nation broadcast); deterministic top-K by
+    * (revenue DESC, custkey) plans as TakeOrderedAndProject — per-partition
+    * heaps, no global sort.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  /** q17 (TPC-H Q17 shape): revenue from small-quantity lines of one
+    * brand's parts — the correlated scalar subquery
+    * `l_quantity < 0.2 * (SELECT avg(l_quantity) ... WHERE l_partkey = p_partkey)`.
+    * Decorrelated: ONE per-part aggregate over lineitem (sum, count as
+    * exact decimals — the avg is never materialized as a float), joined
+    * back on partkey; the comparison `qty < 0.2·avg` is evaluated as
+    * `5·qty·cnt < sum` in exact decimal arithmetic, so engine and oracle
+    * agree bit-for-bit with no float-division ties. Brand parts attach
+    * via the size gate. At scale: two shuffles on partkey (the aggregate
+    * and the join), both keyed and combinable map-side.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("qty_ct"))
+    val brandParts = part(spark, dir)
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    lineitem(spark, dir)
+      .join(maybeBroadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pa_partkey"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("qty_ct") < col("sum_qty"))
+      .agg(
+        (sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** q18 (TPC-H Q18 shape): large-volume orders — the IN-over-HAVING
+    * subquery `o_orderkey IN (SELECT l_orderkey ... HAVING sum(qty) > 250)`.
+    * Rendered as an inner join against the HAVING aggregate itself (which
+    * also supplies the total the output needs, so no second scan); the
+    * aggregate is selective (~1% of orders) and joins back to orders by
+    * key — AQE broadcasts it when small, SMJ otherwise. Deterministic
+    * top-20 by (total_qty DESC, orderkey).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > lit(250).cast("decimal(18,2)"))
+    orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(maybeBroadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).cast("double").as("total_price"),
+        col("qty_dec").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** q22 (TPC-H Q22 shape): wealthy-but-idle customers — an uncorrelated
+    * scalar subquery (corpus-wide average positive balance) plus a NOT
+    * EXISTS (no recent orders). The scalar is carried as exact (sum, count)
+    * in ONE broadcast row — `bal > avg` evaluates as `bal·n > sum` in
+    * decimal, no float division; the NOT EXISTS is a left_anti join against
+    * the date-filtered order keys (filter pushed to the orders scan). At
+    * scale: the anti join is the only customer-table shuffle; the one-row
+    * broadcast is free.
+    */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val posAvg = customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("bal_sum"), count(lit(1)).as("bal_ct"))
+    val recentBuyers = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-06-01"))
+      .select(col("o_custkey"))
+    customer(spark, dir)
+      .crossJoin(broadcast(posAvg))
+      .filter(dec(col("c_acctbal")) * col("bal_ct") > col("bal_sum"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_ct"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
 }

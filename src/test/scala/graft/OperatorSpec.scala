@@ -449,4 +449,78 @@ class OperatorSpec extends SparkSpecBase {
     Serving.sqlGmvByBrand(spark, sf("lineitem")).collect()
     assert(spark.conf.getOption("graft.serving.viewsDir") == marker1)
   }
+
+  test("subquery family: decorrelated plans carry the right join shapes") {
+    val d = sf("lineitem")
+    // q4 EXISTS → left_semi: no lineitem column may survive the join
+    val q4 = Relational.q4OrderPriority(spark, d)
+    val q4Plan = q4.queryExecution.executedPlan.toString
+    assert(q4Plan.contains("LeftSemi"), s"q4 lost its semi join:\n$q4Plan")
+    // q22 NOT EXISTS → left_anti; scalar avg → one-row broadcast attach
+    val q22 = Relational.q22IdleBalance(spark, d)
+    val q22Plan = q22.queryExecution.executedPlan.toString
+    assert(q22Plan.contains("LeftAnti"), s"q22 lost its anti join:\n$q22Plan")
+    assert(q22Plan.contains("BroadcastNestedLoopJoin"),
+      s"q22 scalar should attach as a one-row broadcast:\n$q22Plan")
+    // q10/q18 deterministic top-20 → bounded take, never a global sort
+    for ((nm, df) <- Seq("q10" -> Relational.q10ReturnedItems(spark, d),
+                         "q18" -> Relational.q18LargeOrders(spark, d))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"$nm top-k lost the bounded take:\n$p")
+    }
+    // q7 reaches nation twice (customer leg + supplier leg), both broadcast
+    val q7Plan = Relational.q7NationTrade(spark, d).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(q7Plan).size >= 2,
+      s"q7 nation dims not broadcast twice:\n$q7Plan")
+  }
+
+  test("subquery family: results replay driver-side at sf0.001") {
+    val d = sf("lineitem")
+    val li = graft.Tables.lineitem(spark, d)
+      .selectExpr("l_orderkey", "unix_date(CAST(l_shipdate AS DATE)) AS ship_day", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    val ords = graft.Tables.orders(spark, d)
+      .selectExpr("o_orderkey", "unix_date(CAST(o_orderdate AS DATE)) AS od_day",
+        "o_orderpriority", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2), r.getLong(3)))
+
+    // q4: per-priority counts of orders with a >60-day-late line
+    val dateOf = ords.map(o => o._1 -> o._2).toMap
+    val lateOrders = li.filter { case (ok, shipDay, _) =>
+      dateOf.contains(ok) && shipDay > dateOf(ok) + 60L
+    }.map(_._1).toSet
+    val expectedQ4 = ords.filter(o => lateOrders(o._1))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val gotQ4 = Relational.q4OrderPriority(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotQ4 == expectedQ4)
+
+    // q18: every emitted order really totals > 250 units, recounted exactly
+    val qtyByOrder = li.groupBy(_._1).view
+      .mapValues(ls => BigDecimal(ls.map(_._3).sum).setScale(2)).toMap
+    val q18 = Relational.q18LargeOrders(spark, d).collect()
+    assert(q18.nonEmpty)
+    q18.foreach { r =>
+      val ok = r.getLong(2)
+      assert(BigDecimal(r.getDouble(5)) == qtyByOrder(ok) && qtyByOrder(ok) > 250,
+        s"order $ok qty mismatch: got ${r.getDouble(5)}, replay ${qtyByOrder(ok)}")
+    }
+
+    // q22: every counted customer is above the positive-balance average and
+    // placed no order on/after the cutoff
+    val custs = graft.Tables.customer(spark, d)
+      .select("c_custkey", "c_acctbal", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val pos = custs.map(_._2).filter(_ > 0)
+    val cutoffDay = spark.sql("SELECT unix_date(DATE'2001-06-01')").head.getInt(0).toLong
+    val recent = ords.filter(_._2 >= cutoffDay).map(_._4).toSet
+    val expected = custs.filter { case (ck, bal, _) =>
+      BigDecimal(bal).setScale(2) * pos.length >
+        pos.map(BigDecimal(_).setScale(2)).sum && !recent(ck)
+    }
+    val expQ22 = expected.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val gotQ22 = Relational.q22IdleBalance(spark, d).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotQ22 == expQ22)
+  }
 }
