@@ -106,6 +106,7 @@ object SparkEntry {
     "text_vocab_coverage"  -> ((s, d) => T.vocabCoverage(s, d)),
     "text_oov_rate"        -> ((s, d) => T.oovRate(s, d)),
     "text_dsir_weight"     -> ((s, d) => T.dsirWeight(s, d)),
+    "sample_dsir"          -> ((s, d) => T.dsirSample(s, d)),
     "text_quality_buckets" -> ((s, d) => T.qualityBuckets(s, d)),
     "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "text_filter_reasons"  -> ((s, d) => T.filterReasons(s, d)),
     // dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_dupfreq_hist"   -> ((s, d) => Dedup.dupSizeHistogram(s, d)),
     "dedup_minhash_sig"    -> ((s, d) => Dedup.minhashSigExploded(s, d)),
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashTable(s, d)),
@@ -150,6 +152,7 @@ object SparkEntry {
     "ann_lsh_multiprobe"   -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "ann_pq_topk"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_ivfpq_topk"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ann_filtered_topk"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
@@ -179,6 +182,7 @@ object SparkEntry {
     "j8_bloom_semi"        -> ((s, d) => R.bloomPruneSemiJoin(s, d)),
     // iterative BPE merge training (TextPipeline.bpeTrain)
     "text_bpe_train"       -> ((s, d) => T.bpeTrain(s, d)),
+    "text_bpe_encode"      -> ((s, d) => T.bpeEncode(s, d)),
   )
 
   // ---- shared oracle fragments ---------------------------------------------
@@ -324,6 +328,25 @@ wf AS (SELECT DISTINCT doc_id, unnest(fps) AS fph FROM g)"""
   /** Unigram-surprisal oracle — shared by `text_surprisal` and the decile
     * bucketing built on top of it (identical scores by construction).
     */
+  /** DSIR importance weight (`text_dsir_weight`) — shared by the Gumbel
+    * top-k selection built on top of it (identical weights by construction).
+    */
+  private val OracleDsir =
+    s"""WITH t AS (SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents),
+tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2, 3),
+f AS (SELECT tok, SUM(tf) AS cf,
+  COALESCE(SUM(tf) FILTER (lang = 'en'), 0) AS tq FROM tf GROUP BY tok),
+c AS (SELECT CAST(SUM(cf) AS DOUBLE) AS nc, CAST(SUM(tq) AS DOUBLE) AS nt,
+  CAST(COUNT(*) AS DOUBLE) AS v FROM f),
+lr AS (SELECT tok, CAST(round(ln((tq + 1) / (nt + v)) - ln((cf + 1) / (nc + v)), 6)
+  AS DECIMAL(18,6)) AS lr FROM f CROSS JOIN c),
+term AS (SELECT doc_id, CAST(tf AS DECIMAL(10,0)) * lr AS term FROM tf JOIN lr USING (tok)),
+tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, CAST(CAST(sign(s) AS BIGINT) *
+  ((2 * abs(CAST(s * 1000000 AS BIGINT)) + n_tokens) // (2 * n_tokens))
+  AS DOUBLE) / 1000000.0 AS dsir_weight
+FROM (SELECT doc_id, SUM(term) AS s FROM term GROUP BY doc_id) JOIN tot USING (doc_id)"""
+
   private val OracleSurprisal =
     s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
 tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS total FROM documents),
@@ -1288,21 +1311,23 @@ CAST(len(list_slice(toks, s + 1, least(s + 32, n))) AS BIGINT) AS n_tokens,
 array_to_string(list_slice(toks, s + 1, least(s + 32, n)), ' ') AS chunk
 FROM nz, unnest(range(0, n, 24)) t(s)""",
 
-    "text_dsir_weight" ->
-      s"""WITH t AS (SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents),
-tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2, 3),
-f AS (SELECT tok, SUM(tf) AS cf,
-  COALESCE(SUM(tf) FILTER (lang = 'en'), 0) AS tq FROM tf GROUP BY tok),
-c AS (SELECT CAST(SUM(cf) AS DOUBLE) AS nc, CAST(SUM(tq) AS DOUBLE) AS nt,
-  CAST(COUNT(*) AS DOUBLE) AS v FROM f),
-lr AS (SELECT tok, CAST(round(ln((tq + 1) / (nt + v)) - ln((cf + 1) / (nc + v)), 6)
-  AS DECIMAL(18,6)) AS lr FROM f CROSS JOIN c),
-term AS (SELECT doc_id, CAST(tf AS DECIMAL(10,0)) * lr AS term FROM tf JOIN lr USING (tok)),
-tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id)
-SELECT doc_id, n_tokens, CAST(CAST(sign(s) AS BIGINT) *
-  ((2 * abs(CAST(s * 1000000 AS BIGINT)) + n_tokens) // (2 * n_tokens))
-  AS DOUBLE) / 1000000.0 AS dsir_weight
-FROM (SELECT doc_id, SUM(term) AS s FROM term GROUP BY doc_id) JOIN tot USING (doc_id)""",
+    "text_dsir_weight" -> OracleDsir,
+
+    "sample_dsir" ->
+      s"""WITH w AS ($OracleDsir),
+n AS (SELECT COUNT(*) AS n FROM w),
+u AS (SELECT doc_id, dsir_weight,
+  (CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS uu
+  FROM w),
+k AS (SELECT doc_id, dsir_weight, round(dsir_weight - ln(-ln(uu)), 6) AS gumbel_key FROM u),
+r AS (SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rnk FROM k)
+SELECT doc_id, dsir_weight, gumbel_key, CAST(rnk AS BIGINT) AS rnk
+FROM r, n WHERE rnk <= (n * 250 + 999) // 1000""",
+
+    "dedup_dupfreq_hist" ->
+      s"""WITH g AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+COUNT(*) AS dup_ct FROM documents GROUP BY fp)
+SELECT dup_ct, COUNT(*) AS n_groups, dup_ct * COUNT(*) AS n_docs FROM g GROUP BY dup_ct""",
 
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
@@ -1469,6 +1494,14 @@ FROM n a CROSS JOIN q WHERE a.vec_id <> query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
 
+    "ann_filtered_topk" ->
+      s"""WITH $embNorms,
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM n a CROSS JOIN q WHERE a.vec_id <> query_id AND a.label >= 5),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
     "ann_ivf_topk" ->
       s"""WITH $embNorms,
 cents AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
@@ -1618,6 +1651,39 @@ s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' 
   FROM wf WHERE len(word) >= 2),
 $steps
 $out"""
+    },
+
+    "text_bpe_encode" -> {
+      // the same 8-step training chain, then the vocabulary (ALL words,
+      // single-char included) is encoded with each step's winning pair and
+      // docs join the encoded word table for per-doc piece counts
+      val steps = (1 to 8).map { k =>
+        val (prev, cur) = (s"s${k - 1}", s"s$k")
+        s"""p$k AS (SELECT l[i] AS a, l[i + 1] AS b, SUM(wf) AS freq FROM
+  (SELECT string_split(trim(sym), ' ') AS l, wf FROM $prev),
+  unnest(range(1, len(l))) AS t(i) GROUP BY a, b),
+b$k AS (SELECT a, b, CAST(freq AS BIGINT) AS freq FROM p$k
+  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+$cur AS (SELECT replace(replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+  ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, wf FROM $prev CROSS JOIN b$k)"""
+      }.mkString(",\n")
+      val vsteps = (1 to 8).map { k =>
+        s"""v$k AS (SELECT word, replace(replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+  ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym FROM v${k - 1} CROSS JOIN b$k)"""
+      }.mkString(",\n")
+      s"""WITH wf AS (SELECT tok AS word, COUNT(*) AS wf FROM
+  (SELECT unnest($TOKS) AS tok FROM documents) GROUP BY tok),
+s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS sym, wf
+  FROM wf WHERE len(word) >= 2),
+$steps,
+v0 AS (SELECT word, ' ' || CASE WHEN len(word) >= 2
+  THEN array_to_string(regexp_extract_all(word, '.'), ' ') ELSE word END || ' ' AS sym FROM wf),
+$vsteps,
+enc AS (SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS np FROM v8),
+d AS (SELECT doc_id, unnest($TOKS) AS word FROM documents)
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(np) AS BIGINT) AS n_pieces,
+round(CAST(SUM(np) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+FROM d JOIN enc USING (word) GROUP BY doc_id"""
     },
   )
 }

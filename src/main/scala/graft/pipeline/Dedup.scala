@@ -37,6 +37,21 @@ object Dedup {
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_ct"))
 
+  /** Duplicate-cluster size histogram — the corpus-health statistic behind
+    * "how duplicated is this crawl" (cf. the CCNet/C4 dup-rate tables):
+    * for each exact-duplicate cluster size, how many clusters and how many
+    * documents sit at that size. Composes on `exact`'s fingerprint groups;
+    * the second aggregate's key space is cluster SIZES (≤ max multiplicity,
+    * in practice tens), so the only corpus-scale stage is the fingerprint
+    * shuffle `exact` already pays, with map-side partial counts.
+    */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    exact(spark, dir)
+      .groupBy(col("dup_ct"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("dup_ct"), col("n_groups"),
+        (col("dup_ct") * col("n_groups")).as("n_docs"))
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Number of hash functions and LSH banding (16 bands × 4 rows). The

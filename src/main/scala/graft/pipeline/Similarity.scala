@@ -59,6 +59,39 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Filtered vector search: top-k under a metadata predicate on the
+    * CANDIDATE side (here `label >= minLabel` — in production, a tenant id,
+    * language, date range…). The predicate is applied BEFORE any scoring —
+    * pre-filtering — so the result is the exact top-k of the eligible
+    * subset and the label predicate reaches the parquet scan
+    * (plan-asserted): post-filtering (search first, filter the top-k after)
+    * silently returns < k rows or misses eligible neighbors whenever the
+    * unfiltered top-k is dominated by ineligible vectors, which is exactly
+    * what happens under selective predicates at scale. The query side stays
+    * unfiltered — queries need not satisfy their own predicate. Norms are
+    * computed per side post-filter (no shared checkpoint: the corpus leg
+    * folds only eligible rows). At 100 TB the same pre-filter composes
+    * under the IVF/LSH candidate generators — filter the corpus before
+    * cell assignment and the index is built over eligible vectors only.
+    */
+  def filteredTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   k: Int = 5, minLabel: Int = 5): DataFrame =
+    filteredTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, minLabel)
+
+  def filteredTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                       minLabel: Int = 5): DataFrame = {
+    val corpus = raw.filter(col("label") >= minLabel)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val q = raw.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    val scored = corpus.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane weights: w(h, i) in {-1, +1}
     * derived from md5 of "h_i" (first-two-byte parity — the same value the
     * previous per-row column rendering computed with

@@ -731,6 +731,33 @@ object TextPipeline {
           AS DOUBLE) / 1000000.0""").as("dsir_weight"))
   }
 
+  /** DSIR selection — the sampling step the importance weights exist for
+    * (Xie et al. 2023 §3: sample ∝ the estimated importance ratio). Uses
+    * the Gumbel-top-k trick, which turns "sample k docs without
+    * replacement with probability ∝ exp(weight)" into "take the k largest
+    * of weight + Gumbel noise" — a pure ORDERING problem a distributed
+    * engine solves without rejection loops, coordination, or an RNG whose
+    * partition-order sensitivity would break replay. The noise is
+    * deterministic: u = (md5(doc_id)[0,2³²) + ½)/2³² → g = −ln(−ln u), so
+    * any worker (or the DuckDB oracle) recomputes the identical draw.
+    * k = ⌈permille·N/1000⌉; the global rank over the Gumbel keys comes
+    * from `Scale.distributedPrefixSum` — range partition + per-partition
+    * ranks + P-row offset window, never a single-partition corpus sort.
+    */
+  def dsirSample(spark: SparkSession, dir: String, permille: Int = 250): DataFrame = {
+    val w = dsirWeight(spark, dir).localCheckpoint()
+    val n = w.agg(count(lit(1)).as("__n"))
+    val u = (conv(substring(md5(concat(lit("dsir:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = w.select(col("doc_id"), col("dsir_weight"),
+      round(col("dsir_weight") - log(-log(u)), 6).as("gumbel_key"))
+    graft.operators.Scale.distributedPrefixSum(keyed.withColumn("__one", lit(1L)),
+        Seq(col("gumbel_key").desc, col("doc_id").asc), "__one", "rnk")
+      .join(broadcast(n))
+      .filter(col("rnk") <= expr(s"(__n * $permille + 999) DIV 1000"))
+      .select(col("doc_id"), col("dsir_weight"), col("gumbel_key"), col("rnk"))
+  }
+
   /** Corpus-wide boilerplate n-gram mining: word `n`-grams appearing in at
     * least `minDocs` DISTINCT documents — the repeated-span inventory a
     * boilerplate-stripping pass is built from (headers, footers, license
@@ -1008,5 +1035,42 @@ object TextPipeline {
     }
     import spark.implicits._
     merges.toSeq.toDF("step", "pair_a", "pair_b", "freq")
+  }
+
+  /** BPE encode — the consumer of `bpeTrain`: tokenize the corpus under the
+    * trained merge table and report per-doc piece counts (the statistic
+    * token budgets, packing, and cost models run on). The corpus is never
+    * re-segmented row by row: the DISTINCT word vocabulary is encoded ONCE
+    * (all `nMerges` literal two-pass replaces fuse into a single collapsed
+    * projection over the Heaps'-bounded vocab), and docs join the encoded
+    * (word → piece count) table by word — the identical
+    * encode-the-vocab-then-join shape production tokenizer pipelines use.
+    * At 100 TB the vocab table passes the broadcast gate or falls back to
+    * one word-keyed SMJ; the corpus side is one explode + one aggregate.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir, nMerges).orderBy("step")
+      .as[(Long, String, String, Long)].collect()
+    val vocab0 = spread(spark, documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"), concat(lit(" "),
+        when(length(col("word")) >= 2,
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "))
+          .otherwise(col("word")), lit(" ")).as("sym"))
+    val encoded = merges.foldLeft(vocab0) { case (df, (_, a, b, _)) =>
+      val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
+      df.withColumn("sym", replace(replace(col("sym"), pat, rep), pat, rep))
+    }.select(col("word"),
+      size(split(trim(col("sym")), " ")).cast("long").as("np"))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(graft.operators.Scale.maybeBroadcast(encoded), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+          .as("pieces_per_word"))
   }
 }

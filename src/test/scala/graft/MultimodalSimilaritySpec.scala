@@ -235,4 +235,41 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     assert(got.length * 5 >= all.size * 3,
       s"cell blocking kept ${got.length} of ${all.size} true pairs — quantizer too lossy")
   }
+
+  test("filtered ANN: exact top-k of the eligible subset, predicate pushed to the scan") {
+    val d = "/root/testdata/sf0.001"
+    val got = Similarity.filteredTopK(spark, d)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    // driver-side reference: cosine over the label>=5 subset only
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val eligible = vecs.filter(_._3 >= 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, qe, _) =>
+      eligible.filter(_._1 != qid)
+        .map { case (nid, ne, _) => (qid, nid, cos(qe, ne)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, c), i) => (q, n, (i + 1).toLong, c) }
+    }.toSet
+    assert(got.toSet == expected, "filtered top-k diverges from the subset reference")
+    // pre-filter matters: post-filtering the UNFILTERED top-k must differ
+    // for at least one query (ineligible vectors dominate some top-5)
+    val post = Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, nid) => eligible.exists(_._1 == nid) }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet != post,
+      "fixture degenerate: post-filtering equals pre-filtering everywhere")
+    // the label predicate reaches the parquet scan
+    val plan = Similarity.filteredTopK(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(label,5"),
+      s"label predicate not pushed to the scan:\n$plan")
+  }
 }

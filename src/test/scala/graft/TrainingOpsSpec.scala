@@ -926,4 +926,76 @@ class TrainingOpsSpec extends SparkSpecBase {
       .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got == want)
   }
+
+  test("BPE encode: per-doc piece counts replay the merge table word by word") {
+    val merges = TextPipeline.bpeTrain(spark, dir, 8)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+    def encode(word: String): Long = {
+      var sym = " " + (if (word.length >= 2) word.toCharArray.mkString(" ") else word) + " "
+      merges.foreach { case (_, a, b, _) =>
+        val (pat, rep) = (s" $a $b ", s" $a$b ")
+        sym = sym.replace(pat, rep).replace(pat, rep)
+      }
+      sym.trim.split(" ").length.toLong
+    }
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val got = TextPipeline.bpeEncode(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == docs.count(d => toks(d._2).nonEmpty))
+    docs.filter(d => toks(d._2).nonEmpty).foreach { case (id, text) =>
+      val ws = toks(text)
+      val np = ws.map(encode).sum
+      val (gid, gw, gp, ratio) = got(id)
+      assert(gw == ws.length && gp == np,
+        s"doc $id: got ($gw words, $gp pieces), replay (${ws.length}, $np)")
+      // merges genuinely compress: pieces strictly below char count somewhere
+      assert(ratio == BigDecimal(np.toDouble / ws.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the trained merges compress the corpus: total pieces < total chars
+    val totalChars = docs.flatMap(d => toks(d._2)).map(_.length.toLong).sum
+    assert(got.values.map(_._3).sum < totalChars, "8 merges produced zero compression")
+  }
+
+  test("DSIR Gumbel selection: exact top-⌈pN/1000⌉ of the deterministic noisy keys") {
+    val weights = TextPipeline.dsirWeight(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // recompute the deterministic Gumbel key per doc
+    def gkey(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$id".getBytes("UTF-8"))
+      val h = md.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val u = (h + 0.5) / 4294967296.0
+      BigDecimal(w - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val n = weights.size
+    val k = (n * 250 + 999) / 1000
+    val want = weights.toSeq.map { case (id, w) => (id, w, gkey(id, w)) }
+      .sortBy { case (id, _, g) => (-g, id) }.take(k).zipWithIndex
+      .map { case ((id, w, g), i) => (id, w, g, i + 1L) }.toSet
+    val got = TextPipeline.dsirSample(spark, dir)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(got.size == k, s"selection must be exactly ⌈N/4⌉ = $k rows, got ${got.size}")
+    assert(got == want, s"only-in-got=${got -- want}\nonly-in-want=${want -- got}")
+  }
+
+  test("dup-size histogram: planted multiplicities recovered, totals reconcile") {
+    val df = Seq(
+      (1L, "same text"), (2L, "Same   TEXT"), (3L, " same text "), // 3 normalize equal
+      (4L, "other doc"), (5L, "other doc"),                        // pair
+      (6L, "unique one"))
+      .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("duphist").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hist = Dedup.dupSizeHistogram(spark, tmp)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hist == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 1L, 1L)), hist.toString)
+    // and on the real corpus the doc totals reconcile with the group table
+    val real = Dedup.dupSizeHistogram(spark, dir).as[(Long, Long, Long)].collect()
+    assert(real.map(_._3).sum == graft.Tables.documents(spark, dir).count())
+    assert(real.forall { case (sz, groups, docs) => sz * groups == docs })
+  }
 }
