@@ -168,6 +168,8 @@ object SparkEntry {
     // layout / table management (operators.Layout)
     "profile_columns"      -> ((s, d) => graft.operators.Layout.profileColumns(s, d)),
     "layout_zorder"        -> ((s, d) => graft.operators.Layout.zorderKey(s, d)),
+    "layout_bucketed_join" -> ((s, d) => graft.operators.Layout.bucketedJoin(s, d)),
+    "graph_pagerank"       -> ((s, d) => graft.pipeline.Graph.pageRank(s, d)),
     // hot-key exact distinct (operators.Scale.saltedDistinctCount)
     "skew_salted_distinct" -> ((s, d) => Scale.saltedDistinctCount(
                                  graft.Tables.events(s, d), "event_type", "user_id",
@@ -1556,6 +1558,34 @@ WHERE rnk <= 40""",
 CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
 CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem""")
         .mkString("\nUNION ALL\n"),
+
+    "graph_pagerank" -> {
+      // integer micro-unit pipeline (see Graph.pageRank): HALF_UP integer
+      // division (2·num + den) DIV (2·den) at every step, bit-exact both engines
+      val iters = (1 to 3).map { k =>
+        val (prev, cur) = (s"pr${k - 1}", s"pr$k")
+        s"""c$k AS (SELECT dst, SUM((2 * pr_u + od) // (2 * od)) AS su
+  FROM edges JOIN outdeg USING (src) JOIN $prev ON node = src GROUP BY dst),
+$cur AS (SELECT node, (2 * (15 * 1000000 + 85 * n * COALESCE(su, 0)) + 100 * n) // (200 * n) AS pr_u
+  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON dst = node)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+  UNION ALL SELECT 's' || s AS src, 'c' || c AS dst FROM pairs),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (SELECT node, (2 * 1000000 + n) // (2 * n) AS pr_u FROM nodes CROSS JOIN nn),
+$iters
+SELECT node, CAST(pr_u AS DOUBLE) / 1000000.0 AS pagerank FROM pr3"""
+    },
+
+    "layout_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS line_ct,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
 
     "layout_zorder" -> {
       val z = (0 until 16).flatMap(i => Seq(

@@ -105,6 +105,48 @@ object Layout {
     * the Z-value, ready for a stats-pruning parquet write. Returned (not
     * written) so callers choose the sink.
     */
+  /** Bucketed-table co-located join — the layout that removes the shuffle
+    * from a repeated big-fact join entirely. Both sides are written ONCE as
+    * bucketed tables (`bucketBy(n, key)`, one file per bucket via an
+    * aligned pre-repartition, in-bucket `sortBy`); every subsequent join on
+    * the bucket key reads partitioning-aligned scans and plans a
+    * SortMergeJoin with NO Exchange on either side — the only shuffle left
+    * in the query is the final small aggregate. This is THE production
+    * answer for a fact-to-fact join executed nightly at 100 TB: pay the
+    * layout write once, never pay the join shuffle again. The `merge` hint
+    * pins SMJ so the demonstration doesn't silently degrade to a broadcast
+    * at toy scale; at real scale SMJ is what Catalyst picks anyway.
+    *
+    * Tables are (re)written once per session per (dir, nBuckets) — marker
+    * conf, same idiom as `Serving.registerViews`.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String, nBuckets: Int = 8): DataFrame = {
+    val marker = s"$dir@$nBuckets"
+    if (!spark.conf.getOption("graft.layout.bucketedDir").contains(marker)) {
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      Tables.orders(spark, dir)
+        .repartition(nBuckets, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt_orders")
+      Tables.lineitem(spark, dir)
+        .repartition(nBuckets, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$base/lineitem")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt_lineitem")
+      spark.conf.set("graft.layout.bucketedDir", marker)
+    }
+    val o = spark.table("graft_bkt_orders").select("o_orderkey", "o_orderpriority")
+    val l = spark.table("graft_bkt_lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+  }
+
   def zorderLayout(df: DataFrame, dimA: String, dimB: String,
                    buckets: Int = 32): DataFrame = {
     val keyed = df.withColumn("__z", zInterleave(col(dimA), col(dimB)))

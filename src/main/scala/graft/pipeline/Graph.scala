@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Graph analytics over relationship structures mined from the warehouse —
+  * the iterative-computation family (connected components lives in
+  * `Dedup.clusterLabels`; this adds weighted-importance propagation).
+  *
+  * No reference twin (bigdataBC/FlinkProject has no graph jobs); standard
+  * corpus/warehouse tooling at scale — entity importance over transaction
+  * or citation networks is the canonical "many small iterations over one
+  * big edge table" workload, and its Spark rendering is the template for
+  * any fixed-point computation the engine hosts.
+  */
+object Graph {
+
+  /** PageRank over the customer↔supplier transaction graph: nodes are the
+    * trading entities, with a directed edge each way for every (customer,
+    * supplier) pair connected by an order line (symmetric by construction,
+    * so no dangling-mass correction is needed). `iters` damped iterations
+    * (d = 0.85) from a uniform start.
+    *
+    * Scale shape: the edge list (+ out-degrees) is built in one
+    * distinct/agg pass and CHECKPOINTED — iterations reuse the
+    * materialized table and truncate lineage every round (the
+    * `clusterLabels` discipline, = persisted intermediates at cluster
+    * scale). Each iteration is exactly one src-keyed join of the rank
+    * vector to the edges and one dst-keyed aggregate — both map-side
+    * combinable, both O(|E|) — so K iterations cost K small jobs, never a
+    * growing plan.
+    *
+    * Numeric policy: the rank vector lives in INTEGER MICRO-UNITS
+    * (pr·10⁶ as BIGINT). Every per-iteration update is exact integer
+    * arithmetic — contribution `pr_u/od` and the damped update
+    * `((100−p)·10⁶ + p·n·Σ)/(100·n)` both as HALF_UP integer divisions
+    * `(2·num + den) DIV (2·den)` — so the aggregation is
+    * order-independent and engine/oracle agree bit-for-bit at every
+    * iteration. A double rendering diverged on exact half-boundary
+    * micro-units (pr/outdeg with even degrees lands on .5 ulps where the
+    * two engines' double rounding legally disagrees); integers cannot.
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
+               dampingPct: Int = 85): DataFrame = {
+    val pairs = lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = pairs.select(concat(lit("c"), col("c")).as("src"),
+        concat(lit("s"), col("s")).as("dst"))
+      .union(pairs.select(concat(lit("s"), col("s")).as("src"),
+        concat(lit("c"), col("c")).as("dst")))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edgesD = edges.join(outdeg, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    val p = dampingPct
+    var pr = nodes.select(col("node"),
+        lit((2L * 1000000L + n) / (2L * n)).as("pr_u")) // HALF_UP(10⁶/n)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edgesD
+        .join(pr, edgesD("src") === pr("node"))
+        .select(col("dst"), expr("(2 * pr_u + od) DIV (2 * od)").as("contrib_u"))
+        .groupBy(col("dst")).agg(sum(col("contrib_u")).as("su"))
+      pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          expr(s"(2 * ((100 - $p) * 1000000 + $p * $n * coalesce(su, 0)) + 100 * $n) " +
+            s"DIV (200 * $n)").as("pr_u"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), (col("pr_u").cast("double") / 1e6).as("pagerank"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.pipeline.Graph
+
+/** PageRank over the customer↔supplier transaction graph. */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pagerank: integer micro-unit iterations replay driver-side; mass conserved") {
+    val d = sf("lineitem")
+    val got = Graph.pageRank(spark, d)
+      .as[(String, Double)].collect().toMap
+
+    // rebuild the graph and replay 3 iterations with the same integer ops
+    val pairs = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq((s"c$c", s"s$s"), (s"s$s", s"c$c")) }
+    val od = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = edges.map(_._1).distinct
+    val n = nodes.length.toLong
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    var pr = nodes.map(_ -> halfUp(1000000L, n)).toMap
+    for (_ <- 1 to 3) {
+      val su = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (src, dst) =>
+        su(dst) = su.getOrElse(dst, 0L) + halfUp(pr(src), od(src)) }
+      pr = nodes.map(nd => nd ->
+        halfUp(15L * 1000000L + 85L * n * su.getOrElse(nd, 0L), 100L * n)).toMap
+    }
+    val want = pr.view.mapValues(_.toDouble / 1e6).toMap
+    assert(got.size == n)
+    assert(got == want,
+      s"diverging nodes: ${got.filter { case (k, v) => want(k) != v }.take(5)}")
+
+    // damped-walk invariants: positive everywhere, mass ≈ 1 (6dp rounding
+    // drift only), and the floor (1−d)/n is respected
+    assert(got.values.forall(_ > 0))
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass drifted: $mass")
+    val floor = 0.15 / n
+    assert(got.values.forall(_ >= floor - 1e-6))
+    // high-degree entities outrank the minimum-degree floor dwellers
+    val maxDeg = od.maxBy(_._2)._1
+    assert(got(maxDeg) > got.values.min)
+  }
+}

@@ -105,6 +105,35 @@ class LayoutSpec extends SparkSpecBase {
     assert(kept < total / 2, s"bloom kept $kept of $total — not pruning")
   }
 
+  test("bucketed join: SMJ with zero join-side exchanges, one agg exchange total") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.Layout.bucketedJoin(spark, d)
+    df.collect()
+    // AQE's toString appends the Initial Plan after the Final one — scope
+    // the exchange count to the plan that actually ran
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), s"bucketed join lost SMJ:\n$plan")
+    // the ONLY exchange is the final priority aggregate — the join itself
+    // reads partitioning-aligned bucketed scans
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"bucketed join must be shuffle-free up to the final agg:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"scans not bucketed:\n$plan")
+    // results equal the plain parquet join (bucketing is layout, not semantics)
+    val want = graft.Tables.lineitem(spark, d)
+      .join(graft.Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_ct"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(df.as[(String, Long, Double)].collect().toSet == want)
+    // second call reuses the session's tables (write-once marker)
+    val marker = spark.conf.getOption("graft.layout.bucketedDir")
+    graft.operators.Layout.bucketedJoin(spark, d).collect()
+    assert(spark.conf.getOption("graft.layout.bucketedDir") == marker)
+  }
+
   test("saltedDistinctCount is exact, including on a single hot key") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(5000)(("hot", rnd.nextInt(700).toLong)) ++
