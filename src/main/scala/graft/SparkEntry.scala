@@ -169,6 +169,8 @@ object SparkEntry {
     "profile_columns"      -> ((s, d) => graft.operators.Layout.profileColumns(s, d)),
     "layout_zorder"        -> ((s, d) => graft.operators.Layout.zorderKey(s, d)),
     "layout_bucketed_join" -> ((s, d) => graft.operators.Layout.bucketedJoin(s, d)),
+    "layout_partitioned"   -> ((s, d) => graft.operators.Layout.partitionPrunedMonth(s, d)),
+    "text_topngram_frac"   -> ((s, d) => T.topNgramCoverage(s, d)),
     "graph_pagerank"       -> ((s, d) => graft.pipeline.Graph.pageRank(s, d)),
     // hot-key exact distinct (operators.Scale.saltedDistinctCount)
     "skew_salted_distinct" -> ((s, d) => Scale.saltedDistinctCount(
@@ -1580,6 +1582,32 @@ pr0 AS (SELECT node, (2 * 1000000 + n) // (2 * n) AS pr_u FROM nodes CROSS JOIN 
 $iters
 SELECT node, CAST(pr_u AS DOUBLE) / 1000000.0 AS pagerank FROM pr3"""
     },
+
+    "layout_partitioned" ->
+      s"""SELECT l_returnflag, COUNT(*) AS line_ct,
+CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
+FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1997-03'
+GROUP BY l_returnflag""",
+
+    "text_topngram_frac" ->
+      s"""WITH base AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE len($TOKS) >= 2),
+b2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM base),
+g AS (
+  SELECT doc_id, n_tokens, 2 AS n, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+    FROM b2, unnest(range(1, len(toks))) s(i)
+  UNION ALL
+  SELECT doc_id, n_tokens, 3 AS n, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+    FROM b2, unnest(range(1, len(toks) - 1)) s(i) WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, n_tokens, 4 AS n, array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+    FROM b2, unnest(range(1, len(toks) - 2)) s(i) WHERE len(toks) >= 4),
+ct AS (SELECT doc_id, n_tokens, n, gram, COUNT(*) AS ct FROM g GROUP BY 1, 2, 3, 4),
+mx AS (SELECT doc_id, n_tokens, n, MAX(ct) AS maxct FROM ct GROUP BY 1, 2, 3)
+SELECT doc_id, n_tokens,
+round(CAST(2 * COALESCE(MAX(CASE WHEN n = 2 THEN maxct END), 0) AS DOUBLE) / n_tokens, 6) AS top2_frac,
+round(CAST(3 * COALESCE(MAX(CASE WHEN n = 3 THEN maxct END), 0) AS DOUBLE) / n_tokens, 6) AS top3_frac,
+round(CAST(4 * COALESCE(MAX(CASE WHEN n = 4 THEN maxct END), 0) AS DOUBLE) / n_tokens, 6) AS top4_frac
+FROM mx GROUP BY doc_id, n_tokens""",
 
     "layout_bucketed_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS line_ct,

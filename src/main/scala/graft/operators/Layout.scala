@@ -147,6 +147,37 @@ object Layout {
           .cast("double").as("revenue"))
   }
 
+  /** Partition-pruned layout — the third leg of the layout family
+    * (directory pruning), next to Z-order (file-stats pruning) and
+    * bucketing (shuffle elimination): lineitem rewritten ONCE partitioned
+    * by ship month (`partitionBy`), so a month-predicate query reads ONE
+    * directory and the scan's `PartitionFilters` prove it (spec-asserted
+    * `PartitionCount: 1`). At 100 TB this is the difference between
+    * scanning a month and scanning seven years; the partition column is
+    * derived (yyyy-MM), the standard date-partitioning of every fact
+    * table in a lake. Write-once session marker, same idiom as
+    * `bucketedJoin`.
+    */
+  def partitionPrunedMonth(spark: SparkSession, dir: String,
+                           month: String = "1997-03"): DataFrame = {
+    val marker = s"$dir@month"
+    if (!spark.conf.getOption("graft.layout.partitionedDir").map(_.split('#')(0))
+         .contains(marker)) {
+      val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(s"$base/lineitem")
+      spark.conf.set("graft.layout.partitionedDir", s"$marker#$base")
+    }
+    val base = spark.conf.get("graft.layout.partitionedDir").split('#')(1)
+    spark.read.parquet(s"$base/lineitem")
+      .filter(col("ship_month") === month)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
   def zorderLayout(df: DataFrame, dimA: String, dimB: String,
                    buckets: Int = 32): DataFrame = {
     val keyed = df.withColumn("__z", zInterleave(col(dimA), col(dimB)))

@@ -56,6 +56,48 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Gopher top n-gram coverage: per doc, the fraction of tokens covered
+    * by the single MOST FREQUENT 2-/3-/4-gram (`maxct·n / n_tokens`) —
+    * the companion to `repetitionScore`'s duplicate-fraction: dup_frac
+    * says "many grams repeat", top-coverage says "ONE gram dominates"
+    * (chant-style degeneration, templated listings). Docs need ≥2 tokens.
+    *
+    * Shape at scale: one tokenize pass (checkpointed) feeds three gram
+    * explodes unioned into a single (doc, n, gram)-keyed count with
+    * map-side partials; the per-(doc, n) max and the 3-way pivot operate
+    * on one row per distinct gram and three rows per doc respectively.
+    * Tie-break-free by construction — only the max COUNT is reported,
+    * never which gram achieved it.
+    */
+  def topNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val base = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+      .localCheckpoint() // three explodes read one materialized tokenize
+    val grams = Seq(2, 3, 4).map { n =>
+      base.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("n_tokens"), lit(n).as("n"),
+          explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+            .as("gram"))
+    }.reduce(_ unionByName _)
+    grams.groupBy(col("doc_id"), col("n_tokens"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n"))
+      .agg(max(col("ct")).as("maxct"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .pivot("n", Seq(2, 3, 4))
+      .agg(first(col("maxct")))
+      .select(col("doc_id"), col("n_tokens"),
+        round((lit(2) * coalesce(col("2"), lit(0L))).cast("double") / col("n_tokens"), 6)
+          .as("top2_frac"),
+        round((lit(3) * coalesce(col("3"), lit(0L))).cast("double") / col("n_tokens"), 6)
+          .as("top3_frac"),
+        round((lit(4) * coalesce(col("4"), lit(0L))).cast("double") / col("n_tokens"), 6)
+          .as("top4_frac"))
+  }
+
   /** Repetition filter (Gopher-style): per-doc duplicate-bigram fraction —
     * boilerplate and degenerate generations repeat n-grams, clean prose
     * doesn't. `dup_frac = 1 - distinct/total` over adjacent-token bigrams.

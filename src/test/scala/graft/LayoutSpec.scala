@@ -134,6 +134,38 @@ class LayoutSpec extends SparkSpecBase {
     assert(spark.conf.getOption("graft.layout.bucketedDir") == marker)
   }
 
+  test("partitioned layout: month predicate prunes to one directory") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.Layout.partitionPrunedMonth(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters") && plan.contains("ship_month#"),
+      s"month predicate not a partition filter:\n$plan")
+    // the written layout has many month dirs, exactly one matching — and
+    // that single directory holds exactly the rows the query aggregates,
+    // so the PartitionFilters above read one directory of dozens
+    val base = spark.conf.get("graft.layout.partitionedDir").split('#')(1)
+    val dirs = new java.io.File(s"$base/lineitem").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_ == "ship_month=1997-03") == 1 && dirs.length > 10, dirs.mkString(","))
+    val prunedRows = spark.read.parquet(s"$base/lineitem/ship_month=1997-03").count()
+    val aggRows = df.as[(String, Long, Double)].collect().map(_._2).sum
+    assert(aggRows == prunedRows,
+      s"month dir holds $prunedRows rows but the query counted $aggRows")
+    // layout must not change semantics
+    val want = graft.Tables.lineitem(spark, d)
+      .filter(date_format($"l_shipdate", "yyyy-MM") === "1997-03")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("line_ct"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(df.as[(String, Long, Double)].collect().toSet == want)
+    // second call reuses the written layout
+    val marker = spark.conf.getOption("graft.layout.partitionedDir")
+    graft.operators.Layout.partitionPrunedMonth(spark, d).collect()
+    assert(spark.conf.getOption("graft.layout.partitionedDir") == marker)
+  }
+
   test("saltedDistinctCount is exact, including on a single hot key") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(5000)(("hot", rnd.nextInt(700).toLong)) ++

@@ -927,6 +927,37 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("top n-gram coverage: planted chant dominates; driver recount agrees") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),          // one bigram dominates
+      (2L, "the quick brown fox jumps over the dog"),   // prose: low coverage
+      (3L, "a b a b c a b a b c a b a b c"))            // period-5 chant
+      .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("topng").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.topNgramCoverage(spark, tmp)
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def recount(text: String, n: Int): (Long, Long) = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      (t.length.toLong, if (grams.isEmpty) 0L else grams.groupBy(identity).values.map(_.size).max.toLong)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((1L, "buy now buy now buy now buy now"),
+        (2L, "the quick brown fox jumps over the dog"),
+        (3L, "a b a b c a b a b c a b a b c")).foreach { case (id, text) =>
+      val (nt, m2) = recount(text, 2)
+      val (_, m3) = recount(text, 3)
+      val (_, m4) = recount(text, 4)
+      val (_, gnt, g2, g3, g4) = got(id)
+      assert(gnt == nt)
+      assert(g2 == r6(2.0 * m2 / nt) && g3 == r6(3.0 * m3 / nt) && g4 == r6(4.0 * m4 / nt),
+        s"doc $id: got ($g2,$g3,$g4) want (${r6(2.0 * m2 / nt)},${r6(3.0 * m3 / nt)},${r6(4.0 * m4 / nt)})")
+    }
+    // the chant docs dominate prose on 2-gram coverage
+    assert(got(1L)._3 > got(2L)._3 && got(3L)._3 > got(2L)._3)
+  }
+
   test("BPE encode: per-doc piece counts replay the merge table word by word") {
     val merges = TextPipeline.bpeTrain(spark, dir, 8)
       .orderBy("step").as[(Long, String, String, Long)].collect()
