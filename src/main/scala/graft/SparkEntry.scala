@@ -34,6 +34,8 @@ object SparkEntry {
     "q17_small_qty"        -> ((s, d) => R.q17SmallQty(s, d)),
     "q18_large_orders"     -> ((s, d) => R.q18LargeOrders(s, d)),
     "q22_idle_balance"     -> ((s, d) => R.q22IdleBalance(s, d)),
+    "j9_interval_left"     -> ((s, d) => R.j9IntervalLeftJoin(s, d)),
+    "a19_user_zscore"      -> ((s, d) => R.a19UserZscore(s, d)),
     // joins (SURVEY §2.4)
     "j1_interval_join"     -> ((s, d) => R.j1IntervalJoin(s, d)),
     "j2_interval_join_asym"-> ((s, d) => R.j2IntervalJoinAsym(s, d)),
@@ -484,6 +486,24 @@ AND NOT EXISTS (
   SELECT 1 FROM orders
   WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01')
 GROUP BY c_nationkey""",
+
+    "j9_interval_left" ->
+      s"""SELECT o_orderkey, o_orderdate, l_linenumber, l_shipdate,
+CASE WHEN l_linenumber IS NULL THEN 0 ELSE 1 END AS matched
+FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""",
+
+    "a19_user_zscore" ->
+      s"""WITH p AS (SELECT event_id, user_id, ${DEC("value")} AS v
+  FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id AS m_uid, COUNT(*) AS cnt, SUM(v) AS sv, SUM(v * v) AS svv
+  FROM p GROUP BY user_id)
+SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,
+CASE WHEN cnt >= 2 AND (CAST(svv AS DOUBLE) / cnt - (CAST(sv AS DOUBLE) / cnt) * (CAST(sv AS DOUBLE) / cnt)) > 0
+  THEN round((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / cnt) /
+    sqrt(CAST(svv AS DOUBLE) / cnt - (CAST(sv AS DOUBLE) / cnt) * (CAST(sv AS DOUBLE) / cnt)), 6)
+  ELSE 0.0 END AS zscore
+FROM p JOIN s ON user_id = m_uid""",
 
     "j1_interval_join" ->
       s"""SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate,

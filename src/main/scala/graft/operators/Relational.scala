@@ -120,6 +120,53 @@ object Relational {
         dec(col("pay_amount")).cast("double").as("pay_amount"))
   }
 
+  /** J9 (beyond-reference): LEFT OUTER interval join — J1's bounds with
+    * preserved unmatched left rows (the "orders that never shipped a line
+    * in-window" audit). Same SMJ-with-residual batch plan as J1 plus null
+    * padding; the streaming twin is the watermark-bounded stream-stream
+    * left outer join (`StreamOps.j1IntervalJoin(joinType = "left_outer")`),
+    * where unmatched rows emit once the watermark passes their window —
+    * state stays bounded by the same eviction inner joins get.
+    */
+  def j9IntervalLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val l = lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_shipdate")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left")
+      .select(col("o_orderkey"), col("o_orderdate"), col("l_linenumber"),
+        col("l_shipdate"),
+        when(col("l_linenumber").isNull, 0L).otherwise(1L).as("matched"))
+  }
+
+  /** A19 (beyond-reference): per-user purchase z-score — the batch anomaly
+    * baseline (which purchases sit far outside the user's own
+    * distribution). Moments are EXACT decimal sums (count, Σv, Σv²) from
+    * one user-keyed aggregate, joined back to the purchase rows; only the
+    * final mean/variance/sqrt run in double, in the identical expression
+    * order as the oracle. Degenerate users (one purchase, zero variance)
+    * score 0 rather than NaN. The streaming twin keeps the same three
+    * moments as per-user running state (`StreamOps.a19UserMoments`) — the
+    * mergeable-statistics property is what makes the baseline liveable.
+    */
+  def a19UserZscore(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), dec(col("value")).as("v"))
+    val moments = p.groupBy(col("user_id").as("m_uid"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+    val m = col("sv").cast("double") / col("cnt")
+    val msq = col("svv").cast("double") / col("cnt")
+    val variance = msq - m * m
+    p.join(moments, col("user_id") === col("m_uid"))
+      .select(col("event_id"), col("user_id"), col("v").cast("double").as("value"),
+        when(col("cnt") >= 2 && variance > 0,
+          round((col("v").cast("double") - m) / sqrt(variance), 6))
+          .otherwise(0.0).as("zscore"))
+  }
+
   /** A8 (beyond-reference): exact interpolated percentiles of order value
     * per event type — the analytics staple (`percentile` is exact, unlike
     * `approx_percentile`, so it hash-matches DuckDB's `quantile_cont`).

@@ -530,11 +530,27 @@ object StreamOps {
     */
   def j1IntervalJoin(left: DataFrame, right: DataFrame,
                      lowerBound: String = "5 seconds",
-                     upperBound: String = "5 seconds"): DataFrame = {
+                     upperBound: String = "5 seconds",
+                     joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("l_ts", "10 seconds")
     val r = right.withWatermark("r_ts", "10 seconds")
     l.join(r,
       expr(s"""l_key = r_key AND
-               r_ts BETWEEN l_ts - INTERVAL $lowerBound AND l_ts + INTERVAL $upperBound"""))
+               r_ts BETWEEN l_ts - INTERVAL $lowerBound AND l_ts + INTERVAL $upperBound"""),
+      joinType)
   }
+
+  /** A19 streaming twin: per-user running purchase moments (count, Σv, Σv²
+    * as exact decimals) in update mode — the live anomaly baseline.
+    * Mergeable by construction (micro-batch partials combine per key), so
+    * the state after the last batch equals the batch aggregate and any
+    * scorer can derive mean/σ from the three numbers without replaying
+    * history.
+    */
+  def a19UserMoments(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
 }

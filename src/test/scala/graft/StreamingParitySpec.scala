@@ -531,4 +531,60 @@ class StreamingParitySpec extends SparkSpecBase {
     val got = spark.table(name).filter(col("l_key") > 0).collect().map(_.toSeq).toSet
     assert(got == batch)
   }
+
+  test("J9 parity: stream-stream LEFT OUTER interval join emits unmatched after watermark") {
+    val ls = Seq(
+      LSide(1, ts("2024-01-01 00:00:10")),  // matched
+      LSide(2, ts("2024-01-01 00:00:20")),  // right event out of window → null
+      LSide(3, ts("2024-01-01 00:00:30")))  // no right key at all → null
+    val rs = Seq(
+      RSide(1, ts("2024-01-01 00:00:12")),
+      RSide(2, ts("2024-01-01 00:00:40"))) // +20s: outside ±5s
+    val batch = ls.toDF().join(rs.toDF(),
+        expr("l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL 5 seconds AND l_ts + INTERVAL 5 seconds"),
+        "left")
+      .select("l_key", "r_ts").collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[LSide]
+    val rIn = MemoryStream[RSide]
+    val joined = StreamOps.j1IntervalJoin(lIn.toDF(), rIn.toDF(), joinType = "left_outer")
+    val name = s"j9sink${System.nanoTime()}"
+    val q = joined.select("l_key", "r_ts").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      lIn.addData(ls); rIn.addData(rs); q.processAllAvailable()
+      // watermark must pass the join windows before null rows may emit
+      lIn.addData(LSide(-9, ts("2024-01-02 00:00:00")))
+      rIn.addData(RSide(-9, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      lIn.addData(LSide(-8, ts("2024-01-03 00:00:00")))
+      rIn.addData(RSide(-8, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter(col("l_key") > 0).collect().map(_.toSeq).toSet
+    assert(got == batch, s"got=$got\nbatch=$batch")
+    // the unmatched rows really are the null-padded ones
+    assert(got.count(_(1) == null) == 2)
+  }
+
+  test("A19 parity: streaming running moments finish at the batch aggregate") {
+    val purchases = Seq(
+      Event(1, ts("2024-01-01 00:00:01"), 1, "purchase", 10.0),
+      Event(2, ts("2024-01-01 00:00:02"), 1, "purchase", 30.0),
+      Event(3, ts("2024-01-01 00:00:03"), 2, "purchase", 5.5),
+      Event(4, ts("2024-01-01 00:00:04"), 1, "view", 99.0),  // ignored
+      Event(5, ts("2024-01-01 00:00:05"), 2, "purchase", 7.25))
+    val batch = StreamOps.a19UserMoments(purchases.toDF())
+      .select(col("user_id"), col("cnt"), col("sv").cast("string"), col("svv").cast("string"))
+      .collect().map(_.toSeq).toSet
+    // update-mode stream: per-user LAST emitted row is the final state
+    val rows = runStream(Seq(purchases.take(3), purchases.drop(3)), "update") { df =>
+      StreamOps.a19UserMoments(df)
+        .select(col("user_id"), col("cnt"), col("sv").cast("string"), col("svv").cast("string"))
+    }
+    val finalPerUser = rows.zipWithIndex
+      .groupBy(_._1.getLong(0)).map { case (_, rs) => rs.maxBy(_._2)._1.toSeq }.toSet
+    assert(finalPerUser == batch, s"stream=$finalPerUser\nbatch=$batch")
+  }
 }
