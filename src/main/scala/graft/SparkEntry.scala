@@ -158,6 +158,7 @@ object SparkEntry {
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    "retrieval_rerank"     -> ((s, d) => Retrieval.rerankTopK(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
@@ -259,6 +260,22 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
     * DuckDB's decimal literal arithmetic can't diverge from Spark's
     * double plan at a 6dp rounding edge.
     */
+  /** Hybrid dense+sparse fused candidate list (CTE chain ending at `hf`) —
+    * shared by `retrieval_hybrid_rrf` and the rerank stage built on it.
+    */
+  private lazy val OracleHybridFused =
+    s"""$embNorms,
+hq AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+hc AS (SELECT query_id, a.vec_id AS doc_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
+FROM n a CROSS JOIN hq WHERE a.vec_id <> query_id),
+hd AS (SELECT query_id, doc_id, rd FROM (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rd FROM hc) WHERE rd <= 20),
+$OracleBm25Ranked,
+hs AS (SELECT query_id, doc_id, rnk AS rs FROM bmr WHERE rnk <= 20),
+hf AS (SELECT coalesce(hd.query_id, hs.query_id) AS query_id, coalesce(hd.doc_id, hs.doc_id) AS doc_id,
+  round(coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE), 6) AS rrf
+  FROM hd FULL OUTER JOIN hs ON hd.query_id = hs.query_id AND hd.doc_id = hs.doc_id)"""
+
   private lazy val OracleBm25Ranked =
     s"""bt AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
 btf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM bt GROUP BY doc_id, tok),
@@ -1478,19 +1495,22 @@ SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, bm25 FROM bmr WHERE rnk <= 
     // dense leg = brute cosine top-20 (vec_id ≡ doc_id), sparse leg =
     // BM25 top-20, fused by reciprocal-rank with c = 60
     "retrieval_hybrid_rrf" ->
-      s"""WITH $embNorms,
-hq AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
-hc AS (SELECT query_id, a.vec_id AS doc_id, ${cosSql("qe", "a.emb", "qn", "a.nrm")} AS cos
-FROM n a CROSS JOIN hq WHERE a.vec_id <> query_id),
-hd AS (SELECT query_id, doc_id, rd FROM (
-  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rd FROM hc) WHERE rd <= 20),
-$OracleBm25Ranked,
-hs AS (SELECT query_id, doc_id, rnk AS rs FROM bmr WHERE rnk <= 20),
-hf AS (SELECT coalesce(hd.query_id, hs.query_id) AS query_id, coalesce(hd.doc_id, hs.doc_id) AS doc_id,
-  round(coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE), 6) AS rrf
-  FROM hd FULL OUTER JOIN hs ON hd.query_id = hs.query_id AND hd.doc_id = hs.doc_id)
+      s"""WITH $OracleHybridFused
 SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, rrf FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk FROM hf) WHERE rnk <= 10""",
+
+    // stage 1 = the hybrid fused top-10, stage 2 = exact embedding cosine
+    // over the candidate list only (the cross-encoder stand-in), top-5
+    "retrieval_rerank" ->
+      s"""WITH $OracleHybridFused,
+hfk AS (SELECT query_id, doc_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk FROM hf) WHERE rnk <= 10),
+rq AS (SELECT vec_id AS r_qid, emb AS rqe, nrm AS rqn FROM n),
+rd2 AS (SELECT vec_id AS r_did, emb AS rde, nrm AS rdn FROM n),
+rsc AS (SELECT query_id, doc_id, ${cosSql("rqe", "rde", "rqn", "rdn")} AS ce_score
+  FROM hfk JOIN rq ON r_qid = query_id JOIN rd2 ON r_did = doc_id)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, ce_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ce_score DESC, doc_id ASC) AS rnk FROM rsc) WHERE rnk <= 5""",
 
     "ann_brute_topk" ->
       s"""WITH $embNorms,

@@ -150,4 +150,37 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk").cast("long").as("rnk"), col("rrf"))
   }
+
+  /** Two-stage retrieve→rerank — the production RAG/search topology: a
+    * cheap recall stage (hybrid RRF top-`depth`) bounds the candidate
+    * list, then an EXPENSIVE scorer runs on candidates only, never the
+    * corpus. The reranker here is the exact embedding cosine (the
+    * deterministic stand-in for a cross-encoder — same join shape, same
+    * cost asymmetry: at 100 TB the stage-2 scorer touches
+    * nQueries·depth rows no matter how the corpus grows, which is the
+    * entire point of staging). The candidate list broadcasts into both
+    * embedding attaches; the heavy model call would sit in exactly that
+    * projection.
+    */
+  def rerankTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+                 depth: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineRFromNorms, norm}
+    val cands = hybridRrf(spark, dir, nQueries, k = depth)
+      .select(col("query_id"), col("doc_id"))
+    val e = spread(spark, embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint() // one norm pass feeds both attach legs
+    val q = e.select(col("vec_id").as("r_qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val d = e.select(col("vec_id").as("r_did"), col("embedding").as("de"), col("nrm").as("dn"))
+    val scored = broadcast(cands)
+      .join(q, col("query_id") === col("r_qid"))
+      .join(d, col("doc_id") === col("r_did"))
+      .select(col("query_id"), col("doc_id"),
+        cosineRFromNorms(col("qe"), col("de"), col("qn"), col("dn")).as("ce_score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ce_score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk").cast("long").as("rnk"), col("ce_score"))
+  }
 }

@@ -56,4 +56,32 @@ class RetrievalSpec extends SparkSpecBase {
     // at least one query actually fuses evidence from both legs
     assert(inBoth.nonEmpty && fused.exists(r => r._4 > singleMax + 1e-9))
   }
+
+  test("rerank: scores candidates only, exact cosine, stage-2 order replayed") {
+    val d = "/root/testdata/sf0.001"
+    val cands = graft.pipeline.Retrieval.hybridRrf(spark, d, k = 10)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val got = graft.pipeline.Retrieval.rerankTopK(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    // stage 2 never scores outside the stage-1 candidate list
+    assert(got.map(r => (r._1, r._2)).toSet.subsetOf(cands))
+    // rerank scores are the exact embedding cosine, and the final order is
+    // the driver re-sort of the candidate scores
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = cands.toSeq.map { case (q, dd) => (q, dd, cos(vecs(q), vecs(dd))) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, dd, c) => (-c, dd) }.take(5).zipWithIndex
+          .map { case ((q, dd, c), i) => (q, dd, (i + 1).toLong, c) }
+      }.toSet
+    assert(got.toSet == want,
+      s"only-got=${got.toSet -- want}\nonly-want=${want -- got.toSet}")
+  }
 }
