@@ -174,6 +174,7 @@ object SparkEntry {
     "layout_bucketed_join" -> ((s, d) => graft.operators.Layout.bucketedJoin(s, d)),
     "layout_partitioned"   -> ((s, d) => graft.operators.Layout.partitionPrunedMonth(s, d)),
     "text_topngram_frac"   -> ((s, d) => T.topNgramCoverage(s, d)),
+    "text_keyphrases"      -> ((s, d) => T.rakeKeyphrases(s, d)),
     "graph_pagerank"       -> ((s, d) => graft.pipeline.Graph.pageRank(s, d)),
     // hot-key exact distinct (operators.Scale.saltedDistinctCount)
     "skew_salted_distinct" -> ((s, d) => Scale.saltedDistinctCount(
@@ -1608,7 +1609,7 @@ CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM li
         val (prev, cur) = (s"pr${k - 1}", s"pr$k")
         s"""c$k AS (SELECT dst, SUM((2 * pr_u + od) // (2 * od)) AS su
   FROM edges JOIN outdeg USING (src) JOIN $prev ON node = src GROUP BY dst),
-$cur AS (SELECT node, (2 * (15 * 1000000 + 85 * n * COALESCE(su, 0)) + 100 * n) // (200 * n) AS pr_u
+$cur AS (SELECT node, (2 * 150000000000 + n) // (2 * n) + (2 * 85 * COALESCE(su, 0) + 100) // 200 AS pr_u
   FROM nodes CROSS JOIN nn LEFT JOIN c$k ON dst = node)"""
       }.mkString(",\n")
       s"""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -1618,9 +1619,9 @@ edges AS (SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
 outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-pr0 AS (SELECT node, (2 * 1000000 + n) // (2 * n) AS pr_u FROM nodes CROSS JOIN nn),
+pr0 AS (SELECT node, (2 * 1000000000000 + n) // (2 * n) AS pr_u FROM nodes CROSS JOIN nn),
 $iters
-SELECT node, CAST(pr_u AS DOUBLE) / 1000000.0 AS pagerank FROM pr3"""
+SELECT node, CAST(pr_u AS DOUBLE) / 1000000000000.0 AS pagerank FROM pr3"""
     },
 
     "layout_partitioned" ->
@@ -1628,6 +1629,24 @@ SELECT node, CAST(pr_u AS DOUBLE) / 1000000.0 AS pagerank FROM pr3"""
 CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
 FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1997-03'
 GROUP BY l_returnflag""",
+
+    "text_keyphrases" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+ph0 AS (SELECT doc_id, array_to_string(list_transform(toks,
+  w -> CASE WHEN w IN ('the', 'a', 'of', 'and', 'to') THEN '|' ELSE w END), ' ') AS joined FROM t),
+ph AS (SELECT doc_id, trim(p) AS phrase FROM ph0, unnest(string_split(joined, '|')) s(p)
+  WHERE trim(p) <> ''),
+w AS (SELECT doc_id, phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+  unnest(string_split(phrase, ' ')) AS word FROM ph),
+ws AS (SELECT doc_id, word,
+  CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS wscore
+  FROM w GROUP BY doc_id, word),
+dp AS (SELECT DISTINCT doc_id, phrase FROM ph),
+pw AS (SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS word FROM dp),
+ps AS (SELECT doc_id, phrase, round(CAST(SUM(wscore) AS DOUBLE), 6) AS score
+  FROM pw JOIN ws USING (doc_id, word) GROUP BY doc_id, phrase),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS rnk FROM ps)
+SELECT doc_id, phrase, CAST(rnk AS BIGINT) AS rnk, score FROM r WHERE rnk <= 3""",
 
     "text_topngram_frac" ->
       s"""WITH base AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE len($TOKS) >= 2),

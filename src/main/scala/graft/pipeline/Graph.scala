@@ -31,15 +31,23 @@ object Graph {
     * combinable, both O(|E|) — so K iterations cost K small jobs, never a
     * growing plan.
     *
-    * Numeric policy: the rank vector lives in INTEGER MICRO-UNITS
-    * (pr·10⁶ as BIGINT). Every per-iteration update is exact integer
-    * arithmetic — contribution `pr_u/od` and the damped update
-    * `((100−p)·10⁶ + p·n·Σ)/(100·n)` both as HALF_UP integer divisions
+    * Numeric policy: the rank vector lives in INTEGER PICO-UNITS
+    * (pr·10¹² as BIGINT). Every per-iteration update is exact integer
+    * arithmetic — contribution `pr_u/od` and the two damped-update terms
+    * `(100−p)·U/n` and `p·Σ/100` as HALF_UP integer divisions
     * `(2·num + den) DIV (2·den)` — so the aggregation is
     * order-independent and engine/oracle agree bit-for-bit at every
-    * iteration. A double rendering diverged on exact half-boundary
-    * micro-units (pr/outdeg with even degrees lands on .5 ulps where the
-    * two engines' double rounding legally disagrees); integers cannot.
+    * iteration. A double rendering diverged on exact half-boundary ulps
+    * (pr/outdeg with even degrees — the two engines' double rounding
+    * legally disagrees); integers cannot. Unit choice is a SCALE
+    * decision: the first micro-unit (10⁶) rendering drowned at 160k
+    * nodes (1/n ≈ 6µ ⇒ contributions rounded to 0 and total mass
+    * collapsed to 0.16 — caught by the sweep's mass gate); pico-units
+    * keep ≥6 significant digits out to ~10⁷ nodes while every
+    * intermediate (85·Σ ≤ 8.5·10¹³) stays far inside BIGINT. The damped
+    * update is evaluated as TWO rounded terms rather than one fused
+    * fraction precisely so the `p·n·Σ` product that would overflow at
+    * this resolution never forms.
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
                dampingPct: Int = 85): DataFrame = {
@@ -56,8 +64,10 @@ object Graph {
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     val n = nodes.count()
     val p = dampingPct
+    val U = 1000000000000L // pico-units
+    val teleport = (2L * (100L - p) * U / 100L + n) / (2L * n) // HALF_UP((1−d)·U/n)
     var pr = nodes.select(col("node"),
-        lit((2L * 1000000L + n) / (2L * n)).as("pr_u")) // HALF_UP(10⁶/n)
+        lit((2L * U + n) / (2L * n)).as("pr_u")) // HALF_UP(U/n)
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = edgesD
@@ -66,10 +76,10 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("contrib_u")).as("su"))
       pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
-          expr(s"(2 * ((100 - $p) * 1000000 + $p * $n * coalesce(su, 0)) + 100 * $n) " +
-            s"DIV (200 * $n)").as("pr_u"))
+          (lit(teleport) +
+            expr(s"(2 * $p * coalesce(su, 0) + 100) DIV 200")).as("pr_u"))
         .localCheckpoint()
     }
-    pr.select(col("node"), (col("pr_u").cast("double") / 1e6).as("pagerank"))
+    pr.select(col("node"), (col("pr_u").cast("double") / 1e12).as("pagerank"))
   }
 }

@@ -56,6 +56,50 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): per doc, the top-k
+    * multi-word candidate phrases. Candidates are maximal stopword-free
+    * token runs; each word scores degree/frequency within the doc (degree
+    * = Σ length of the phrase occurrences containing it — co-occurring
+    * words inherit their phrases' weight), and a phrase scores the sum of
+    * its words' scores. Everything is doc-local: the shuffles are
+    * (doc, word)- and (doc, phrase)-keyed with map-side partials, so the
+    * op scales exactly like any per-doc aggregate. Determinism: per-word
+    * ratios rounded to 6dp and summed as exact DECIMAL; top-k by
+    * (score DESC, phrase ASC).
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String, k: Int = 3,
+                     stops: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
+    val joined = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(transform(col("toks"),
+          w => when(w.isInCollection(stops), lit("|")).otherwise(w)), " ").as("joined"))
+    val phr = joined
+      .select(col("doc_id"), explode(split(col("joined"), "\\|")).as("seg"))
+      .select(col("doc_id"), trim(col("seg")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .localCheckpoint() // feeds the word stats AND the phrase rescoring
+    val words = phr.select(col("doc_id"), col("phrase"),
+      size(split(col("phrase"), " ")).cast("long").as("plen"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val wstats = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("doc_id"), col("word"),
+        round(col("deg").cast("double") / col("freq"), 6)
+          .cast("decimal(18,6)").as("wscore"))
+    val scored = phr.select(col("doc_id"), col("phrase")).distinct()
+      .select(col("doc_id"), col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(wstats, Seq("doc_id", "word"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(round(sum(col("wscore")).cast("double"), 6).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("phrase"), col("rnk").cast("long").as("rnk"), col("score"))
+  }
+
   /** Gopher top n-gram coverage: per doc, the fraction of tokens covered
     * by the single MOST FREQUENT 2-/3-/4-gram (`maxct·n / n_tokens`) —
     * the companion to `repetitionScore`'s duplicate-fraction: dup_frac

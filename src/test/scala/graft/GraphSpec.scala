@@ -6,7 +6,7 @@ import graft.pipeline.Graph
 class GraphSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("pagerank: integer micro-unit iterations replay driver-side; mass conserved") {
+  test("pagerank: integer pico-unit iterations replay driver-side; mass conserved") {
     val d = sf("lineitem")
     val got = Graph.pageRank(spark, d)
       .as[(String, Double)].collect().toMap
@@ -22,15 +22,17 @@ class GraphSpec extends SparkSpecBase {
     val nodes = edges.map(_._1).distinct
     val n = nodes.length.toLong
     def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
-    var pr = nodes.map(_ -> halfUp(1000000L, n)).toMap
+    val U = 1000000000000L
+    val teleport = halfUp(15L * U / 100L, n)
+    var pr = nodes.map(_ -> halfUp(U, n)).toMap
     for (_ <- 1 to 3) {
       val su = scala.collection.mutable.Map.empty[String, Long]
       edges.foreach { case (src, dst) =>
         su(dst) = su.getOrElse(dst, 0L) + halfUp(pr(src), od(src)) }
       pr = nodes.map(nd => nd ->
-        halfUp(15L * 1000000L + 85L * n * su.getOrElse(nd, 0L), 100L * n)).toMap
+        (teleport + halfUp(85L * su.getOrElse(nd, 0L), 100L))).toMap
     }
-    val want = pr.view.mapValues(_.toDouble / 1e6).toMap
+    val want = pr.view.mapValues(_.toDouble / 1e12).toMap
     assert(got.size == n)
     assert(got == want,
       s"diverging nodes: ${got.filter { case (k, v) => want(k) != v }.take(5)}")

@@ -927,6 +927,36 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("RAKE keyphrases: planted phrases score degree/frequency exactly") {
+    val df = Seq(
+      // phrases: "red keyword mining" (×2 via co-occurring words), "red", "plain text"
+      (1L, "red keyword mining of the red keyword mining and plain text"),
+      (2L, "single")) // one 1-word phrase
+      .toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("rake").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.rakeKeyphrases(spark, tmp)
+      .as[(Long, String, Long, Double)].collect().groupBy(_._1)
+    // doc 1 replay: phrases = [red keyword mining]×2, [plain text]
+    // freq: red 2, keyword 2, mining 2, plain 1, text 1
+    // deg:  red 6, keyword 6, mining 6, plain 2, text 2 (phrase lens 3,3,2)
+    // wscore: red/keyword/mining = 3.0; plain/text = 2.0
+    // "red keyword mining" = 9.0; "plain text" = 4.0
+    val d1 = got(1L).sortBy(_._3).map(r => (r._2, r._3, r._4)).toSeq
+    assert(d1 == Seq(("red keyword mining", 1L, 9.0), ("plain text", 2L, 4.0)), d1.toString)
+    // doc 2: the single word scores deg/freq = 1/1 = 1
+    assert(got(2L).map(r => (r._2, r._4)).toSeq == Seq(("single", 1.0)))
+    // and on the real corpus: every emitted phrase is stopword-free and ranks densely
+    val real = TextPipeline.rakeKeyphrases(spark, dir)
+      .as[(Long, String, Long, Double)].collect()
+    val stops = Set("the", "a", "of", "and", "to")
+    assert(real.nonEmpty)
+    real.foreach { case (_, p, _, _) =>
+      assert(p.split(" ").forall(w => !stops(w)), s"stopword inside phrase: '$p'") }
+    real.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq) }
+  }
+
   test("top n-gram coverage: planted chant dominates; driver recount agrees") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"),          // one bigram dominates
