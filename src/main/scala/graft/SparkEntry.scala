@@ -34,6 +34,10 @@ object SparkEntry {
     "q17_small_qty"        -> ((s, d) => R.q17SmallQty(s, d)),
     "q18_large_orders"     -> ((s, d) => R.q18LargeOrders(s, d)),
     "q22_idle_balance"     -> ((s, d) => R.q22IdleBalance(s, d)),
+    "q13_order_dist"       -> ((s, d) => R.q13OrderDist(s, d)),
+    "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
+    "q15_top_supplier"     -> ((s, d) => R.q15TopSupplier(s, d)),
+    "q14_promo_share"      -> ((s, d) => R.q14PromoShare(s, d)),
     "j9_interval_left"     -> ((s, d) => R.j9IntervalLeftJoin(s, d)),
     "a19_user_zscore"      -> ((s, d) => R.a19UserZscore(s, d)),
     // joins (SURVEY §2.4)
@@ -504,6 +508,45 @@ AND NOT EXISTS (
   SELECT 1 FROM orders
   WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01')
 GROUP BY c_nationkey""",
+
+    "q13_order_dist" ->
+      s"""SELECT order_ct, COUNT(*) AS cust_ct FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS order_ct
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY order_ct""",
+
+    "q11_top_value" ->
+      s"""WITH pv AS (
+  SELECT l_partkey, SUM(${DEC("l_extendedprice")}) AS val_dec
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT SUM(val_dec) AS total_dec FROM pv)
+SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM pv, t WHERE val_dec * 1000 > total_dec""",
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+  SELECT l_suppkey, SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_shipdate < TIMESTAMP '2001-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)""",
+
+    "q14_promo_share" ->
+      s"""WITH s AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+      THEN ${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})
+      ELSE ${DEC("0")} END) AS promo_dec,
+    SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS total_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_shipdate < TIMESTAMP '2001-02-01')
+SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+  CAST(total_dec AS DOUBLE) AS total_revenue,
+  CAST(promo_dec AS DOUBLE) * 100.0 / CAST(total_dec AS DOUBLE) AS promo_share
+FROM s""",
 
     "j9_interval_left" ->
       s"""SELECT o_orderkey, o_orderdate, l_linenumber, l_shipdate,

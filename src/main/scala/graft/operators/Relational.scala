@@ -568,6 +568,92 @@ object Relational {
     * scale: the anti join is the only customer-table shuffle; the one-row
     * broadcast is free.
     */
+  /** q13 (TPC-H Q13 shape): customer distribution by order count — the
+    * LEFT OUTER JOIN + double aggregation. The outer join keeps
+    * zero-order customers (count(o_orderkey) counts non-null, so they
+    * land in bucket 0); the first aggregate is keyed on custkey (one
+    * shuffle, combinable), the second collapses to at most a few hundred
+    * distinct counts — effectively free. At scale the custkey shuffle is
+    * the whole cost and AQE coalesces the tiny second exchange.
+    */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_custkey"))
+      .join(orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_ct"))
+      .groupBy(col("order_ct"))
+      .agg(count(lit(1)).as("cust_ct"))
+
+  /** q11 (TPC-H Q11 shape): parts whose inventory value exceeds a fixed
+    * FRACTION of the corpus-wide total — the uncorrelated scalar
+    * subquery over the same aggregate. One per-part aggregate feeds both
+    * sides: the global total is a second 1-row aggregate of it, broadcast
+    * back; `value > total/1000` evaluates as `value·1000 > total` in
+    * exact decimal so engine and oracle agree bit-for-bit. At scale: one
+    * partkey shuffle; the 1-row broadcast is free; no re-scan of
+    * lineitem for the total.
+    */
+  def q11TopValue(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("val_dec"))
+    val total = perPart.agg(sum(col("val_dec")).as("total_dec"))
+    perPart
+      .crossJoin(broadcast(total))
+      .filter(col("val_dec") * lit(1000) > col("total_dec"))
+      .select(col("l_partkey").as("p_partkey"), col("val_dec").cast("double").as("part_value"))
+  }
+
+  /** q15 (TPC-H Q15 shape): the top supplier(s) by revenue over a
+    * 3-month ship window — the `revenue = (SELECT max(revenue) ...)`
+    * scalar over a named view. The revenue aggregate is computed ONCE;
+    * its 1-row max is broadcast back onto it (no second scan), equality
+    * compared in exact decimal (ties all surface, as in the spec query),
+    * and the supplier dim attaches via the size gate. At scale: one
+    * suppkey shuffle over the date-pruned scan; everything after is
+    * broadcast.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01") && col("l_shipdate") < lit("2001-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .as("rev_dec"))
+    val top = revenue.agg(max(col("rev_dec")).as("max_dec"))
+    revenue
+      .crossJoin(broadcast(top))
+      .filter(col("rev_dec") === col("max_dec"))
+      .join(maybeBroadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_rev"))
+  }
+
+  /** q14 (TPC-H Q14 shape): promo revenue share for one ship month — the
+    * conditional aggregate over a fact-dim join. Both sums accumulate in
+    * exact decimal in ONE pass (no second scan for the denominator); the
+    * share divides the two exact sums in double at the very end, so the
+    * single output row hashes identically across engines. The month
+    * filter pushes into the lineitem scan; part attaches via the size
+    * gate (it scales with sf). At scale: one map-side-combined shuffle
+    * onto a single group — the scan is the entire cost.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01") && col("l_shipdate") < lit("2001-02-01"))
+      .join(maybeBroadcast(part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_dec"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .as("total_dec"))
+      .select(
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        (col("promo_dec").cast("double") * lit(100.0) / col("total_dec").cast("double"))
+          .as("promo_share"))
+
   def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
     val posAvg = customer(spark, dir)
       .filter(col("c_acctbal") > 0.0)

@@ -523,4 +523,53 @@ class OperatorSpec extends SparkSpecBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(gotQ22 == expQ22)
   }
+
+  test("q11/q13/q14/q15 family: plan shapes and driver-side replay") {
+    val d = sf("lineitem")
+    // q11/q15 scalar aggregates attach as one-row broadcasts, never a shuffle
+    // (q15's equality-on-scalar plans as BroadcastHashJoin Cross — better
+    // still; q11's inequality stays a nested-loop broadcast)
+    for ((nm, df) <- Seq("q11" -> Relational.q11TopValue(spark, d),
+                         "q15" -> Relational.q15TopSupplier(spark, d))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        (p.contains("BroadcastHashJoin") && p.contains("Cross")),
+        s"$nm scalar should attach as a one-row broadcast:\n$p")
+    }
+
+    // q13: distribution must partition the customer table exactly — bucket
+    // counts sum to |customer| and the count-weighted sum replays |orders|
+    val custCt = graft.Tables.customer(spark, d).count()
+    val orderCt = graft.Tables.orders(spark, d).count()
+    val q13 = Relational.q13OrderDist(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(q13.map(_._2).sum == custCt, s"buckets don't cover customers: $q13")
+    assert(q13.map { case (oc, cc) => oc * cc }.sum == orderCt,
+      s"weighted buckets don't replay order count: $q13")
+
+    // q15: the emitted supplier's revenue replays as the true max over the
+    // ship window, recomputed driver-side in exact decimal
+    val revBysupp = graft.Tables.lineitem(spark, d)
+      .filter("l_shipdate >= '2001-01-01' AND l_shipdate < '2001-04-01'")
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        BigDecimal(r.getDouble(1)).setScale(2) *
+          (BigDecimal(1).setScale(2) - BigDecimal(r.getDouble(2)).setScale(2))).sum).toMap
+    val maxRev = revBysupp.values.max
+    val q15 = Relational.q15TopSupplier(spark, d).collect()
+    assert(q15.nonEmpty)
+    q15.foreach { r =>
+      assert(revBysupp(r.getLong(0)) == maxRev,
+        s"supplier ${r.getLong(0)} is not the max: ${revBysupp(r.getLong(0))} vs $maxRev")
+    }
+    assert(q15.map(_.getLong(0)).toSet == revBysupp.filter(_._2 == maxRev).keySet,
+      "ties must all surface")
+
+    // q14: one row; promo <= total; share replays from the two sums
+    val q14 = Relational.q14PromoShare(spark, d).collect()
+    assert(q14.length == 1)
+    val (promo, total, share) = (q14(0).getDouble(0), q14(0).getDouble(1), q14(0).getDouble(2))
+    assert(promo >= 0 && promo <= total)
+    assert(share == promo * 100.0 / total)
+  }
 }
