@@ -83,6 +83,8 @@ object SparkEntry {
     "a16_attribution"      -> ((s, d) => L.a16LastTouchAttribution(s, d)),
     "a17_funnel_latency"   -> ((s, d) => L.a17FunnelLatency(s, d)),
     "a18_active_users"     -> ((s, d) => L.a18ActiveUsers(s, d)),
+    "a20_path_transitions" -> ((s, d) => L.a20PathTransitions(s, d)),
+    "a21_path_topk"        -> ((s, d) => L.a21PathTopk(s, d)),
     "cdc_scd2_history"     -> ((s, d) => L.cdcScd2History(s, d)),
     "cdc_snapshot_at"      -> ((s, d) => L.cdcSnapshotAt(s, d)),
     // serving SQL surface (§3.3)
@@ -829,6 +831,24 @@ CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT) + CAST(
 CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT) + CAST(frequency > f3 AS INT) AS BIGINT) AS f_seg,
 CAST(1 + CAST(mon_cents > m1 AS INT) + CAST(mon_cents > m2 AS INT) + CAST(mon_cents > m3 AS INT) AS BIGINT) AS m_seg
 FROM mm, b""",
+
+    "a20_path_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_type, $ETS AS t, event_id FROM events),
+s AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_event FROM e),
+p AS (SELECT prev_event, event_type AS next_event, COUNT(*) AS pair_ct
+  FROM s WHERE prev_event IS NOT NULL GROUP BY 1, 2)
+SELECT prev_event, next_event, pair_ct,
+CAST(pair_ct AS DOUBLE) / CAST(SUM(pair_ct) OVER (PARTITION BY prev_event) AS DOUBLE) AS prob
+FROM p""",
+
+    "a21_path_topk" ->
+      s"""WITH e AS (SELECT user_id, event_type, $ETS AS t, event_id FROM events),
+s AS (SELECT event_type,
+  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY t, event_id) AS e1,
+  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS e2 FROM e)
+SELECT e1 || '>' || e2 || '>' || event_type AS path, COUNT(*) AS path_ct
+FROM s WHERE e1 IS NOT NULL GROUP BY 1
+ORDER BY path_ct DESC, path ASC LIMIT 20""",
 
     "a16_attribution" ->
       s"""WITH e AS (SELECT user_id, event_type, value, $ETS AS t, event_id FROM events),

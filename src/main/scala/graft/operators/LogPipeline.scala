@@ -540,4 +540,49 @@ object LogPipeline {
 
   def a18ActiveUsers(spark: SparkSession, dir: String): DataFrame =
     a18ActiveTransform(events(spark, dir))
+
+  /** A20 (beyond-reference analytics): the first-order Markov transition
+    * matrix over per-user event sequences — the path-analysis primitive
+    * behind "where do users go next". One lag() per user's
+    * (ts, event_id)-ordered stream yields (prev → next) pairs; the pair
+    * aggregate is tiny (|event_type|² rows) so the per-prev probability
+    * normalization windows over the AGGREGATE, never the corpus. At
+    * scale: one user_id shuffle for the lag (shared with every other
+    * per-user window op), one map-side-combined pair agg — the
+    * normalization is driver-trivial.
+    */
+  def a20TransitionTransform(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_event", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_event").isNotNull)
+      .groupBy(col("prev_event"), col("event_type").as("next_event"))
+      .agg(count(lit(1)).as("pair_ct"))
+    pairs.withColumn("prob",
+      col("pair_ct").cast("double") /
+        sum(col("pair_ct")).over(Window.partitionBy("prev_event")).cast("double"))
+  }
+
+  def a20PathTransitions(spark: SparkSession, dir: String): DataFrame =
+    a20TransitionTransform(events(spark, dir))
+
+  /** A21: top-20 three-step navigation paths — two lags over the same
+    * per-user ordering (one shuffle, one sort, both lags in a single
+    * Window node), concat to a path key, count, deterministic bounded
+    * top-k (TakeOrderedAndProject: per-partition heaps, no global sort).
+    */
+  def a21PathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e1", lag(col("event_type"), 2).over(byUser))
+      .withColumn("e2", lag(col("event_type"), 1).over(byUser))
+      .filter(col("e1").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("event_type")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("path_ct"))
+      .orderBy(col("path_ct").desc, col("path").asc)
+      .limit(20)
+  }
 }

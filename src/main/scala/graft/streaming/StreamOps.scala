@@ -553,4 +553,36 @@ object StreamOps {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
         sum(col("v") * col("v")).as("svv"))
+
+  /** One observed user transition: prev event → next event. */
+  case class TransitionRow(user_id: Long, prev_event: String, next_event: String)
+
+  /** A20 streaming: live Markov transitions — keyed state is the user's
+    * LAST event type (plus its (ts, event_id) order key so cross-batch
+    * ordering matches the batch lag()); each arriving event emits one
+    * transition row from the remembered predecessor. Downstream a tiny
+    * pair aggregate keeps the live transition matrix; parity asserts the
+    * emitted rows re-aggregate to exactly the batch pair counts.
+    *
+    * Scale note: state is one (string, long, long) per user key —
+    * identical layout to ST1's ValueState; the emitted stream has one row
+    * per input event, so no amplification.
+    */
+  def a20Transitions(events: Dataset[Event]): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[(String, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[TransitionRow]
+          var prev = state.getOption.orNull
+          sorted.foreach { e =>
+            if (prev != null) out += TransitionRow(user, prev._1, e.event_type)
+            prev = (e.event_type, e.ts.getTime, e.event_id)
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
+  }
 }

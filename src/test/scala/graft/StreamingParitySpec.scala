@@ -252,6 +252,26 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batch, s"\n got=$got\n batch=$batch")
   }
 
+  test("A20 parity: streaming transition rows re-aggregate to the batch matrix") {
+    import spark.implicits._
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.operators.LogPipeline.a20TransitionTransform(evDf)
+      .select(col("prev_event"), col("next_event"), col("pair_ct"))
+      .as[(String, String, Long)].collect()
+      .map { case (p, n, c) => (p, n) -> c }.toMap
+    // event-time-ordered chunks: the CDC/source contract the state twin
+    // documents (cross-batch order must follow event time)
+    val all = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val rows = runStream(all.grouped((all.size / 3).max(1)).toSeq, "update") { df =>
+      StreamOps.a20Transitions(df.as[Event]).toDF()
+    }
+    val got = rows.groupBy(r => (r.getString(1), r.getString(2))).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == batch, s"sizes: got=${got.size} batch=${batch.size}")
+  }
+
   test("J6 parity: streaming as-of state == batch union-window rendering") {
     // fixture with views preceding clicks across users; reuse Event shape
     val asofFx = Seq(
