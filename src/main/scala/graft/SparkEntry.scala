@@ -123,6 +123,9 @@ object SparkEntry {
     "dedup_winnow_pairs"   -> ((s, d) => T.winnowPairs(s, d)),
     "text_bpe_pairs"       -> ((s, d) => T.bpePairFreq(s, d)),
     "sketch_cms_tokens"    -> ((s, d) => T.cmsHeavyHitters(s, d)),
+    "sketch_kmv_distinct"  -> ((s, d) => graft.pipeline.Sketches.kmvDistinct(s, d)),
+    "sketch_kmv_overlap"   -> ((s, d) => graft.pipeline.Sketches.kmvOverlap(s, d)),
+    "sample_bottomk"       -> ((s, d) => T.bottomKSample(s, d)),
     "text_kl_per_source"   -> ((s, d) => T.klPerSource(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
@@ -1242,6 +1245,50 @@ s AS (SELECT doc_id, tok, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
 FROM tf JOIN dfreq USING (tok), n WHERE doc_id < 100),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk FROM s)
 SELECT doc_id, tok, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""",
+
+    "sample_bottomk" ->
+      s"""SELECT doc_id, source, smp_rank FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source ORDER BY ${MD5P("CAST(doc_id AS VARCHAR)")}, doc_id) AS smp_rank
+  FROM documents)
+WHERE smp_rank <= 50""",
+
+    "sketch_kmv_distinct" ->
+      s"""WITH uh AS (SELECT DISTINCT event_type, ${MD5P15("CAST(user_id AS VARCHAR)")} AS h FROM events),
+rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM uh),
+agg AS (SELECT event_type, COUNT(*) AS m, MAX(CASE WHEN rn = 64 THEN h END) AS hk FROM rk GROUP BY 1),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_ct FROM events GROUP BY 1)
+SELECT agg.event_type, exact_ct,
+round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+  ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 6) AS kmv_est,
+round((round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+  ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 6) - CAST(exact_ct AS DOUBLE))
+  / CAST(exact_ct AS DOUBLE), 6) AS rel_err
+FROM agg JOIN ex ON agg.event_type = ex.event_type""",
+
+    "sketch_kmv_overlap" ->
+      s"""WITH uh AS (SELECT DISTINCT event_type, ${MD5P15("CAST(user_id AS VARCHAR)")} AS h FROM events),
+sk AS (SELECT event_type, h FROM (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM uh) WHERE rn <= 64),
+ty AS (SELECT DISTINCT event_type FROM sk),
+pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b FROM ty a, ty b WHERE a.event_type < b.event_type),
+u AS (SELECT et_a, et_b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+  SELECT et_a, et_b, h, 1 AS ia, 0 AS ib FROM pr JOIN sk ON sk.event_type = pr.et_a
+  UNION ALL
+  SELECT et_a, et_b, h, 0 AS ia, 1 AS ib FROM pr JOIN sk ON sk.event_type = pr.et_b)
+  GROUP BY 1, 2, 3),
+uk AS (SELECT et_a, et_b, COUNT(*) AS uct, SUM(ia * ib) AS bth FROM (
+  SELECT *, row_number() OVER (PARTITION BY et_a, et_b ORDER BY h) AS rn FROM u) WHERE rn <= 64
+  GROUP BY 1, 2),
+du AS (SELECT DISTINCT user_id, event_type FROM events),
+inter AS (SELECT a.event_type AS xa, b.event_type AS xb, COUNT(*) AS inter_ct
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2),
+sz AS (SELECT event_type, COUNT(DISTINCT user_id) AS sz FROM events GROUP BY 1)
+SELECT et_a, et_b, round(CAST(bth AS DOUBLE) / CAST(uct AS DOUBLE), 6) AS jaccard_est,
+round(CAST(coalesce(inter_ct, 0) AS DOUBLE)
+  / CAST(sa.sz + sb.sz - coalesce(inter_ct, 0) AS DOUBLE), 6) AS jaccard_exact
+FROM uk LEFT JOIN inter ON et_a = xa AND et_b = xb
+JOIN sz sa ON sa.event_type = et_a JOIN sz sb ON sb.event_type = et_b""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, source, ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents

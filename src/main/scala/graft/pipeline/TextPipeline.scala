@@ -177,6 +177,29 @@ object TextPipeline {
       .filter(col("bucket") < col("cut"))
       .select(col("doc_id"), col("source"), col("bucket"))
 
+  /** Bottom-k quota sample: EXACTLY min(k, n) docs per source, chosen by
+    * hash rank — the fixed-quota complement to `stratifiedSample` (whose
+    * bucket threshold yields a proportional, variable-size draw). Hash
+    * order makes the draw deterministic, uniform, and STABLE under corpus
+    * growth: a doc already in the sample only ever leaves when a
+    * smaller-hash doc arrives, so incremental pipelines don't resample
+    * the world (it is the KMV/bottom-k sketch applied as a sampler).
+    * At scale: one shuffle by source; rank+filter prunes to k·|sources|
+    * rows — Spark runs the rank-limit window with per-partition
+    * early-stop, never a global sort.
+    */
+  def bottomKSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5Prefix64(col("doc_id").cast("string")).as("h"))
+      .withColumn("smp_rank", row_number().over(bySource).cast("long"))
+      .filter(col("smp_rank") <= k)
+      .select(col("doc_id"), col("source"), col("smp_rank"))
+  }
+
   /** Per-document top-k TF-IDF terms (classic IR weighting):
     * score = tf · ln(N/df), rounded to 6dp for cross-engine hashing;
     * deterministic top-k per doc (score desc, term asc). Restricted to

@@ -1059,4 +1059,59 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(real.map(_._3).sum == graft.Tables.documents(spark, dir).count())
     assert(real.forall { case (sz, groups, docs) => sz * groups == docs })
   }
+
+  test("KMV sketches: small groups exact, big groups inside the k=64 error bound") {
+    val rows = graft.pipeline.Sketches.kmvDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, est, relErr) =>
+      // sketch σ = 1/√(k−2) ≈ 0.127 at k=64; 4σ is a deterministic-fixture
+      // sanity margin, not a statistical test
+      assert(math.abs(relErr) <= 0.51, s"$et: est=$est exact=$exact relErr=$relErr")
+      if (exact < 64) assert(est == exact.toDouble, s"$et under-k group must be exact")
+      assert(relErr == BigDecimal((est - exact) / exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    // overlap: estimates live in [0,1] and track the exact jaccard within
+    // the union-sketch bound (±4σ); est from sketches only, exact audited
+    val ov = graft.pipeline.Sketches.kmvOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(ov.nonEmpty)
+    ov.foreach { case (a, b, est, exact) =>
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      assert(math.abs(est - exact) <= 0.51, s"$a×$b: est=$est exact=$exact")
+    }
+  }
+
+  test("bottom-k sample: exact quota per source, ranks dense, stable under growth") {
+    val smp = TextPipeline.bottomKSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perSource = smp.groupBy(_._2)
+    val srcSizes = graft.Tables.documents(spark, dir).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    srcSizes.foreach { case (src, n) =>
+      val got = perSource.getOrElse(src, Array.empty)
+      assert(got.length == math.min(50L, n), s"$src quota")
+      assert(got.map(_._3).sorted.toSeq == (1L to got.length).toSeq, s"$src ranks not dense")
+    }
+    // growth stability: sampling a PREFIX of the corpus never admits a doc
+    // the full-corpus sample rejected at the same rank budget — the
+    // bottom-k invariant that makes incremental resampling cheap
+    val fullIds = smp.map(_._1).toSet
+    val byHash = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.md5Prefix64(col("doc_id").cast("string")).as("h"))
+      .filter(col("doc_id") < 250).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    byHash.groupBy(_._2).foreach { case (src, docs) =>
+      val bottom = docs.sortBy(d => (d._3, d._1)).take(50).map(_._1).toSet
+      // every prefix-sample doc that also survives in the full corpus's
+      // bottom-50 keeps membership — no flapping
+      val fullSrc = perSource.getOrElse(src, Array.empty).map(_._1).toSet
+      assert((fullSrc & docs.map(_._1).toSet).subsetOf(bottom),
+        s"$src: full-corpus picks among prefix docs must be prefix picks too")
+    }
+    assert(fullIds.nonEmpty)
+  }
 }
