@@ -185,6 +185,7 @@ object SparkEntry {
     "text_topngram_frac"   -> ((s, d) => T.topNgramCoverage(s, d)),
     "text_keyphrases"      -> ((s, d) => T.rakeKeyphrases(s, d)),
     "graph_pagerank"       -> ((s, d) => graft.pipeline.Graph.pageRank(s, d)),
+    "graph_triangles"      -> ((s, d) => graft.pipeline.Graph.triangles(s, d)),
     // hot-key exact distinct (operators.Scale.saltedDistinctCount)
     "skew_salted_distinct" -> ((s, d) => Scale.saltedDistinctCount(
                                  graft.Tables.events(s, d), "event_type", "user_id",
@@ -1733,6 +1734,22 @@ pr0 AS (SELECT node, (2 * 1000000000000 + n) // (2 * n) AS pr_u FROM nodes CROSS
 $iters
 SELECT node, CAST(pr_u AS DOUBLE) / 1000000000000.0 AS pagerank FROM pr3"""
     },
+
+    "graph_triangles" ->
+      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT v, COUNT(*) AS d FROM (
+  SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e) GROUP BY v),
+tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+tv AS (SELECT v, COUNT(*) AS tri_ct FROM (
+  SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri UNION ALL SELECT z AS v FROM tri)
+  GROUP BY v)
+SELECT deg.v AS part_id, deg.d AS degree, COALESCE(tri_ct, 0) AS tri_ct,
+round(CASE WHEN d >= 2 THEN 2.0 * COALESCE(tri_ct, 0) / (CAST(d AS DOUBLE) * (d - 1))
+  ELSE 0.0 END, 6) AS clust_coeff
+FROM deg LEFT JOIN tv ON deg.v = tv.v""",
 
     "layout_partitioned" ->
       s"""SELECT l_returnflag, COUNT(*) AS line_ct,

@@ -82,4 +82,68 @@ object Graph {
     }
     pr.select(col("node"), (col("pr_u").cast("double") / 1e12).as("pagerank"))
   }
+
+  /** Per-part triangle count + local clustering coefficient over the
+    * co-purchase graph (parts are adjacent when one order contains both).
+    *
+    * Edge build: within-order pair explosion is bounded by the max order
+    * size (≤7 lines), so the self-join per orderkey is a constant-factor
+    * expansion, never corpus-quadratic; DISTINCT collapses repeat
+    * co-purchases.
+    *
+    * Triangle enumeration uses DEGREE ORIENTATION — each undirected edge
+    * points from its (degree, id)-smaller endpoint to the larger. Every
+    * wedge is then built at its LOWEST-degree vertex, which bounds
+    * per-vertex wedge fan-out by O(√|E|) even under power-law skew: the
+    * celebrity node with degree 10⁶ builds no wedges because almost all
+    * its edges point INTO it. Each triangle materializes exactly once
+    * ((u,v,w) rank-ordered), then fans its +1 to all three corners.
+    * Clustering coefficient = 2·tri / d·(d−1), the closed-wedge fraction.
+    *
+    * At 100 TB: two shuffles build edges+degrees, the wedge join and the
+    * closing-edge join are both keyed equi-joins on oriented endpoints —
+    * no unbounded product anywhere.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pl = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = pl.as("x").join(pl.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      .localCheckpoint() // reused 4×: degrees, orientation, wedge, closing
+    val deg = edges.select(col("pa").as("v"))
+      .unionAll(edges.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint under that order
+    val withDeg = edges
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    // wedges at the orientation-lowest corner; deterministic (v, w) order
+    // by the same rank so each candidate forms once
+    val rank = deg.select(col("v"), struct(col("d"), col("v")).as("rk"))
+    val o1 = oriented.join(rank.select(col("v").as("dst"), col("rk").as("rkd")), "dst")
+    val wedges = o1.as("w1").join(o1.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.rkd") < col("w2.rkd"))
+      .select(col("w1.src").as("u"), col("w1.dst").as("v"), col("w2.dst").as("w"))
+    val tris = wedges.join(oriented,
+        col("v") === col("src") && col("w") === col("dst"))
+      .select(col("u"), col("v"), col("w"))
+    val triPerV = tris.select(col("u").as("x"))
+      .unionAll(tris.select(col("v").as("x")))
+      .unionAll(tris.select(col("w").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("tri_ct"))
+    deg.join(triPerV, col("v") === col("x"), "left_outer")
+      .select(col("v").as("part_id"), col("d").as("degree"),
+        coalesce(col("tri_ct"), lit(0L)).as("tri_ct"),
+        round(when(col("d") >= 2,
+            lit(2.0) * coalesce(col("tri_ct"), lit(0L)).cast("double") /
+              (col("d").cast("double") * (col("d") - lit(1)).cast("double")))
+          .otherwise(lit(0.0)), 6).as("clust_coeff"))
+  }
 }

@@ -48,4 +48,37 @@ class GraphSpec extends SparkSpecBase {
     val maxDeg = od.maxBy(_._2)._1
     assert(got(maxDeg) > got.values.min)
   }
+
+  test("triangles: degree-oriented enumeration replays the brute-force count") {
+    val d = sf("lineitem")
+    val got = Graph.triangles(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // brute-force driver replay: adjacency sets, per-vertex closed wedges
+    val pl = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val edgeSet = pl.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edgeSet.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.foreach { case (v, nb) =>
+      val deg = nb.size.toLong
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => edgeSet(if (a < b) (a, b) else (b, a)) }.toLong
+      val coeff = if (deg >= 2)
+        BigDecimal(2.0 * tri / (deg.toDouble * (deg - 1).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      val (gd, gt, gc) = got(v)
+      assert(gd == deg && gt == tri && gc == coeff,
+        s"part $v: got ($gd,$gt,$gc) want ($deg,$tri,$coeff)")
+    }
+    assert(got.keySet == adj.keySet)
+    // the fixture actually exercises triangles
+    assert(got.values.map(_._2).sum > 0, "fixture has no triangles")
+  }
 }
