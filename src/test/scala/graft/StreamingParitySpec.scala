@@ -272,6 +272,25 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batch, s"sizes: got=${got.size} batch=${batch.size}")
   }
 
+  test("KMV parity: streaming bottom-k state converges to the batch sketch estimate") {
+    import spark.implicits._
+    val evDf = graft.Tables.events(spark, sf("events"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val batch = graft.pipeline.Sketches.kmvDistinct(spark, sf("events"))
+      .select(col("event_type"), col("kmv_est"))
+      .as[(String, Double)].collect().toMap
+    // arrival order deliberately ARBITRARY (insertion order of the table):
+    // bottom-k of a union is order-free, so parity must hold regardless
+    val all = evDf.as[Event].collect().toSeq
+    val rows = runStream(all.grouped((all.size / 4).max(1)).toSeq, "update") { df =>
+      StreamOps.kmvDistinct(df.as[Event]).toDF()
+    }
+    val finalEst = rows.zipWithIndex.groupBy(_._1.getString(0)).view
+      .mapValues(_.maxBy(_._2)._1.getDouble(1)).toMap
+    assert(finalEst == batch, s"\n got=$finalEst\n batch=$batch")
+  }
+
   test("J6 parity: streaming as-of state == batch union-window rendering") {
     // fixture with views preceding clicks across users; reuse Event shape
     val asofFx = Seq(
