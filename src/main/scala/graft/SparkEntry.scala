@@ -35,6 +35,9 @@ object SparkEntry {
     "q18_large_orders"     -> ((s, d) => R.q18LargeOrders(s, d)),
     "q22_idle_balance"     -> ((s, d) => R.q22IdleBalance(s, d)),
     "q13_order_dist"       -> ((s, d) => R.q13OrderDist(s, d)),
+    "q2_min_cost_supp"     -> ((s, d) => R.q2MinCostSupp(s, d)),
+    "a22_mad_outliers"     -> ((s, d) => R.a22MadOutliers(s, d)),
+    "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
     "q15_top_supplier"     -> ((s, d) => R.q15TopSupplier(s, d)),
     "q14_promo_share"      -> ((s, d) => R.q14PromoShare(s, d)),
@@ -515,6 +518,37 @@ AND NOT EXISTS (
   SELECT 1 FROM orders
   WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01')
 GROUP BY c_nationkey""",
+
+    "q2_min_cost_supp" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (SELECT l_partkey, s_suppkey, s_name, ${DEC("s_acctbal")} AS cost
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY cost, s_suppkey) AS rn FROM j)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name, CAST(cost AS DOUBLE) AS acctbal
+FROM r WHERE rn = 1""",
+
+    "a22_mad_outliers" ->
+      s"""WITH b AS (SELECT event_type, value FROM events),
+m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med FROM b GROUP BY 1),
+d AS (SELECT b.event_type, med, abs(value - med) AS dev FROM b JOIN m ON b.event_type = m.event_type),
+md AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad FROM d GROUP BY 1)
+SELECT d.event_type, MAX(d.med) AS med, MAX(mad) AS mad,
+CAST(SUM(CASE WHEN dev > mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS outlier_ct
+FROM d JOIN md ON d.event_type = md.event_type
+GROUP BY d.event_type""",
+
+    "mine_assoc_rules" ->
+      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT o) AS n FROM pl),
+supp AS (SELECT p, COUNT(*) AS supp FROM pl GROUP BY p),
+pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS pair_ct
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+rules AS (SELECT pa AS ante, pb AS cons, pair_ct FROM pairs
+  UNION ALL SELECT pb AS ante, pa AS cons, pair_ct FROM pairs)
+SELECT ante, cons, pair_ct,
+round(CAST(pair_ct AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6) AS confidence,
+round(CAST(pair_ct AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(sa.supp AS DOUBLE) * CAST(sc.supp AS DOUBLE)), 6) AS lift
+FROM rules JOIN supp sa ON ante = sa.p JOIN supp sc ON cons = sc.p CROSS JOIN nb""",
 
     "q13_order_dist" ->
       s"""SELECT order_ct, COUNT(*) AS cust_ct FROM (

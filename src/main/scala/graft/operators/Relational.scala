@@ -568,6 +568,53 @@ object Relational {
     * scale: the anti join is the only customer-table shuffle; the one-row
     * broadcast is free.
     */
+  /** q2 (TPC-H Q2 shape): cheapest supplier per part — the correlated
+    * `= (SELECT min(cost) ... WHERE partkey = p_partkey)` scalar,
+    * decorrelated as an ARGMIN AGGREGATE: `min(struct(cost, suppkey))`
+    * picks value and witness in one map-side-combinable pass (struct
+    * ordering is lexicographic, so the suppkey field is the
+    * deterministic tie-break for free). No window, no sort, no join
+    * back onto the aggregate — strictly less work than the rank-and-
+    * filter rendering at any scale. Supplier detail attaches after, via
+    * the size gate, to |parts| rows only.
+    */
+  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(maybeBroadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), dec(col("s_acctbal")).as("cost"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(min(struct(col("cost"), col("s_suppkey"))).as("best"))
+      .select(col("p_partkey"), col("best.s_suppkey").as("s_suppkey"),
+        col("best.cost").cast("double").as("acctbal"))
+      .join(maybeBroadcast(supplier(spark, dir).select(col("s_suppkey").as("nk"), col("s_name"))),
+        col("s_suppkey") === col("nk"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("acctbal"))
+
+  /** a22 (beyond-reference analytics): robust outlier counts per event
+    * type via MEDIAN / MAD — the heavy-tail-safe twin of the z-score
+    * (a19). Two exact-percentile passes (center, then spread of absolute
+    * deviations), each a corpus aggregate onto the bounded event-type
+    * catalog; the per-type (median, MAD) rows broadcast back for the
+    * final outlier count, so the corpus is never shuffled on anything
+    * wider than event_type. Centers are rounded to 6dp BEFORE the
+    * deviation pass so both engines feed pass 2 identical doubles.
+    */
+  def a22MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir).select(col("event_type"), col("value"))
+    val med = base.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = base.join(broadcast(med), "event_type") // catalog-bounded: ≤|event types| rows
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * lit(4.4478), 1L).otherwise(0L)).as("outlier_ct"))
+  }
+
   /** q13 (TPC-H Q13 shape): customer distribution by order count — the
     * LEFT OUTER JOIN + double aggregation. The outer join keeps
     * zero-order customers (count(o_orderkey) counts non-null, so they

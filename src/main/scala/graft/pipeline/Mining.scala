@@ -180,4 +180,37 @@ object Mining {
       Tables.customer(spark, dir).select(col("c_custkey").as("doc_id")))
       .select(col("doc_id").as("c_custkey"), col("cluster_id").as("entity_id"))
   }
+
+  /** Association rules over order baskets (market-basket mining, the
+    * FP-growth-lite pairs pass): for co-purchased part pairs with support
+    * ≥ `minSupport` baskets, both directed rules a→b and b→a with
+    * confidence = P(b|a) and lift = P(a,b)/(P(a)·P(b)).
+    *
+    * Scale shape: the within-basket pair explode is bounded by max basket
+    * size (≤7 lines, same bound as `Graph.triangles`); item supports are
+    * one map-side-combinable aggregate; the support filter cuts the pair
+    * table BEFORE the two item-support joins, and those attach via the
+    * size gate. Probabilities divide exact longs in double at the end.
+    */
+  def assocRules(spark: SparkSession, dir: String, minSupport: Long = 3): DataFrame = {
+    val pl = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint() // feeds baskets, pairs, and item supports
+    val nBaskets = pl.select(col("o")).distinct().count()
+    val supp = pl.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+    val pairs = pl.as("x").join(pl.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("pair_ct"))
+      .filter(col("pair_ct") >= minSupport)
+    val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("pair_ct"))
+      .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("pair_ct")))
+    rules
+      .join(Scale.maybeBroadcast(supp.select(col("p").as("ante"), col("supp").as("supp_a"))), "ante")
+      .join(Scale.maybeBroadcast(supp.select(col("p").as("cons"), col("supp").as("supp_c"))), "cons")
+      .select(col("ante"), col("cons"), col("pair_ct"),
+        round(col("pair_ct").cast("double") / col("supp_a").cast("double"), 6).as("confidence"),
+        round(col("pair_ct").cast("double") * lit(nBaskets.toDouble) /
+          (col("supp_a").cast("double") * col("supp_c").cast("double")), 6).as("lift"))
+  }
 }

@@ -143,4 +143,35 @@ class MiningSpec extends SparkSpecBase {
       assert(r.getLong(4) <= 2)
     }
   }
+
+  test("assoc rules: confidence/lift replay driver-side; rules come in directed twins") {
+    import spark.implicits._
+    val d = sf("lineitem")
+    val rules = graft.pipeline.Mining.assocRules(spark, d, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rules.nonEmpty)
+    // driver replay
+    val pl = graft.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct().as[(Long, Long)].collect()
+    val nB = pl.map(_._1).distinct.length.toDouble
+    val supp = pl.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCt = pl.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rules.foreach { case (a, c, ct, conf, lift) =>
+      val key = if (a < c) (a, c) else (c, a)
+      assert(pairCt(key) == ct && ct >= 2)
+      assert(conf == r6(ct.toDouble / supp(a)))
+      assert(lift == r6(ct.toDouble * nB / (supp(a).toDouble * supp(c).toDouble)))
+    }
+    // every undirected pair appears exactly twice, once per direction,
+    // with identical lift (lift is symmetric)
+    rules.groupBy { case (a, c, _, _, _) => if (a < c) (a, c) else (c, a) }
+      .foreach { case (_, twins) =>
+        assert(twins.length == 2)
+        assert(twins.map(_._5).distinct.length == 1, "lift must be symmetric")
+      }
+  }
 }

@@ -572,4 +572,50 @@ class OperatorSpec extends SparkSpecBase {
     assert(promo >= 0 && promo <= total)
     assert(share == promo * 100.0 / total)
   }
+
+  test("q2 argmin aggregate: no Window in the plan; every winner replays as the true min") {
+    val d = sf("lineitem")
+    val q2 = Relational.q2MinCostSupp(spark, d)
+    // min(struct) rendering: an aggregate, never a rank window
+    val plan = q2.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q2 should be an argmin aggregate, not a window:\n$plan")
+    val got = q2.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val ps = graft.Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val bal = graft.Tables.supplier(spark, d).select("s_suppkey", "s_acctbal").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2)).toMap
+    ps.groupBy(_._1).foreach { case (p, grp) =>
+      val want = grp.map(_._2).map(s => (bal(s), s)).min // (cost, suppkey) lexicographic
+      val (gotS, gotC) = got(p)
+      assert(gotS == want._2 && BigDecimal(gotC) == want._1,
+        s"part $p: got ($gotS,$gotC) want $want")
+    }
+    assert(got.keySet == ps.map(_._1).toSet)
+  }
+
+  test("a22 MAD outliers: median/MAD replay driver-side with the same interpolation") {
+    val d = sf("lineitem")
+    val got = Relational.a22MadOutliers(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val ev = graft.Tables.events(spark, d).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    ev.groupBy(_._1).foreach { case (et, grp) =>
+      val vs = grp.map(_._2)
+      val med = r6(medianOf(vs))
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = r6(medianOf(devs))
+      val outliers = devs.count(_ > mad * 4.4478).toLong
+      val (gm, gmad, gct) = got(et)
+      assert(gm == med && gmad == mad && gct == outliers,
+        s"$et: got ($gm,$gmad,$gct) want ($med,$mad,$outliers)")
+    }
+  }
 }
