@@ -9,9 +9,10 @@ object PlanDumpR9 {
     val spark = TestSpark.spark
     val d = "/root/testdata/sf0.001"
     Seq("q11_top_value", "q13_order_dist", "q14_promo_share", "q15_top_supplier",
-      "a20_path_transitions", "a21_path_topk", "sketch_kmv_distinct",
-      "sketch_kmv_overlap", "sample_bottomk", "graph_triangles",
-      "index_postings").foreach { name =>
+      "q2_min_cost_supp", "a20_path_transitions", "a21_path_topk",
+      "a22_mad_outliers", "sketch_kmv_distinct", "sketch_kmv_overlap",
+      "sample_bottomk", "graph_triangles", "index_postings",
+      "mine_assoc_rules").foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // let AQE finalize
       println(s"\n########## $name")
