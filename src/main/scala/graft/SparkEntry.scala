@@ -120,6 +120,7 @@ object SparkEntry {
     "sample_dsir"          -> ((s, d) => T.dsirSample(s, d)),
     "text_quality_buckets" -> ((s, d) => T.qualityBuckets(s, d)),
     "text_chunks"          -> ((s, d) => T.chunkDocuments(s, d)),
+    "text_span_corrupt"    -> ((s, d) => T.spanCorrupt(s, d)),
     "text_zipf_fit"        -> ((s, d) => T.zipfFit(s, d)),
     "text_heaps_fit"       -> ((s, d) => T.heapsFit(s, d)),
     "text_winnow_fps"      -> ((s, d) => T.winnowFingerprints(s, d)),
@@ -1490,6 +1491,28 @@ s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
 SELECT CAST(n AS BIGINT) AS n_points,
 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
 round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept FROM s""",
+
+    "text_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+ex AS (SELECT doc_id, pos, toks[pos] AS tok FROM t, unnest(range(1, len(toks) + 1)) u(pos)),
+s AS (SELECT doc_id, pos, tok,
+  (${MD5P("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 10 = 0) AS st FROM ex),
+w AS (SELECT *, (coalesce(st, false)
+  OR coalesce(lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)
+  OR coalesce(lag(st, 2) OVER (PARTITION BY doc_id ORDER BY pos), false)) AS masked FROM s),
+r AS (SELECT *, (masked AND NOT coalesce(lag(masked, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)) AS runstart FROM w),
+c AS (SELECT *, SUM(CASE WHEN runstart THEN 1 ELSE 0 END)
+  OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS runidx FROM r),
+p AS (SELECT doc_id, pos, masked,
+  CASE WHEN runstart THEN '<extra_id_' || (runidx - 1) || '>'
+       WHEN NOT masked THEN tok END AS in_piece,
+  CASE WHEN runstart THEN '<extra_id_' || (runidx - 1) || '> ' || tok
+       WHEN masked THEN tok END AS tgt_piece FROM c)
+SELECT doc_id, CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+CAST(COUNT(CASE WHEN in_piece LIKE '<extra_id_%' THEN 1 END) AS BIGINT) AS n_spans,
+coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text
+FROM p GROUP BY doc_id""",
 
     "text_chunks" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -452,6 +452,57 @@ object TextPipeline {
         concat_ws(" ", col("ctoks")).as("chunk"))
   }
 
+  /** T5-style span corruption — the seq2seq denoising objective's
+    * preprocessing: ~10% of token positions start a 3-token mask span
+    * (overlaps merge into one run), each contiguous run is replaced by a
+    * numbered sentinel in the INPUT and expanded as sentinel + original
+    * tokens in the TARGET. Mask choice is a deterministic md5 of
+    * (doc_id, position) — reproducible across engines, languages, and
+    * reruns, the same no-RNG discipline as every sampler here.
+    *
+    * Plan: posexplode → per-doc ordered window for the 3 lags + the
+    * cumulative run index (LINEAR per doc — a per-position `aggregate`
+    * prefix-scan would be O(len²)) → one doc-keyed reassembly aggregate.
+    * The doc_id shuffle is the only corpus-scale exchange and it is the
+    * same per-doc partitioning every sequence op shares. concat_ws skips
+    * the nulls of non-emitting masked positions, so reassembly is one
+    * sorted collect per doc.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String,
+                  startMod: Int = 10, spanLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val cum = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ex = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      .withColumn("start",
+        pmod(md5Prefix64(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), lit(startMod.toLong)) === 0)
+    val flagged = ex
+      .withColumn("masked",
+        (0 until spanLen).map(k => coalesce(lag(col("start"), k).over(byDoc), lit(false)))
+          .reduce(_ || _))
+      .withColumn("runstart",
+        col("masked") && !coalesce(lag(col("masked"), 1).over(byDoc), lit(false)))
+      .withColumn("runidx", sum(col("runstart").cast("long")).over(cum))
+    val pieces = flagged.select(col("doc_id"), col("pos"), col("masked"),
+      when(col("runstart"),
+        concat(lit("<extra_id_"), (col("runidx") - 1).cast("string"), lit(">")))
+        .when(!col("masked"), col("tok")).as("in_piece"),
+      when(col("runstart"),
+        concat(lit("<extra_id_"), (col("runidx") - 1).cast("string"), lit("> "), col("tok")))
+        .when(col("masked"), col("tok")).as("tgt_piece"))
+    pieces.groupBy(col("doc_id"))
+      .agg(
+        sum(col("masked").cast("long")).as("n_masked"),
+        count(when(col("in_piece").startsWith("<extra_id_"), 1)).as("n_spans"),
+        concat_ws(" ", transform(sort_array(collect_list(
+          struct(col("pos"), col("in_piece")))), p => p("in_piece"))).as("input_text"),
+        concat_ws(" ", transform(sort_array(collect_list(
+          struct(col("pos"), col("tgt_piece")))), p => p("tgt_piece"))).as("target_text"))
+  }
+
   /** Deterministic training-shard assignment — the dataloader contract: a
     * document lands in one of `nShards` shards by a stable cross-engine
     * hash of its id (`md5Prefix64`, reproducible by any worker in any

@@ -1060,6 +1060,40 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(real.forall { case (sz, groups, docs) => sz * groups == docs })
   }
 
+  test("span corruption: sentinel splice reconstructs the original token stream") {
+    val rows = TextPipeline.spanCorrupt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val orig = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    assert(rows.length == orig.size)
+    var maskedTotal = 0L
+    rows.foreach { case (id, nMasked, nSpans, input, target) =>
+      // parse target into sentinel → span tokens
+      val spans = scala.collection.mutable.Map.empty[String, Seq[String]]
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Seq.empty }
+        else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size == nSpans)
+      assert(spans.values.map(_.size).sum == nMasked)
+      // splice spans back into the input at their sentinels
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
+      }.toSeq
+      assert(rebuilt == orig(id), s"doc $id: splice does not reconstruct")
+      // spans are ≥1 and ≤3·(merged starts) tokens; sentinels numbered densely
+      spans.keys.foreach { k =>
+        val n = k.stripPrefix("<extra_id_").stripSuffix(">").toInt
+        assert(n >= 0 && n < nSpans)
+      }
+      maskedTotal += nMasked
+    }
+    // the 10% start rate actually fires corpus-wide
+    assert(maskedTotal > 0)
+  }
+
   test("KMV sketches: small groups exact, big groups inside the k=64 error bound") {
     val rows = graft.pipeline.Sketches.kmvDistinct(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
