@@ -37,6 +37,8 @@ object SparkEntry {
     "q13_order_dist"       -> ((s, d) => R.q13OrderDist(s, d)),
     "q2_min_cost_supp"     -> ((s, d) => R.q2MinCostSupp(s, d)),
     "a22_mad_outliers"     -> ((s, d) => R.a22MadOutliers(s, d)),
+    "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
+    "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
     "q15_top_supplier"     -> ((s, d) => R.q15TopSupplier(s, d)),
@@ -527,6 +529,25 @@ j AS (SELECT l_partkey, s_suppkey, s_name, ${DEC("s_acctbal")} AS cost
 r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY cost, s_suppkey) AS rn FROM j)
 SELECT l_partkey AS p_partkey, s_suppkey, s_name, CAST(cost AS DOUBLE) AS acctbal
 FROM r WHERE rn = 1""",
+
+    "a23_value_bins" ->
+      s"""SELECT event_type, bin, COUNT(*) AS bin_ct, MIN(value) AS lo, MAX(value) AS hi
+FROM (SELECT event_type, value,
+  CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bin
+  FROM events)
+GROUP BY event_type, bin""",
+
+    "multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, lang AS media_type,
+  greatest(1, len(text) // 8) AS n_frames, text FROM documents),
+f AS (SELECT doc_id, media_type, n_frames, text, unnest(
+  CASE WHEN n_frames <= 4 THEN range(0, n_frames)
+       ELSE list_transform(range(0, 4), j -> j * (n_frames - 1) // 3) END) AS frame_idx
+  FROM d),
+u AS (SELECT DISTINCT doc_id, media_type, n_frames, text, frame_idx FROM f)
+SELECT doc_id, media_type, n_frames, frame_idx, frame_idx * 40 AS t_offset_ms,
+md5(substring(text, CAST(frame_idx * 8 AS INT) + 1, 8)) AS frame_hash
+FROM u""",
 
     "a22_mad_outliers" ->
       s"""WITH b AS (SELECT event_type, value FROM events),

@@ -615,6 +615,26 @@ object Relational {
         sum(when(col("dev") > col("mad") * lit(4.4478), 1L).otherwise(0L)).as("outlier_ct"))
   }
 
+  /** a23 (beyond-reference analytics): equi-depth value discretization —
+    * `ntile` deciles per event type with per-bin count/lo/hi, the
+    * feature-engineering binning step (monotone buckets, ~equal mass)
+    * and the input to histogram-equalized features. Ordering ties break
+    * on event_id so the bin assignment is deterministic cross-engine.
+    * At scale: per-type sort window (one event_type shuffle — skew-safe
+    * only while the type catalog spreads mass; a single giant key would
+    * switch to `percentile_approx` cuts broadcast back, the a15 shape);
+    * the bin rollup is catalog·nBins rows.
+    */
+  def a23ValueBins(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bin", ntile(nBins).over(byType).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("bin_ct"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+
   /** q13 (TPC-H Q13 shape): customer distribution by order count — the
     * LEFT OUTER JOIN + double aggregation. The outer join keeps
     * zero-order customers (count(o_orderkey) counts non-null, so they

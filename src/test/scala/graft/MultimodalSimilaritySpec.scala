@@ -27,6 +27,47 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     assert(rows(2L).features.forall(_ == 0.0f) && rows(2L).n_bytes == 0L)
   }
 
+  test("frame sampling: uniform geometry, window features, agrees with the oracle projection") {
+    val payload = (0 until 100).map(i => ('a' + i % 26).toChar).mkString // 12 frames
+    val media = Seq(
+      Multimodal.MediaRow(1L, payload.getBytes("UTF-8"), "video"),
+      Multimodal.MediaRow(2L, "tiny".getBytes("UTF-8"), "video"),  // < 1 frame
+      Multimodal.MediaRow(3L, payload.take(17).getBytes("UTF-8"), "video")) // 2 frames
+      .toDS().repartition(2)
+    val out = Multimodal.sampleFrames(media).collect().groupBy(_.id)
+    // long clip: exactly k=4 frames at j·(n−1)/(k−1) = 0,3,7,11 of 12
+    assert(out(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 3L, 7L, 11L))
+    assert(out(1L).forall(f => f.n_frames == 12 && f.t_offset_ms == f.frame_idx * 40))
+    // short clips: every frame, no padding
+    assert(out(2L).map(_.frame_idx).toSeq == Seq(0L))
+    assert(out(3L).map(_.frame_idx).sorted.toSeq == Seq(0L, 1L))
+    // features = the decoder applied to exactly the frame's byte window
+    // (witnessed through the public decodeFeatures contract)
+    val windows = out(1L).map { f =>
+      val from = (f.frame_idx * Multimodal.FrameBytes).toInt
+      Multimodal.MediaRow(f.frame_idx,
+        payload.getBytes("UTF-8").slice(from, from + Multimodal.FrameBytes), "video")
+    }.toSeq
+    val wantFeat = Multimodal.decodeFeatures(windows.toDS()).collect()
+      .map(r => r.id -> r.features.toSeq).toMap
+    out(1L).foreach { f =>
+      assert(f.features.toSeq == wantFeat(f.frame_idx), s"frame ${f.frame_idx}")
+    }
+    // the oracle projection walks the same geometry on the documents table
+    val d = sf("documents")
+    val proj = Multimodal.documentFrames(spark, d).collect()
+      .groupBy(_.getLong(0))
+    val nChars = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    proj.foreach { case (id, rows) =>
+      val n = math.max(1L, nChars(id).toLong / Multimodal.FrameBytes)
+      val want =
+        if (n <= 4) (0L until n).toSet
+        else (0 until 4).map(j => j.toLong * (n - 1) / 3).toSet
+      assert(rows.map(_.getLong(3)).toSet == want, s"doc $id geometry")
+    }
+  }
+
   test("IVF ANN: recall against brute force is substantial at nProbe=2/8") {
     val d = "/root/testdata/sf0.001"
     val brute = Similarity.bruteForceTopK(spark, d)

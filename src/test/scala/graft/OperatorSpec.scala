@@ -594,6 +594,27 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.keySet == ps.map(_._1).toSet)
   }
 
+  test("a23 equi-depth bins: monotone disjoint ranges, balanced masses, full cover") {
+    val d = sf("lineitem")
+    val bins = Relational.a23ValueBins(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val totals = graft.Tables.events(spark, d).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    bins.groupBy(_._1).foreach { case (et, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"$et bins not dense")
+      // equi-depth: sizes differ by at most 1 (ntile invariant) and cover all rows
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$et not balanced: ${sizes.toSeq}")
+      assert(sizes.sum == totals(et))
+      // ranges are monotone: next bin's lo >= previous bin's hi
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 >= a._5, s"$et overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("a22 MAD outliers: median/MAD replay driver-side with the same interpolation") {
     val d = sf("lineitem")
     val got = Relational.a22MadOutliers(spark, d).collect()
