@@ -79,6 +79,7 @@ object SparkEntry {
     "a10_pivot"            -> ((s, d) => R.a10Pivot(s, d)),
     "a11_window_funcs"     -> ((s, d) => R.a11WindowFuncs(s, d)),
     "a12_cube"             -> ((s, d) => R.a12Cube(s, d)),
+    "a24_grouping_sets"    -> ((s, d) => R.a24GroupingSets(s, d)),
     "p9_set_ops"           -> ((s, d) => R.p9SetOps(s, d)),
     "j7_semi_anti"         -> ((s, d) => R.j7SemiAnti(s, d)),
     "a7_sliding_window"    -> ((s, d) => L.a7SlidingWindows(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "dedup_dupfreq_hist"   -> ((s, d) => Dedup.dupSizeHistogram(s, d)),
     "dedup_minhash_sig"    -> ((s, d) => Dedup.minhashSigExploded(s, d)),
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_acc"    -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashTable(s, d)),
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -240,8 +242,16 @@ hs AS (SELECT doc_id, list_distinct(list_transform(
          i -> (h0[i]*786433 + h0[i+1]*917505 + h0[i+2]*1048577) % $P) END,
   x -> x % 4294967291)) AS h FROM th)"""
 
-  private val minhashSlot =
-    s"list_min(list_transform(h, x -> ((2*(i+1)*40503 + 1) * x + (i+1)*105341) % $P))"
+  /** Slot-i permutation over the 32-bit shingle domain, coefficient
+    * arrays embedded as literals from the SINGLE source of truth
+    * (`Kernels.CoeffA/B` — md5-derived 31-bit multipliers; see the
+    * degenerate-family note there and in PLANS.md).
+    */
+  private lazy val minhashSlot = {
+    val a = graft.plans.expr.Kernels.CoeffA.mkString("[", ", ", "]")
+    val b = graft.plans.expr.Kernels.CoeffB.mkString("[", ", ", "]")
+    s"list_min(list_transform(h, x -> (($a)[i+1] * x + ($b)[i+1]) % 4294967291))"
+  }
 
   /** embeddings with double-cast vectors + norms (fold order = Spark's). */
   private val embNorms =
@@ -838,6 +848,15 @@ CAST(SUM(${DEC("l_quantity")}) AS DOUBLE) AS sum_qty,
 COUNT(*) AS line_ct
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
+    "a24_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+CAST(SUM(${DEC("l_quantity")}) AS DOUBLE) AS sum_qty,
+COUNT(*) AS line_ct
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
+
     "p9_set_ops" ->
       """SELECT 'view_and_purchase' AS cohort, user_id FROM
 (SELECT user_id FROM events WHERE event_type = 'view'
@@ -1043,14 +1062,14 @@ COALESCE(array_to_string(list_filter([
 FROM f""",
 
     // asymmetric batch-vs-corpus LSH: same signature/band machinery as
-    // dedup_minhash_lsh, but only src19×rest collisions are candidates
+    // dedup_minhash_lsh, but only src7×rest collisions are candidates
     "dedup_incremental" ->
       s"""WITH ${minhashHs("")},
 sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
 bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
 FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
-b AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src19')),
-c AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src19')),
+b AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src7')),
+c AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src7')),
 pairs AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
 round(CAST(len(list_filter(list_zip(b.sig, c.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
 FROM b JOIN c ON b.bd = c.bd AND b.band_key = c.band_key)
@@ -1078,6 +1097,22 @@ pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
 round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
 FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
+
+    "dedup_minhash_acc" ->
+      s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+acc AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+  CAST(len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS DOUBLE), 6) AS exact_jaccard
+FROM pairs p JOIN hs a ON p.doc_a = a.doc_id JOIN hs b ON p.doc_b = b.doc_id
+WHERE p.est_jaccard >= 0.5)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+round(abs(est_jaccard - exact_jaccard), 6) AS abs_err FROM acc""",
 
     "pipeline_funnel" ->
       s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),

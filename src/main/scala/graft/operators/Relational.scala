@@ -231,6 +231,31 @@ object Relational {
         col("g_status"), col("sum_qty"), col("line_ct"))
   }
 
+  /** A24 (beyond-reference): explicit GROUPING SETS — the
+    * non-hierarchical lattice subset {(flag, status), (status), ()} that
+    * neither rollup nor cube expresses (rollup would force (flag) in,
+    * cube would add it too). Same two-level discipline as a9/a12:
+    * aggregate to the finest grain FIRST, then Expand multiplies only
+    * the tiny aggregate by the 3 sets. grouping markers disambiguate
+    * real NULLs from subtotal rows.
+    */
+  def a24GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val fine = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"), count(lit(1)).as("ct"))
+    fine
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("ct")).as("line_ct"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+        col("g_status"), col("sum_qty"), col("line_ct"))
+  }
+
   /** A10 (beyond-reference): pivot — daily event counts, one column per
     * event type (explicit value list so the schema is static, the
     * scale-safe form: an unbounded pivot would collect distinct values to

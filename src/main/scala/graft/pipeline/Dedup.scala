@@ -75,8 +75,10 @@ object Dedup {
   def shingleHashesFrom(th: Column): Column = call_function("graft_shingles", th)
 
   /** 64-slot MinHash signature — native `graft_minhash` kernel:
-    * h_i = min (a_i * h + b_i) mod p, exact int64 (h < 2^32, a_i < 2^23).
-    * The old `aggregate` fold allocated a 64-long array per shingle and ran
+    * slot_i = min (a_i·h + b_i) mod 4294967291, exact int64 (h < 2^32,
+    * md5-derived a_i < 2^31 — see `Kernels.CoeffA` for why the first,
+    * small-multiplier family was a degenerate estimator). The old
+    * `aggregate` fold allocated a 64-long array per shingle and ran
     * interpreted (higher-order functions are CodegenFallback); the kernel
     * is one generated loop.
     */
@@ -218,7 +220,7 @@ object Dedup {
     * that near-duplicate an already-ingested document.
     */
   def incrementalDedup(spark: SparkSession, dir: String,
-                       batchSource: String = "src19",
+                       batchSource: String = "src7",
                        threshold: Double = 0.5): DataFrame = {
     val sigs = spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("source"), tokenHashes(col("text")).as("th"))
@@ -259,6 +261,37 @@ object Dedup {
       .localCheckpoint()
       .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").cast("long").as("hash_idx"), col("col").as("minhash"))
+
+  /** Sketch-accuracy audit for the MinHash estimator — the same
+    * est-vs-exact discipline as `Sketches.kmvDistinct`: every LSH
+    * candidate pair carries its signature estimate AND the exact
+    * 3-shingle set Jaccard, plus the absolute error. This is the table a
+    * pipeline inspects before trusting `est_jaccard` thresholds at
+    * corpus scale (where the exact column is dropped and only the
+    * estimate survives).
+    *
+    * At scale: exact sets attach only to CANDIDATE pairs (LSH-bounded,
+    * ≪ corpus²); the shingle-set table is the signature pass re-used —
+    * one checkpointed computation feeds signatures, bands, and the
+    * audit.
+    */
+  def minhashAccuracy(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val base = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), shingleHashesFrom(tokenHashes(col("text"))).as("hs"))
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .select(col("doc_id"), col("hs"), minhashSignatureFrom(col("hs")).as("sig"))
+      .localCheckpoint() // one shingle pass feeds bands AND exact sets
+    val pairs = lshPairsFromSigs(base.select(col("doc_id"), col("sig")), threshold)
+    pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (size(col("ha")) + size(col("hb")) -
+            size(array_intersect(col("ha"), col("hb")))).cast("double"), 6)
+          .as("exact_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+  }
 
   /** Corpus-clean capstone: drop every document that near-duplicates a
     * lower-id survivor (single-pass canonicalization: for each LSH pair

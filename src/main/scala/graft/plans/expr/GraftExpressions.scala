@@ -36,11 +36,26 @@ object Kernels {
   val MersennePrime: Long = (1L << 61) - 1
 
   /** MinHash family size and deterministic coefficients — must stay in sync
-    * with the DuckDB oracle rendering in `SparkEntry.oracleSql`.
+    * with the DuckDB oracle rendering in `SparkEntry.oracleSql` (which
+    * embeds these arrays as literals).
+    *
+    * The permutations act on the 32-BIT shingle domain:
+    * `slot_i = min_h (A_i·h + B_i) mod 4294967291`, A_i md5-derived in
+    * [1, 2^31). Why: the first family's tiny multipliers (≤2^23) against
+    * the 61-bit Mersenne modulus NEVER WRAPPED for 32-bit inputs, so all
+    * 64 "permutations" preserved the ordering of small hashes — any two
+    * docs sharing their single smallest shingle agreed on every slot
+    * (est_jaccard 1.0 against exact 0.01, caught by the
+    * `dedup_minhash_acc` audit). 31-bit multipliers wrap the 32-bit
+    * domain ~2^29 times, decorrelating the slots, while every product
+    * (< (2^31−1)·(2^32−1) + 2^32 < Long.Max) stays exactly replayable in
+    * 64-bit integer arithmetic in any engine.
     */
   val NumHashes = 64
-  val CoeffA: Array[Long] = (1 to NumHashes).map(i => 2L * i * 40503 + 1).toArray
-  val CoeffB: Array[Long] = (1 to NumHashes).map(i => i * 105341L).toArray
+  val CoeffA: Array[Long] = (1 to NumHashes)
+    .map(i => md5Prefix64(s"perm_a:$i".getBytes("UTF-8")) % 2147483647L + 1L).toArray
+  val CoeffB: Array[Long] = (1 to NumHashes)
+    .map(i => md5Prefix64(s"perm_b:$i".getBytes("UTF-8")) % 4294967291L).toArray
 
   /** Positional 3-shingle combiners (odd constants < 2^20). */
   val ShingleC: Array[Long] = Array(786433L, 917505L, 1048577L)
@@ -849,7 +864,7 @@ object MinHashSig {
     val slots = new Array[Long](Kernels.NumHashes)
     java.util.Arrays.fill(slots, Long.MaxValue)
     val A = Kernels.CoeffA; val B = Kernels.CoeffB
-    val p = Kernels.MersennePrime
+    val p = Kernels.Mod32 // 32-bit permutation domain — see Kernels.CoeffA
     val n = hs.numElements()
     var j = 0
     while (j < n) {

@@ -12,8 +12,15 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
 
   private val MersennePrime = (1L << 61) - 1
   private val ShingleC = Seq(786433L, 917505L, 1048577L)
+  // the md5-derived 31-bit permutation family over the 32-bit domain
+  // (Kernels.CoeffA/B), re-derived here independently of the kernel object
+  private val Mod32 = 4294967291L
+  private def md5p64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
   private val coeffs: Seq[(Long, Long)] =
-    (1 to 64).map(i => (2L * i * 40503 + 1, i * 105341L))
+    (1 to 64).map(i => (md5p64(s"perm_a:$i") % 2147483647L + 1L, md5p64(s"perm_b:$i") % Mod32))
 
   private def md5Prefix64Col(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
@@ -73,7 +80,7 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
       col("hs"),
       array(coeffs.map(_ => lit(Long.MaxValue)): _*),
       (acc, h) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
-        least(element_at(acc, i + 1), (lit(a) * h + lit(b)) % lit(MersennePrime))
+        least(element_at(acc, i + 1), (lit(a) * h + lit(b)) % lit(Mod32))
       }: _*))
     val out = df.select(call_function("graft_minhash", col("hs")).as("kernel"), fold.as("fold"))
     out.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))

@@ -615,6 +615,26 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("a24 grouping sets: exactly the declared lattice subset, totals reconcile") {
+    val d = sf("lineitem")
+    val gs = Relational.a24GroupingSets(spark, d)
+    // two-level discipline: the Expand must run over an aggregate, not raw rows
+    val plan = gs.queryExecution.executedPlan.toString
+    val expandIdx = plan.indexOf("Expand")
+    assert(expandIdx > 0 && plan.indexOf("HashAggregate", expandIdx) > 0,
+      s"no aggregate below the Expand:\n$plan")
+    val rows = gs.collect()
+      .map(r => ((r.getLong(2), r.getLong(3)), r.getDouble(4), r.getLong(5)))
+    // only the three declared sets appear — (flag) alone must NOT
+    assert(rows.map(_._1).toSet == Set((0L, 0L), (1L, 0L), (1L, 1L)))
+    val grand = rows.filter(_._1 == ((1L, 1L)))
+    val byStatus = rows.filter(_._1 == ((1L, 0L)))
+    val fine = rows.filter(_._1 == ((0L, 0L)))
+    assert(grand.length == 1)
+    assert(fine.map(_._3).sum == grand.head._3 && byStatus.map(_._3).sum == grand.head._3)
+    assert(math.abs(fine.map(_._2).sum - grand.head._2) < 1e-6)
+  }
+
   test("a22 MAD outliers: median/MAD replay driver-side with the same interpolation") {
     val d = sf("lineitem")
     val got = Relational.a22MadOutliers(spark, d).collect()

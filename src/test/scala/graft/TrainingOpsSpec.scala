@@ -180,11 +180,11 @@ class TrainingOpsSpec extends SparkSpecBase {
 
   test("incremental dedup: orientation fixed, matches the symmetric LSH pairs") {
     val batchIds = Tables.documents(spark, dir)
-      .filter(col("source") === "src19").select("doc_id").as[Long].collect().toSet
+      .filter(col("source") === "src7").select("doc_id").as[Long].collect().toSet
     val inc = Dedup.incrementalDedup(spark, dir)
       .as[(Long, Long, Double)].collect()
     inc.foreach { case (b, c, est) =>
-      assert(batchIds(b), s"batch side $b not from src19")
+      assert(batchIds(b), s"batch side $b not from src7")
       assert(!batchIds(c), s"corpus side $c from the batch source")
       assert(est >= 0.5)
     }
@@ -1058,6 +1058,25 @@ class TrainingOpsSpec extends SparkSpecBase {
     val real = Dedup.dupSizeHistogram(spark, dir).as[(Long, Long, Long)].collect()
     assert(real.map(_._3).sum == graft.Tables.documents(spark, dir).count())
     assert(real.forall { case (sz, groups, docs) => sz * groups == docs })
+  }
+
+  test("minhash accuracy audit: same pairs as LSH, errors inside the 64-slot bound") {
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val acc = Dedup.minhashAccuracy(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // audit covers exactly the LSH candidate set with identical estimates
+    assert(acc.map(_._1).toSet == pairs.keySet)
+    acc.foreach { case (k, est, exact, err) =>
+      assert(est == pairs(k))
+      assert(exact >= 0.0 && exact <= 1.0)
+      assert(err == BigDecimal(math.abs(est - exact))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // estimator quality: σ ≈ √(j(1−j)/64) ≤ 0.0625; mean |err| must sit
+    // well inside a few σ on the deterministic fixture
+    val meanErr = acc.map(_._4).sum / acc.length
+    assert(meanErr < 0.125, s"mean |err| $meanErr — estimator off the rails")
   }
 
   test("span corruption: sentinel splice reconstructs the original token stream") {
