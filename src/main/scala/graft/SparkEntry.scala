@@ -43,6 +43,14 @@ object SparkEntry {
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
     "q15_top_supplier"     -> ((s, d) => R.q15TopSupplier(s, d)),
     "q14_promo_share"      -> ((s, d) => R.q14PromoShare(s, d)),
+    "q6_forecast_revenue"  -> ((s, d) => R.q6ForecastRevenue(s, d)),
+    "q8_market_share"      -> ((s, d) => R.q8MarketShare(s, d)),
+    "q9_product_profit"    -> ((s, d) => R.q9ProductProfit(s, d)),
+    "q12_ship_lag"         -> ((s, d) => R.q12ShipLag(s, d)),
+    "q16_supplier_cnt"     -> ((s, d) => R.q16SupplierCnt(s, d)),
+    "q19_disjunctive_rev"  -> ((s, d) => R.q19DisjunctiveRev(s, d)),
+    "q20_excess_supp"      -> ((s, d) => R.q20ExcessSupp(s, d)),
+    "q21_waiting_supp"     -> ((s, d) => R.q21WaitingSupp(s, d)),
     "j9_interval_left"     -> ((s, d) => R.j9IntervalLeftJoin(s, d)),
     "a19_user_zscore"      -> ((s, d) => R.a19UserZscore(s, d)),
     // joins (SURVEY §2.4)
@@ -620,6 +628,96 @@ SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
   CAST(total_dec AS DOUBLE) AS total_revenue,
   CAST(promo_dec AS DOUBLE) * 100.0 / CAST(total_dec AS DOUBLE) AS promo_share
 FROM s""",
+
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(SUM(${DEC("l_extendedprice")} * ${DEC("l_discount")}) AS DOUBLE) AS revenue,
+CAST(COUNT(*) AS BIGINT) AS line_ct
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q8_market_share" ->
+      s"""WITH rev AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr, sn.n_name AS supp_nation,
+    ${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")}) AS v
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY')
+SELECT CAST(yr AS BIGINT) AS yr,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE ${DEC("0")} END) AS DOUBLE) AS nation_rev,
+  CAST(SUM(v) AS DOUBLE) AS total_rev,
+  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE ${DEC("0")} END) AS DOUBLE)
+    / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
+FROM rev GROUP BY yr""",
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})
+  - ${DEC("p_retailprice")} * ${DEC("l_quantity")}) AS DOUBLE) AS profit,
+CAST(COUNT(*) AS BIGINT) AS line_ct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)""",
+
+    "q12_ship_lag" ->
+      s"""SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 45
+  THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_ct,
+CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_ct
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1""",
+
+    "q16_supplier_cnt" ->
+      s"""SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supp_ct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+
+    "q19_disjunctive_rev" ->
+      s"""SELECT CAST(SUM(${DEC("l_extendedprice")} * (${DEC("1")} - ${DEC("l_discount")})) AS DOUBLE) AS revenue,
+CAST(COUNT(*) AS BIGINT) AS line_ct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q20_excess_supp" ->
+      s"""WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(${DEC("l_quantity")}) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey AS tp, SUM(supp_qty) AS total_qty FROM ps GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(${DEC("s_acctbal")} AS DOUBLE) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM ps JOIN tot ON l_partkey = tp WHERE supp_qty * 6 > total_qty)""",
+
+    "q21_waiting_supp" ->
+      s"""WITH roster AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+SELECT s_suppkey, s_name, numwait FROM (
+  SELECT t.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM late t
+  WHERE EXISTS (SELECT 1 FROM roster r WHERE r.l_orderkey = t.l_orderkey AND r.l_suppkey <> t.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late o WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey)
+  GROUP BY t.l_suppkey)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey LIMIT 20""",
 
     "j9_interval_left" ->
       s"""SELECT o_orderkey, o_orderdate, l_linenumber, l_shipdate,

@@ -761,4 +761,218 @@ object Relational {
       .agg(count(lit(1)).as("cust_ct"),
         sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
   }
+
+  /** q6 (TPC-H Q6 shape): forecast-revenue-change — the pure scan
+    * aggregate. All three predicates (ship-year range, discount band,
+    * quantity cap) land in `PushedFilters` on the parquet scan; the
+    * group-less sum accumulates map-side and merges one row per task.
+    * The canonical scan-bound query: at 100 TB the cost IS the
+    * column-pruned scan (3 columns read), nothing shuffles but one row
+    * per task.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("line_ct"))
+
+  /** q8 (TPC-H Q8 shape): national market share — yearly share of one
+    * supplier nation inside a (customer-region × part-type) revenue
+    * slice. Two roles of the same `nation` dim (customer side and
+    * supplier side) broadcast independently; region/part filters prune
+    * before the join; both the national and total sums accumulate in
+    * exact decimal in ONE aggregate pass, the share divides them in
+    * double at the end. At scale: lineitem⋈orders is the only big
+    * shuffle — every dim side is broadcast (customer via the size gate).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val cn = nation(spark, dir).select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val sn = nation(spark, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val r = region(spark, dir).filter(col("r_name") === "EUROPE")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(maybeBroadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(maybeBroadcast(part(spark, dir).filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0).cast("decimal(18,2)")))
+          .as("nat_dec"),
+        sum(rev).as("tot_dec"))
+      .select(col("yr"),
+        col("nat_dec").cast("double").as("nation_rev"),
+        col("tot_dec").cast("double").as("total_rev"),
+        round(col("nat_dec").cast("double") / col("tot_dec").cast("double"), 6).as("mkt_share"))
+  }
+
+  /** q9 (TPC-H Q9 shape): product-type profit by supplier nation and
+    * order year. The reduced schema has no `partsupp`, so unit cost is
+    * proxied by `p_retailprice` (same join topology, same plan shape):
+    * profit = Σ price·(1−disc) − retail·qty, in exact decimal. Part
+    * filter (`p_name LIKE '%gear'`) prunes the probe early; nation
+    * broadcast; the groupBy key (nation, year) is tiny. At scale: the
+    * lineitem⋈orders shuffle dominates; part/supplier attach via the
+    * size gate.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(maybeBroadcast(part(spark, dir).filter(col("p_name").endsWith("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+          - dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .cast("double").as("profit"),
+        count(lit(1)).as("line_ct"))
+
+  /** q12 (TPC-H Q12 shape): shipping-lag priority audit. The reduced
+    * schema has no ship mode / commit / receipt dates, so the Q12 group
+    * key is the derived lag bucket (days between order and ship date):
+    * count urgent vs non-urgent lines per bucket — the same
+    * conditional-count-over-a-join shape. The join is the single
+    * orderkey shuffle; the CASE counts combine map-side onto two
+    * buckets. At scale: scan-bound, the priority columns never leave
+    * the map side unaggregated.
+    */
+  def q12ShipLag(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(datediff(col("l_shipdate"), col("o_orderdate")) > 45, "SLOW")
+        .otherwise("FAST").as("ship_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_ct"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_ct"))
+
+  /** q16 (TPC-H Q16 shape): supplier-count by part attributes, with an
+    * excluded-supplier NOT IN — rendered as a left_anti join against the
+    * (tiny, predicate-derived) exclusion list, then a COUNT(DISTINCT)
+    * per (brand, type, size). The distinct-aggregate expands on
+    * (group, suppkey) then merges — two bounded exchanges; the anti
+    * join's build side is broadcast by size. At scale: the fact-side
+    * shuffle on the group key is the whole cost.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = supplier(spark, dir).filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(maybeBroadcast(part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#13" && col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supp_ct"))
+  }
+
+  /** q19 (TPC-H Q19 shape): disjunctive join predicates — revenue from
+    * an OR of three (brand, size-band, quantity-band) conjunct blocks.
+    * Catalyst extracts the equi-key, keeps the disjunction as the join
+    * residual, AND pushes the per-side OR-of-conjuncts down to each scan
+    * (lineitem rows outside every quantity band and parts outside every
+    * brand/size block never reach the join). At scale: the pushed
+    * disjunctions shrink both inputs before the one partkey-keyed join;
+    * the group-less sum is free.
+    */
+  def q19DisjunctiveRev(spark: SparkSession, dir: String): DataFrame = {
+    val block1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 11)
+    val block2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 20)
+    val block3 = col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 30)
+    lineitem(spark, dir)
+      .join(maybeBroadcast(part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey") && (block1 || block2 || block3))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** q20 (TPC-H Q20 shape): dominant suppliers of a part family — the
+    * nested `availqty > 0.5·Σqty` correlated subquery, decorrelated as
+    * two stacked aggregates over the SAME (part, supplier) rollup: the
+    * per-part total reuses the first aggregate's exchange, the share
+    * test (`qty·6 > total`) runs in exact decimal, and the qualifying
+    * supplier ids semi-join back to the supplier dim. No partsupp in
+    * the reduced schema, so "supply share" is shipped-quantity share —
+    * same topology. At scale: one (partkey, suppkey) shuffle; the
+    * per-part re-aggregate is keyed on its prefix; everything after is
+    * id-sized.
+    */
+  def q20ExcessSupp(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the (part, supplier) rollup ONCE — it feeds both the
+    // share test's probe side and the per-part total; without this the
+    // lineitem scan + first shuffle run twice (Catalyst's ReusedExchange
+    // does not fire across the two aggregation depths)
+    val ps = lineitem(spark, dir)
+      .join(maybeBroadcast(part(spark, dir).filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+      .localCheckpoint()
+    val tot = ps.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("supp_qty")).as("total_qty"))
+    val dominant = ps.join(tot, col("l_partkey") === col("tp"))
+      .filter(col("supp_qty") * lit(6) > col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), dec(col("s_acctbal")).cast("double").as("acctbal"))
+  }
+
+  /** q21 (TPC-H Q21 shape): suppliers who kept orders waiting — the
+    * EXISTS / NOT-EXISTS self-join pair on lineitem. A supplier "waits"
+    * an order when its line shipped >45 days after the order date
+    * (receipt-lag proxy; the reduced schema has no commit/receipt
+    * dates), ANOTHER supplier participated (left_semi on the distinct
+    * (order, supplier) roster), and NO other supplier was also late
+    * (left_anti on the late set itself). Both existence joins run on
+    * id-only distinct tables; per-supplier counts attach the dim via
+    * the size gate; deterministic top-20 by (numwait DESC, suppkey).
+    * At scale: three orderkey-keyed shuffles over id pairs — the
+    * payload never travels.
+    */
+  def q21WaitingSupp(spark: SparkSession, dir: String): DataFrame = {
+    val roster = lineitem(spark, dir)
+      .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk")).distinct()
+    val late = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // id-only distinct pairs, materialized once — they feed BOTH existence
+      // joins; without this the lineitem⋈orders late-scan runs twice
+      .localCheckpoint()
+    val lateOther = late.select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"))
+    late
+      .join(roster, col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"), "left_semi")
+      .join(lateOther, col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(maybeBroadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
 }

@@ -659,4 +659,117 @@ class OperatorSpec extends SparkSpecBase {
         s"$et: got ($gm,$gmad,$gct) want ($med,$mad,$outliers)")
     }
   }
+
+  test("q6/q12/q19 scan family: predicates reach the scans, counts replay") {
+    val d = sf("lineitem")
+    // q6: all three predicates push into the parquet scan
+    val q6 = Relational.q6ForecastRevenue(spark, d)
+    val q6plan = q6.queryExecution.executedPlan.toString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(q6plan.contains(s"PushedFilters: [") && q6plan.contains(c),
+        s"q6 scan must push $c:\n$q6plan")
+    val rows = graft.Tables.lineitem(spark, d)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").collect()
+      .filter { r =>
+        val sd = r.getAs[java.time.LocalDateTime](0).toString
+        sd >= "1996-01-01" && sd < "1997-01-01" &&
+          r.getDouble(1) >= 0.05 && r.getDouble(1) <= 0.07 && r.getDouble(2) < 24
+      }
+    val wantRev = rows.map(r => BigDecimal(r.getDouble(3)).setScale(2) *
+      BigDecimal(r.getDouble(1)).setScale(2)).sum
+    val got6 = q6.collect()(0)
+    assert(got6.getLong(1) == rows.length && BigDecimal(got6.getDouble(0)) == wantRev)
+
+    // q19: the OR-of-conjuncts is pushed to BOTH scans (each side keeps its
+    // local disjuncts), and the residual keeps the cross-side coupling
+    val q19 = Relational.q19DisjunctiveRev(spark, d)
+    val scans = q19.queryExecution.executedPlan.toString
+    assert(scans.contains("Or("), s"q19 scans must carry the pushed disjunction:\n$scans")
+    // replay: block membership recomputed driver-side over the joined rows
+    val partAttrs = graft.Tables.part(spark, d).select("p_partkey", "p_brand", "p_size")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val joined = graft.Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity").collect()
+      .map(r => (partAttrs(r.getLong(0)), r.getDouble(1)))
+    val want19 = joined.count { case ((b, s), q) =>
+      (b == "Brand#12" && s >= 1 && s <= 15 && q >= 1 && q <= 11) ||
+      (b == "Brand#23" && s >= 1 && s <= 25 && q >= 10 && q <= 20) ||
+      (b == "Brand#24" && s >= 1 && s <= 35 && q >= 20 && q <= 30)
+    }
+    assert(q19.collect()(0).getLong(1) == want19)
+
+    // q12: the two buckets partition the join exactly; high+low = |lineitem|
+    // (every line's order exists)
+    val q12 = Relational.q12ShipLag(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val lineCt = graft.Tables.lineitem(spark, d).count()
+    assert(q12.values.map(p => p._1 + p._2).sum == lineCt,
+      s"q12 buckets don't cover lineitem: $q12")
+    assert(q12.keySet.subsetOf(Set("FAST", "SLOW")))
+  }
+
+  test("q16/q20/q21 existence family: exclusion, dominance, and sole-late replay") {
+    val d = sf("lineitem")
+    // q16: no excluded (negative-balance) supplier contributes anywhere
+    val excluded = graft.Tables.supplier(spark, d)
+      .filter("s_acctbal < 0").select("s_suppkey").as[Long].collect().toSet
+    val q16 = Relational.q16SupplierCnt(spark, d).collect()
+    assert(q16.nonEmpty)
+    val lp = graft.Tables.lineitem(spark, d).select("l_partkey", "l_suppkey")
+      .as[(Long, Long)].collect()
+    val pAttr = graft.Tables.part(spark, d).select("p_partkey", "p_brand", "p_type", "p_size")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    val sizes = Set(3, 9, 14, 19, 23, 36, 45, 49)
+    val want16 = lp.filter { case (p, s) =>
+        val (b, _, sz) = pAttr(p); b != "Brand#13" && sizes(sz) && !excluded(s)
+      }.groupBy { case (p, _) => pAttr(p) }
+      .view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got16 = q16.map(r =>
+      ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(got16 == want16)
+
+    // q20: the dominant set is exactly the suppliers holding >1/6 of some
+    // red part's total shipped quantity
+    val redParts = graft.Tables.part(spark, d)
+      .filter("p_name LIKE 'red%'").select("p_partkey").as[Long].collect().toSet
+    val qty = graft.Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .filter(r => redParts(r.getLong(0)))
+      .map(r => ((r.getLong(0), r.getLong(1)), BigDecimal(r.getDouble(2)).setScale(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val totals = qty.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val wantSupp = qty.collect {
+      case ((p, s), q) if q * 6 > totals(p) => s
+    }.toSet
+    val got20 = Relational.q20ExcessSupp(spark, d).collect().map(_.getLong(0)).toSet
+    assert(got20 == wantSupp, s"q20: got $got20 want $wantSupp")
+
+    // q21: numwait replays from set semantics (late & other-supplier-exists
+    // & no-other-late-supplier), on distinct (order, supplier) pairs
+    val orderDates = graft.Tables.orders(spark, d)
+      .filter("o_orderstatus = 'F'").select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    val roster = lp.map { case (_, s) => s }
+    val rosterByOrder = graft.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val late = graft.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .flatMap { r =>
+        val ok = r.getLong(0)
+        orderDates.get(ok).collect {
+          case od if r.getAs[java.time.LocalDateTime](2).isAfter(od.plusDays(45)) =>
+            (ok, r.getLong(1))
+        }
+      }.toSet
+    val lateByOrder = late.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want21 = late.toSeq.filter { case (ok, sk) =>
+      (rosterByOrder(ok) - sk).nonEmpty && (lateByOrder(ok) - sk).isEmpty
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val top = want21.toSeq.sortBy { case (sk, n) => (-n, sk) }.take(20).toMap
+    val got21 = Relational.q21WaitingSupp(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got21 == top, s"q21: got $got21 want $top")
+    assert(roster.nonEmpty) // sanity: the roster actually loaded
+  }
 }
