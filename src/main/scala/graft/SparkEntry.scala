@@ -188,6 +188,8 @@ object SparkEntry {
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    "embedding_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
+    "embedding_jl_audit"   -> ((s, d) => Similarity.jlAudit(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     "sample_cluster_balance" -> ((s, d) => Similarity.clusterBalanceSample(s, d)),
     "sample_split"         -> ((s, d) => Dedup.leakageFreeSplit(s, d)),
@@ -265,6 +267,9 @@ hs AS (SELECT doc_id, list_distinct(list_transform(
   private val embNorms =
     """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
 n AS (SELECT vec_id, label, emb, sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e)"""
+
+  private def dotSql(ea: String, eb: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($ea, $eb), p -> p[1] * p[2])), (a, b) -> a + b)"
 
   private def cosSql(ea: String, eb: String, na: String, nb: String) =
     s"round(list_reduce(list_prepend(0.0, list_transform(list_zip($ea, $eb), p -> p[1] * p[2])), (a, b) -> a + b) / ($na * $nb), 6)"
@@ -1917,6 +1922,36 @@ SELECT vec_id, cluster, cos, CAST(rnk AS BIGINT) AS rnk FROM (
     row_number() OVER (PARTITION BY km.cluster ORDER BY cos ASC, vec_id ASC) AS rnk
   FROM km JOIN sz USING (cluster))
 WHERE rnk * 1000 <= n_c * 100""",
+
+    // Johnson-Lindenstrauss ±1 projection: sign = md5("jl_<j>_<i>")
+    // first-4-hex-char parity (the LSH hyperplane derivation under its own
+    // namespace); same left-fold order as graft_dot
+    "embedding_jl_project" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+SELECT vec_id, CAST(j AS BIGINT) AS j,
+round(list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+  i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5('jl_' || j || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+    THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) / sqrt(16.0), 6) AS value
+FROM e, unnest(range(0, 16)) t(j)""",
+
+    // distance-distortion audit over the first-40 pair set; both distances
+    // from the shared identity ||a-b||^2 = a.a + b.b - 2 a.b
+    "embedding_jl_audit" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+v AS (SELECT vec_id, emb, list_transform(range(0, 16),
+  j -> list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5('jl_' || j || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) / sqrt(16.0)) AS proj
+  FROM e WHERE vec_id < 40),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  ${dotSql("a.emb", "b.emb")} AS oab, ${dotSql("a.emb", "a.emb")} AS oaa, ${dotSql("b.emb", "b.emb")} AS obb,
+  ${dotSql("a.proj", "b.proj")} AS pab, ${dotSql("a.proj", "a.proj")} AS paa, ${dotSql("b.proj", "b.proj")} AS pbb
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id,
+round(sqrt(oaa + obb - 2.0 * oab), 6) AS dist_orig,
+round(sqrt(paa + pbb - 2.0 * pab), 6) AS dist_proj,
+round(sqrt((paa + pbb - 2.0 * pab) / (oaa + obb - 2.0 * oab)), 6) AS ratio
+FROM p""",
 
     "sample_cluster_balance" ->
       s"""WITH km AS ($OracleKmeans)

@@ -625,4 +625,66 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("acos"))
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss row j over `dim` input dims:
+    * sign from md5("jl_<j>_<i>") first-4-hex-char parity — the LSH
+    * hyperplane derivation under its own namespace, computed once on the
+    * driver and shipped as a literal weight vector.
+    */
+  private def jlRow(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_${j}_$i".getBytes("UTF-8"))
+      if ((d(1) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** In-row projected vector: kOut codegen'd dot products against literal
+    * ±1 rows, scaled by 1/√kOut (Achlioptas' database-friendly JL family —
+    * E‖proj(a)−proj(b)‖² = ‖a−b‖²).
+    */
+  private def jlVec(emb: Column, kOut: Int, dim: Int): Column =
+    array((0 until kOut).map { j =>
+      dot(emb, typedLit(jlRow(j, dim))) / lit(math.sqrt(kOut.toDouble))
+    }: _*)
+
+  /** Johnson–Lindenstrauss random projection: every embedding reduced from
+    * `dim` to `kOut` dims by a deterministic ±1 sign matrix. A pure narrow
+    * map — literal weights, zero shuffle, one codegen'd dot kernel per
+    * output dim — so at 100 TB the projection is free relative to the scan
+    * and every downstream pairwise op (ANN, near-dup, clustering) pays
+    * dim/kOut× less arithmetic and memory. Output exploded to
+    * (vec_id, j, value) rows for engine-agnostic comparison.
+    */
+  def jlProject(spark: SparkSession, dir: String, kOut: Int = 16, dim: Int = 64): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(jlVec(col("embedding"), kOut, dim)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"), round(col("col"), 6).as("value"))
+
+  /** The est-vs-exact audit that licenses the projection (the minhash/KMV
+    * discipline): for every pair of the first `nVecs` vectors, the true
+    * euclidean distance, the projected distance, and their ratio. Both
+    * distances are computed from the SAME dot-product identity
+    * ‖a−b‖² = a·a + b·b − 2·a·b so engine and oracle share the float
+    * path; the pair join is a broadcast of nVecs in-row-projected rows —
+    * the audit never touches the corpus beyond its sample.
+    */
+  def jlAudit(spark: SparkSession, dir: String, nVecs: Int = 40,
+              kOut: Int = 16, dim: Int = 64): DataFrame = {
+    val v = embeddings(spark, dir).filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), col("embedding").as("emb"),
+        jlVec(col("embedding"), kOut, dim).as("proj"))
+    val a = v.select(col("vec_id").as("a_id"), col("emb").as("ae"), col("proj").as("ap"))
+    val b = v.select(col("vec_id").as("b_id"), col("emb").as("be"), col("proj").as("bp"))
+    def dist2(x: Column, y: Column, xy: Column) = x + y - lit(2.0) * xy
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        dist2(dot(col("ae"), col("ae")), dot(col("be"), col("be")),
+          dot(col("ae"), col("be"))).as("d2o"),
+        dist2(dot(col("ap"), col("ap")), dot(col("bp"), col("bp")),
+          dot(col("ap"), col("bp"))).as("d2p"))
+      .select(col("a_id"), col("b_id"),
+        round(sqrt(col("d2o")), 6).as("dist_orig"),
+        round(sqrt(col("d2p")), 6).as("dist_proj"),
+        round(sqrt(col("d2p") / col("d2o")), 6).as("ratio"))
+  }
 }
