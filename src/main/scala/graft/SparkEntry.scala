@@ -141,6 +141,7 @@ object SparkEntry {
     "sketch_kmv_distinct"  -> ((s, d) => graft.pipeline.Sketches.kmvDistinct(s, d)),
     "sketch_kmv_overlap"   -> ((s, d) => graft.pipeline.Sketches.kmvOverlap(s, d)),
     "sample_bottomk"       -> ((s, d) => T.bottomKSample(s, d)),
+    "sample_epoch_shuffle" -> ((s, d) => T.epochShuffle(s, d)),
     "text_kl_per_source"   -> ((s, d) => T.klPerSource(s, d)),
     "multimodal_features"  -> ((s, d) => T.multimodalFeatures(s, d)),
     "text_pii_redact"      -> ((s, d) => T.piiRedact(s, d)),
@@ -1450,6 +1451,16 @@ SELECT doc_id, tok, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5""",
     PARTITION BY source ORDER BY ${MD5P("CAST(doc_id AS VARCHAR)")}, doc_id) AS smp_rank
   FROM documents)
 WHERE smp_rank <= 50""",
+
+    // per-epoch deterministic shuffle: shard = hash(epoch, doc) mod 8,
+    // order = hash rank within the shard
+    "sample_epoch_shuffle" ->
+      s"""WITH d AS (SELECT doc_id, epoch FROM documents, unnest(range(0, 3)) t(epoch)),
+h AS (SELECT epoch, doc_id, ${MD5P("'ep_' || epoch || '_' || doc_id")} AS h FROM d),
+s AS (SELECT epoch, doc_id, h, h % 8 AS shard FROM h)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, CAST(shard AS BIGINT) AS shard,
+CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS ord
+FROM s""",
 
     "sketch_kmv_distinct" ->
       s"""WITH uh AS (SELECT DISTINCT event_type, ${MD5P15("CAST(user_id AS VARCHAR)")} AS h FROM events),

@@ -188,6 +188,32 @@ object TextPipeline {
     * rows — Spark runs the rank-limit window with per-partition
     * early-stop, never a global sort.
     */
+  /** Per-epoch deterministic shuffle: every training epoch gets its own
+    * reproducible corpus ordering — shard = hash(epoch, doc) mod nShards,
+    * order = hash rank WITHIN the shard — with membership identical across
+    * epochs and orderings decorrelated between them (the data-ordering
+    * contract LLM training needs: no epoch sees the corpus in the same
+    * order, every run sees the same orders). At scale this is the honest
+    * construction: a 100 TB corpus is never globally sorted — readers
+    * consume shards independently, each shard's order is a bounded local
+    * sort, and the (epoch, shard) exchange is the only movement. Re-runs
+    * and stragglers reproduce the exact same schedule from the hash alone.
+    */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   nEpochs: Int = 3, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perShard = Window.partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(nEpochs - 1))).as("epoch"))
+      .withColumn("h", md5Prefix64(
+        concat_ws("_", lit("ep"), col("epoch"), col("doc_id"))))
+      .withColumn("shard", (col("h") % nShards).cast("long"))
+      .withColumn("ord", row_number().over(perShard).cast("long"))
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        col("shard"), col("ord"))
+  }
+
   def bottomKSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySource = Window.partitionBy("source")

@@ -1167,4 +1167,36 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
     assert(fullIds.nonEmpty)
   }
+
+  test("epoch shuffle: identical membership, dense per-shard orders, decorrelated epochs") {
+    val d = sf("documents")
+    val rows = TextPipeline.epochShuffle(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val allDocs = graft.Tables.documents(spark, d).select("doc_id")
+      .as[Long].collect().toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (ep, rs) =>
+      // every doc exactly once per epoch
+      assert(rs.map(_._2).toSet == allDocs && rs.length == allDocs.size,
+        s"epoch $ep membership broken")
+      // orders dense 1..size within every shard
+      rs.groupBy(_._3).foreach { case (sh, srs) =>
+        assert(srs.map(_._4).sorted.toSeq == (1L to srs.length).toSeq,
+          s"epoch $ep shard $sh order not dense")
+      }
+      // hash sharding spreads: no shard takes more than half the corpus
+      assert(rs.groupBy(_._3).values.map(_.size).max <= allDocs.size / 2)
+    }
+    // epochs are decorrelated: most docs land at a different (shard, ord)
+    // slot in the next epoch
+    val slot0 = byEpoch(0L).map(r => r._2 -> ((r._3, r._4))).toMap
+    val slot1 = byEpoch(1L).map(r => r._2 -> ((r._3, r._4))).toMap
+    val same = allDocs.count(id => slot0(id) == slot1(id))
+    assert(same < allDocs.size / 10,
+      s"epochs not decorrelated: $same/${allDocs.size} docs kept their slot")
+    // deterministic: a second evaluation is identical
+    assert(TextPipeline.epochShuffle(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
+  }
 }
