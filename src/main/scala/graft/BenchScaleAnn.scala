@@ -70,6 +70,11 @@ object BenchScaleAnn {
     // beat (one pass, tiny probe side); the blocked methods' structural
     // win — each query touches nProbe/nCells of the corpus — shows under
     // query LOAD, so the artifact records both
+    // JL two-stage: candidate depth = 2.5% of the scaled corpus — the
+    // touch fraction is recorded and the recall gate is relative to it
+    val baseCount = Tables.embeddings(spark, sfDir).count()
+    val jlDepth = ((baseCount * factor) / 40).toInt.max(100)
+
     def variants(nq: Int): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "brute" -> (() => pipeline.Similarity.bruteForceTopKFrom(scaledVecs, nQueries = nq)),
       "lsh"   -> (() => pipeline.Similarity.lshTopKFrom(scaledVecs, nQueries = nq)),
@@ -77,7 +82,8 @@ object BenchScaleAnn {
       "ivf"   -> (() => pipeline.Similarity.ivfTopKFrom(scaledVecs, nQueries = nq)),
       "quant" -> (() => pipeline.Similarity.quantTopKFrom(scaledVecs, nQueries = nq)),
       "pq"    -> (() => pipeline.Similarity.pqTopKFrom(scaledVecs, nQueries = nq)),
-      "ivfpq" -> (() => pipeline.Similarity.ivfPqTopKFrom(scaledVecs, nQueries = nq)))
+      "ivfpq" -> (() => pipeline.Similarity.ivfPqTopKFrom(scaledVecs, nQueries = nq)),
+      "jl_rr" -> (() => pipeline.Similarity.jlRerankFrom(scaledVecs, nQueries = nq, depth = jlDepth)))
 
     // warm code paths once so JIT/codegen is off the clock
     variants(10).foreach { case (_, fn) =>
@@ -109,7 +115,8 @@ object BenchScaleAnn {
       "ivf"   -> pairSet(pipeline.Similarity.ivfTopKFrom(scaledVecs)),
       "quant" -> pairSet(pipeline.Similarity.quantTopKFrom(scaledVecs)),
       "pq"    -> pairSet(pipeline.Similarity.pqTopKFrom(scaledVecs)),
-      "ivfpq" -> pairSet(pipeline.Similarity.ivfPqTopKFrom(scaledVecs)))
+      "ivfpq" -> pairSet(pipeline.Similarity.ivfPqTopKFrom(scaledVecs)),
+      "jl_rr" -> pairSet(pipeline.Similarity.jlRerankFrom(scaledVecs, depth = jlDepth)))
       .map { case (n, s) =>
         (n, (brute intersect s).size.toDouble / brute.size, s.size.toLong)
       }
@@ -119,7 +126,8 @@ object BenchScaleAnn {
       val tl = timesLoaded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val rc = recalls.map { case (k, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
       s"""{"metric":"scale_sweep_ann","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
-        s""""times_sec_q10":$ts,"times_sec_q500":$tl,"recall_vs_brute":$rc,"brute_pairs":${brute.size}}"""
+        s""""times_sec_q10":$ts,"times_sec_q500":$tl,"recall_vs_brute":$rc,"brute_pairs":${brute.size},""" +
+        s""""jl_depth":$jlDepth,"jl_touch":${jlDepth.toDouble / (baseCount * factor)}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_ann.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -130,5 +138,12 @@ object BenchScaleAnn {
       recalls.collectFirst { case ("ivf", _, n) => n }.get,
       recalls.collectFirst { case ("pq", r, _) => r }.get,
       recalls.collectFirst { case ("ivfpq", _, n) => n }.get)
+    // JL rerank signal gate: recall must clearly beat its candidate-touch
+    // fraction (a random depth-sized candidate set scores ~touch)
+    val jlRecall = recalls.collectFirst { case ("jl_rr", r, _) => r }.get
+    val jlTouch = jlDepth.toDouble / (baseCount * factor)
+    if (jlRecall < (4 * jlTouch).max(0.2))
+      throw new IllegalStateException(
+        s"JL rerank recall $jlRecall carries no signal over touch $jlTouch: run INVALID")
   }
 }

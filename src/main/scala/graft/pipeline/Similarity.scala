@@ -694,8 +694,12 @@ object Similarity {
     * recall of the true top-5 at depth 100: 0.70.
     */
   def jlRerank(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-               depth: Int = 100, kOut: Int = 16, dim: Int = 64): DataFrame = {
-    val base = embeddings(spark, dir)
+               depth: Int = 100, kOut: Int = 16, dim: Int = 64): DataFrame =
+    jlRerankFrom(embeddings(spark, dir), nQueries, k, depth, kOut, dim)
+
+  def jlRerankFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                   depth: Int = 100, kOut: Int = 16, dim: Int = 64): DataFrame = {
+    val base = raw
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         jlVec(col("embedding"), kOut, dim).as("proj"))
       .withColumn("pn", norm(col("proj")))
