@@ -204,6 +204,7 @@ object SparkEntry {
     "layout_zorder"        -> ((s, d) => graft.operators.Layout.zorderKey(s, d)),
     "layout_bucketed_join" -> ((s, d) => graft.operators.Layout.bucketedJoin(s, d)),
     "layout_partitioned"   -> ((s, d) => graft.operators.Layout.partitionPrunedMonth(s, d)),
+    "layout_dpp"           -> ((s, d) => graft.operators.Layout.dppQuarterJoin(s, d)),
     "text_topngram_frac"   -> ((s, d) => T.topNgramCoverage(s, d)),
     "text_keyphrases"      -> ((s, d) => T.rakeKeyphrases(s, d)),
     "graph_pagerank"       -> ((s, d) => graft.pipeline.Graph.pageRank(s, d)),
@@ -2063,6 +2064,19 @@ FROM deg LEFT JOIN tv ON deg.v = tv.v""",
 CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
 FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1997-03'
 GROUP BY l_returnflag""",
+
+    // dynamic partition pruning: the quarter predicate arrives through the
+    // joined calendar dim, never as a literal on the fact
+    "layout_dpp" ->
+      s"""WITH cal AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS cal_month
+  FROM orders
+  WHERE CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-Q' ||
+        CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) = '1997-Q1')
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS line_ct,
+CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
+FROM lineitem JOIN cal ON strftime(l_shipdate, '%Y-%m') = cal_month
+GROUP BY 1""",
 
     "text_keyphrases" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

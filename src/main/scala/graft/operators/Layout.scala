@@ -178,6 +178,34 @@ object Layout {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
+  /** Dynamic partition pruning — the fourth leg of the layout family: the
+    * month predicate is NOT a literal on the fact but lives on a joined
+    * calendar dim (filter by quarter), the lake-house norm where facts are
+    * date-partitioned and predicates arrive through dimension attributes.
+    * Catalyst broadcasts the filtered dim, derives a runtime IN-subquery
+    * on the partition column (`dynamicpruningexpression` in the scan's
+    * PartitionFilters — spec-asserted), and the fact scan reads only the
+    * quarter's three directories. At 100 TB this is static pruning's power
+    * without rewriting every consumer to carry literal date bounds.
+    * Reuses `partitionPrunedMonth`'s write-once partitioned layout.
+    */
+  def dppQuarterJoin(spark: SparkSession, dir: String,
+                     quarterLabel: String = "1997-Q1"): DataFrame = {
+    partitionPrunedMonth(spark, dir) // ensures the partitioned copy exists
+    val base = spark.conf.get("graft.layout.partitionedDir").split('#')(1)
+    val cal = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("cal_month"),
+        concat(year(col("o_orderdate")), lit("-Q"), quarter(col("o_orderdate")))
+          .as("cal_quarter"))
+      .distinct()
+      .filter(col("cal_quarter") === quarterLabel)
+    spark.read.parquet(s"$base/lineitem")
+      .join(broadcast(cal), col("ship_month") === col("cal_month"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
   def zorderLayout(df: DataFrame, dimA: String, dimB: String,
                    buckets: Int = 32): DataFrame = {
     val keyed = df.withColumn("__z", zInterleave(col(dimA), col(dimB)))

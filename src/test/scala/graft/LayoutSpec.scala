@@ -166,6 +166,25 @@ class LayoutSpec extends SparkSpecBase {
     assert(spark.conf.getOption("graft.layout.partitionedDir") == marker)
   }
 
+  test("dynamic partition pruning: dim-side quarter filter prunes the fact scan at runtime") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.Layout.dppQuarterJoin(spark, d)
+    val rows = df.as[(String, Long, Double)].collect()
+    // the quarter's three months, via the dim join, no literal on the fact
+    assert(rows.map(_._1).sorted.toSeq == Seq("1997-01", "1997-02", "1997-03"))
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan carries no runtime partition pruning subquery:\n$plan")
+    // semantics: per-month rows replay against the unpartitioned table
+    val want = graft.Tables.lineitem(spark, d)
+      .filter(date_format($"l_shipdate", "yyyy-MM").isin("1997-01", "1997-02", "1997-03"))
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("m"))
+      .agg(count(lit(1)).cast("long"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows.toSet == want)
+  }
+
   test("saltedDistinctCount is exact, including on a single hot key") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(5000)(("hot", rnd.nextInt(700).toLong)) ++
