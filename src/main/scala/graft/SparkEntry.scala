@@ -205,6 +205,7 @@ object SparkEntry {
     "layout_bucketed_join" -> ((s, d) => graft.operators.Layout.bucketedJoin(s, d)),
     "layout_partitioned"   -> ((s, d) => graft.operators.Layout.partitionPrunedMonth(s, d)),
     "layout_dpp"           -> ((s, d) => graft.operators.Layout.dppQuarterJoin(s, d)),
+    "quality_expectations" -> ((s, d) => graft.operators.Layout.expectations(s, d)),
     "text_topngram_frac"   -> ((s, d) => T.topNgramCoverage(s, d)),
     "text_keyphrases"      -> ((s, d) => T.rakeKeyphrases(s, d)),
     "graph_pagerank"       -> ((s, d) => graft.pipeline.Graph.pageRank(s, d)),
@@ -2077,6 +2078,26 @@ SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS line_ct,
 CAST(SUM(${DEC("l_extendedprice")}) AS DOUBLE) AS revenue
 FROM lineitem JOIN cal ON strftime(l_shipdate, '%Y-%m') = cal_month
 GROUP BY 1""",
+
+    // data-quality expectation suite: one report row per rule
+    "quality_expectations" ->
+      s"""SELECT 'lineitem.l_quantity.range_1_50' AS rule,
+  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violation_ct,
+  CAST(COUNT(*) AS BIGINT) AS checked_ct FROM lineitem
+UNION ALL SELECT 'lineitem.l_discount.max_0.07',
+  CAST(SUM(CASE WHEN l_discount > 0.07 THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'supplier.s_acctbal.nonnegative',
+  CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM supplier
+UNION ALL SELECT 'documents.n_chars.positive',
+  CAST(SUM(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM documents
+UNION ALL SELECT 'events.value.nonnull',
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM events
+UNION ALL SELECT 'orders.o_orderkey.unique',
+  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL SELECT 'orders.o_custkey.fk_customer',
+  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT)""",
 
     "text_keyphrases" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

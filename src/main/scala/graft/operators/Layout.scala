@@ -178,6 +178,53 @@ object Layout {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
+  /** Data-quality expectation suite — the validation gate a pipeline runs
+    * before training or publishing: each rule is one bounded aggregate
+    * (range / uniqueness / referential integrity / non-null), emitted as
+    * a (rule, violation_ct, checked_ct) report row. Every check is a
+    * column-pruned scan with a map-side-combinable count — the whole
+    * suite costs one pass per referenced column set, embarrassingly
+    * parallel at any scale; the FK check is a left_anti against the
+    * (gated-broadcast) key side. Rules that PASS on this corpus (pk
+    * unique, fk closed) and rules that FAIL (tight ranges) both appear —
+    * a report that can only say "ok" is not a gate.
+    */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    def report(rule: String, checked: DataFrame, violation: Column): DataFrame =
+      checked.agg(
+        sum(when(violation, 1L).otherwise(0L)).as("violation_ct"),
+        count(lit(1)).as("checked_ct"))
+        .select(lit(rule).as("rule"), col("violation_ct"), col("checked_ct"))
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val pkDup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, col("n"))).as("violation_ct"),
+        count(lit(1)).as("checked_ct"))
+      .select(lit("orders.o_orderkey.unique").as("rule"),
+        coalesce(col("violation_ct"), lit(0L)).as("violation_ct"), col("checked_ct"))
+    val fkOrphans = o.select(col("o_custkey"))
+      .join(maybeBroadcast(Tables.customer(spark, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violation_ct"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("checked_ct"))))
+      .select(lit("orders.o_custkey.fk_customer").as("rule"),
+        col("violation_ct"), col("checked_ct"))
+    Seq(
+      report("lineitem.l_quantity.range_1_50", l.select(col("l_quantity")),
+        col("l_quantity") < 1 || col("l_quantity") > 50),
+      report("lineitem.l_discount.max_0.07", l.select(col("l_discount")),
+        col("l_discount") > 0.07),
+      report("supplier.s_acctbal.nonnegative",
+        Tables.supplier(spark, dir).select(col("s_acctbal")), col("s_acctbal") < 0),
+      report("documents.n_chars.positive",
+        Tables.documents(spark, dir).select(col("n_chars")), col("n_chars") <= 0),
+      report("events.value.nonnull",
+        Tables.events(spark, dir).select(col("value")), col("value").isNull),
+      pkDup, fkOrphans
+    ).reduce(_ unionByName _)
+  }
+
   /** Dynamic partition pruning — the fourth leg of the layout family: the
     * month predicate is NOT a literal on the fact but lives on a joined
     * calendar dim (filter by quarter), the lake-house norm where facts are

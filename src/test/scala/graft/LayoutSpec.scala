@@ -185,6 +185,29 @@ class LayoutSpec extends SparkSpecBase {
     assert(rows.toSet == want)
   }
 
+  test("expectation suite: one row per rule, violations replay, denominators cover") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Layout.expectations(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 7)
+    val lineCt = graft.Tables.lineitem(spark, d).count()
+    val orderCt = graft.Tables.orders(spark, d).count()
+    // denominators are the full checked populations
+    assert(got("lineitem.l_quantity.range_1_50")._2 == lineCt)
+    assert(got("lineitem.l_discount.max_0.07")._2 == lineCt)
+    assert(got("orders.o_custkey.fk_customer")._2 == orderCt)
+    // clean-by-construction rules pass; the tight range genuinely fails
+    assert(got("lineitem.l_quantity.range_1_50")._1 == 0L)
+    assert(got("orders.o_orderkey.unique")._1 == 0L)
+    assert(got("orders.o_custkey.fk_customer")._1 == 0L)
+    assert(got("documents.n_chars.positive")._1 == 0L)
+    assert(got("events.value.nonnull")._1 == 0L)
+    val discViol = graft.Tables.lineitem(spark, d).filter($"l_discount" > 0.07).count()
+    assert(discViol > 0 && got("lineitem.l_discount.max_0.07")._1 == discViol)
+    val negBal = graft.Tables.supplier(spark, d).filter($"s_acctbal" < 0).count()
+    assert(got("supplier.s_acctbal.nonnegative")._1 == negBal)
+  }
+
   test("saltedDistinctCount is exact, including on a single hot key") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(5000)(("hot", rnd.nextInt(700).toLong)) ++
