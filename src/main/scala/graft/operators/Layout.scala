@@ -189,13 +189,29 @@ object Layout {
     * unique, fk closed) and rules that FAIL (tight ranges) both appear —
     * a report that can only say "ok" is not a gate.
     */
+  /** The rule-check core as a PURE dual-mode transform (the
+    * `profileStats` discipline): every rule contributes one conditional
+    * sum + one count to a single wide aggregate, stacked back to one
+    * report row per rule. Under `readStream` + complete output the same
+    * plan is a live expectations monitor — each emission reports
+    * everything ingested so far (parity-tested vs this batch rendering).
+    */
+  def expectationStats(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs: Seq[Column] = rules.zipWithIndex.flatMap { case ((_, cond), i) =>
+      Seq(coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"r${i}__v"),
+        count(lit(1)).as(s"r${i}__c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', r${i}__v, r${i}__c"
+    }.mkString(s"stack(${rules.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr as (rule, violation_ct, checked_ct)"))
+  }
+
   def expectations(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     def report(rule: String, checked: DataFrame, violation: Column): DataFrame =
-      checked.agg(
-        sum(when(violation, 1L).otherwise(0L)).as("violation_ct"),
-        count(lit(1)).as("checked_ct"))
-        .select(lit(rule).as("rule"), col("violation_ct"), col("checked_ct"))
+      expectationStats(checked, Seq(rule -> violation))
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val pkDup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))

@@ -448,6 +448,35 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batch, s"streamed profile $got != batch $batch")
   }
 
+  test("streaming expectations parity: the live rule monitor converges to the batch report") {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "events.value.nonnull" -> col("value").isNull,
+      "events.value.max_50" -> (col("value") > 50.0),
+      "events.event_type.known" -> !col("event_type").isin("view", "click", "purchase"))
+    val rows = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 400)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().toSeq
+    val batch = graft.operators.Layout.expectationStats(
+        rows.toDF("event_id", "event_type", "value"), rules)
+      .as[(String, Long, Long)].collect().toSet
+    // the fixture must exercise both outcomes
+    assert(batch.exists(_._2 > 0) && batch.exists(_._2 == 0))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val name = s"expsink${System.nanoTime()}"
+    val q = graft.operators.Layout.expectationStats(
+        input.toDF().toDF("event_id", "event_type", "value"), rules)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      input.addData(rows.take(150)); q.processAllAvailable()
+      input.addData(rows.drop(150)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[(String, Long, Long)].collect().toSet
+    assert(got == batch, s"streamed expectations $got != batch $batch")
+  }
+
   test("streaming CMS cells parity: micro-batch partials merge to the batch sketch") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
