@@ -40,6 +40,7 @@ object SparkEntry {
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
+    "mine_seq_rules"       -> ((s, d) => graft.pipeline.Mining.seqRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
     "q15_top_supplier"     -> ((s, d) => R.q15TopSupplier(s, d)),
     "q14_promo_share"      -> ((s, d) => R.q14PromoShare(s, d)),
@@ -599,6 +600,18 @@ SELECT ante, cons, pair_ct,
 round(CAST(pair_ct AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6) AS confidence,
 round(CAST(pair_ct AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(sa.supp AS DOUBLE) * CAST(sc.supp AS DOUBLE)), 6) AS lift
 FROM rules JOIN supp sa ON ante = sa.p JOIN supp sc ON cons = sc.p CROSS JOIN nb""",
+
+    // gap-window sequential rules: B within 3 events after A, same user
+    "mine_seq_rules" ->
+      s"""WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type, 1) OVER w AS n1, lead(event_type, 2) OVER w AS n2, lead(event_type, 3) OVER w AS n3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+pairs AS (SELECT event_type AS ante, n FROM seq, unnest([n1, n2, n3]) t(n) WHERE n IS NOT NULL),
+cnt AS (SELECT ante, n AS cons, CAST(COUNT(*) AS BIGINT) AS pair_ct FROM pairs GROUP BY 1, 2),
+asup AS (SELECT event_type AS ante, COUNT(*) AS ante_ct FROM events GROUP BY 1)
+SELECT ante, cons, pair_ct, round(CAST(pair_ct AS DOUBLE) / ante_ct, 6) AS confidence
+FROM cnt JOIN asup USING (ante)""",
 
     "q13_order_dist" ->
       s"""SELECT order_ct, COUNT(*) AS cust_ct FROM (

@@ -213,4 +213,33 @@ object Mining {
         round(col("pair_ct").cast("double") * lit(nBaskets.toDouble) /
           (col("supp_a").cast("double") * col("supp_c").cast("double")), 6).as("lift"))
   }
+
+  /** Gap-window sequential rules — the ORDER-aware complement of
+    * `assocRules` (co-occurrence within a basket) and the generalization
+    * of a20's lag-1 transition matrix: count every A→B where B occurs
+    * within `gap` events after A in the same user's timeline;
+    * confidence = pairs / occurrences(A). All `gap` leads share ONE
+    * user-keyed window node (plan-asserted), the pair fan-out is bounded
+    * at gap per event, and the output is catalog² rows. At scale: the
+    * per-user window exchange — the same shared shape a20/a21 ride — is
+    * the only corpus-sized movement; the antecedent-support table is a
+    * broadcast of |catalog| rows.
+    */
+  def seqRules(spark: SparkSession, dir: String, gap: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+    val pairs = ev
+      .select(col("event_type").as("ante"),
+        array((1 to gap).map(i => lead(col("event_type"), i).over(w)): _*).as("nexts"))
+      .select(col("ante"), explode(col("nexts")).as("cons"))
+      .filter(col("cons").isNotNull)
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("pair_ct"))
+    val anteSup = ev.groupBy(col("event_type").as("a2"))
+      .agg(count(lit(1)).as("ante_ct"))
+    pairs.join(broadcast(anteSup), col("ante") === col("a2")) // catalog-bounded
+      .select(col("ante"), col("cons"), col("pair_ct"),
+        round(col("pair_ct").cast("double") / col("ante_ct").cast("double"), 6)
+          .as("confidence"))
+  }
 }

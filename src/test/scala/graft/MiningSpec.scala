@@ -174,4 +174,34 @@ class MiningSpec extends SparkSpecBase {
         assert(twins.map(_._5).distinct.length == 1, "lift must be symmetric")
       }
   }
+
+  test("sequential rules: gap-3 pair counts replay, all leads share one Window node") {
+    val d = sf("events")
+    val got = Mining.seqRules(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // all three leads must plan into a single Window node
+    val plan = Mining.seqRules(spark, d).queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      s"gap leads must share one Window node:\n$plan")
+    // driver replay: per-user (ts, event_id)-ordered sequences, pairs
+    // within 3 positions
+    val ev = graft.Tables.events(spark, d)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+    ev.groupBy(_._1).foreach { case (_, rs) =>
+      val seq = rs.sortBy(r => (r._3.toString, r._4)).map(_._2)
+      for (i <- seq.indices; j <- (i + 1) to math.min(i + 3, seq.length - 1))
+        want((seq(i), seq(j))) = want.getOrElse((seq(i), seq(j)), 0L) + 1
+    }
+    val anteCt = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case ((a, c), (ct, conf)) =>
+      assert(ct == want((a, c)), s"($a,$c): $ct vs ${want((a, c))}")
+      val wantConf = BigDecimal(ct.toDouble / anteCt(a))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(conf == wantConf, s"($a,$c) confidence $conf vs $wantConf")
+    }
+  }
 }
