@@ -43,6 +43,7 @@ object BenchScaleTpch {
     val SHIFT = 1000000000L
 
     val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_tpch").toString
+    try {
     def shifted(name: String, keyCols: Seq[String]): Unit = {
       val t = Tables.table(spark, sfDir, name)
       val copies = (0 until factor).map { i =>
@@ -65,8 +66,12 @@ object BenchScaleTpch {
       "q20_excess_supp", "q21_waiting_supp")
       .map(n => n -> SparkEntry.queries(n))
 
+    // warm BOTH dir variants and let failures propagate: a broken query
+    // registration or unreadable scaled parquet must fail fast here, not
+    // surface later inside the timed loop (round-7 advice)
     family.foreach { case (_, mk) =>
-      try { exec(mk(spark, sfDir).limit(1)); () } catch { case _: Throwable => }
+      exec(mk(spark, sfDir).limit(1))
+      exec(mk(spark, scaledDir).limit(1))
     }
     drop(spark)
 
@@ -130,24 +135,9 @@ object BenchScaleTpch {
     val q20Exact = q20s == factor * q20b && q20b > 0
 
     // q21's top-20 LIMIT does not scale; gate the sole-late population
-    // itself (the q18 discipline): distinct late pairs in multi-supplier
-    // 'F' orders whose order has exactly one late supplier
-    def soleLateCount(dir: String): Long = {
-      val roster = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .groupBy(col("l_orderkey")).agg(countDistinct(col("l_suppkey")).as("n_supp"))
-      val late = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      late.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late"))
-        .filter(col("n_late") === 1)
-        .join(roster.filter(col("n_supp") > 1), "l_orderkey")
-        .count()
-    }
+    // itself (the q18 discipline), using the SAME helper the query
+    // aggregates — one definition of the ship-lag proxy (round-7 advice)
+    def soleLateCount(dir: String): Long = R.q21SoleLatePairs(spark, dir).count()
     val q21b = soleLateCount(sfDir)
     val q21s = soleLateCount(scaledDir)
     val q21Exact = q21s == factor * q21b && q21b > 0
@@ -180,5 +170,17 @@ object BenchScaleTpch {
     gate(q19Exact, s"q19 line count $q19b -> $q19s")
     gate(q20Exact, s"q20 dominant suppliers $q20b -> $q20s")
     gate(q21Exact, s"q21 sole-late population $q21b -> $q21s")
+    } finally {
+      // the ~10× scaled parquet copy is multi-GB at sweep SF; leaking one
+      // tree per run fills /tmp (round-7 advice)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(scaledDir))
+    }
   }
 }

@@ -951,7 +951,15 @@ object Relational {
     * At scale: three orderkey-keyed shuffles over id pairs — the
     * payload never travels.
     */
-  def q21WaitingSupp(spark: SparkSession, dir: String): DataFrame = {
+  /** q21's "sole-late pair" population: distinct (l_orderkey, l_suppkey)
+    * pairs in multi-supplier 'F'-status orders whose supplier is the ONLY
+    * one that shipped >45 days after the order date (the repo's ship-lag
+    * proxy for the receipt/commit columns the reduced schema lacks). This
+    * is the single definition of the proxy — `q21WaitingSupp` aggregates
+    * it and `BenchScaleTpch`'s ×factor gate counts it, so the two cannot
+    * silently diverge (round-7 advice).
+    */
+  def q21SoleLatePairs(spark: SparkSession, dir: String): DataFrame = {
     val roster = lineitem(spark, dir)
       .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk")).distinct()
     val late = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
@@ -967,6 +975,10 @@ object Relational {
     late
       .join(roster, col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"), "left_semi")
       .join(lateOther, col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"), "left_anti")
+  }
+
+  def q21WaitingSupp(spark: SparkSession, dir: String): DataFrame = {
+    q21SoleLatePairs(spark, dir)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(maybeBroadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),

@@ -664,10 +664,16 @@ class OperatorSpec extends SparkSpecBase {
     val d = sf("lineitem")
     // q6: all three predicates push into the parquet scan
     val q6 = Relational.q6ForecastRevenue(spark, d)
-    val q6plan = q6.queryExecution.executedPlan.toString
-    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
-      assert(q6plan.contains(s"PushedFilters: [") && q6plan.contains(c),
-        s"q6 scan must push $c:\n$q6plan")
+    // assert each predicate INSIDE the pushed set, not mere column mention
+    // (column names always appear in ReadSchema/Filter, so a contains-both
+    // check is vacuous — the round-7 advice). `toString` truncates the
+    // PushedFilters field at 100 chars, so use formatted explain (full list).
+    val q6plan = q6.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(q6plan.contains(p), s"q6 scan must push $p:\n$q6plan")
     val rows = graft.Tables.lineitem(spark, d)
       .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").collect()
       .filter { r =>
