@@ -101,19 +101,22 @@ object Bench {
       name -> timed(s"scale-mode $name", SparkEntry.queries(name))
     }
     graft.operators.Scale.scaleMode(spark, on = false)
-    // Reporting contract (round-3 directive): the driver captures only the
-    // TAIL of stdout, so `BENCH_r03.json` shipped with the front of the
-    // one-line JSON truncated ("parsed": null) and the total lost. Two
-    // channels now make that impossible:
-    //  1. the full (unrounded, incl. scale-mode appendix) JSON is WRITTEN
-    //     to `BENCH_FULL_<sf>.json` in the working directory — BASELINE.md
-    //     is regenerated from this file, never from an unlogged run. The
-    //     filename carries the scale factor because a shared name let the
-    //     verify recipe's sf0.001 smoke run clobber the recorded sf0.1
-    //     artifact BASELINE.md cites (round-5 incident);
-    //  2. the driver line is printed LAST, with per-query seconds rounded
-    //     to 4 decimals and the appendix left to the file, keeping the
-    //     line ~1.9 KB — well inside the driver's tail-capture window.
+    // Reporting contract (round-3 directive, tightened round 8): the driver
+    // captures only the LAST 2000 chars of stdout — every round whose final
+    // line exceeded that shipped "parsed": null (r01, r03–r07; only r02's
+    // 60-query line ever parsed). Two channels make the signal safe:
+    //  1. the full (unrounded, incl. scale-mode appendix, ALL queries) JSON
+    //     is WRITTEN to `BENCH_FULL_<sf>.json` in the working directory —
+    //     BASELINE.md is regenerated from this file, never from an unlogged
+    //     run. The filename carries the scale factor because a shared name
+    //     let the verify recipe's sf0.001 smoke run clobber the recorded
+    //     sf0.1 artifact BASELINE.md cites (round-5 incident);
+    //  2. the driver line is printed LAST and carries ONLY the 46-query
+    //     headline set (the queries the round-1 driver recording timed, so
+    //     cross-round shared-query ratios keep working) plus the all-query
+    //     total/count — ~1.5 KB, inside the 2000-char tail window. The
+    //     registry's other ~140 queries are still timed; their numbers
+    //     live in the full file.
     def fmt(v: Double): String =
       if (v < 0) "-1" else java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def toJson(rs: Iterable[(String, Double)], f: Double => String): String =
@@ -124,20 +127,42 @@ object Bench {
     def repsJson(rs: Seq[(String, Seq[Double])], f: Double => String): String =
       rs.map { case (k, ts) => "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
-    // per-rep times for the iterative family go on the driver line (small);
-    // the FULL file carries every query's rep vector
+    // per-rep times for the iterative family and the full per-query map go
+    // in the FULL file only — the driver line must stay under the 2000-char
+    // tail window (see reporting contract above)
     val iterativeReps = repResults.filter { case (k, _) => clusterCallers(k) }
     val iterationsJson = iterByQuery
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def line(f: Double => String, appendix: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(results, f)},"failed":$failed,""" +
-        s""""iterative":{"reps":${repsJson(iterativeReps, f)},"iterations":$iterationsJson}$appendix,"sf":"$sfDir"}"""
-    val full = line(_.toString,
-      s""","scale_mode":${toJson(scaleResults, _.toString)},"reps":${repsJson(repResults, _.toString)}""")
+    // the 46 queries the round-1 driver recording timed: the stable
+    // cross-round comparison set (extracted from BENCH_r01.json's tail)
+    val headline = Set(
+      "a4_keyword_stats", "p4_derived_cols", "dedup_minhash_lsh", "j4_bounce_detect",
+      "text_token_counts", "dedup_simhash_pairs", "multimodal_decode", "text_fingerprints",
+      "text_lang_id", "text_ngram_freq", "st1_is_new_fix", "p1_parse_clean",
+      "dedup_simhash", "dedup_minhash_sig", "p6_conditional_measure", "dedup_exact",
+      "a6_session_window", "a7_sliding_window", "text_quality_score", "dedup_embedding",
+      "ann_lsh_topk", "ann_brute_topk", "a5_top_brands", "st2_daily_uv",
+      "sql_keyword_lateral", "q5_region_revenue", "p8_explode_json", "dedup_ngram_jaccard",
+      "j1_interval_join", "ann_ivf_topk", "a5_gmv_by_day", "dedup_corpus_clean",
+      "u1_split_words", "p2_delete_filter", "multimodal_features", "a3_province_stats",
+      "a2_product_stats", "j2_interval_join_asym", "j3_dim_enrich", "q3_top_revenue",
+      "a1_visitor_stats", "sql_gmv_serving", "p3_column_prune", "q1_pricing_summary",
+      "sp1_log_split", "sp2_config_router")
+    val headlineResults = results.filter { case (k, _) => headline(k) }
+    def line(rs: Iterable[(String, Double)], f: Double => String, appendix: String): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${toJson(rs, f)},""" +
+        s""""queries_all":${results.size},"failed":$failed$appendix,"sf":"$sfDir"}"""
+    val full = line(results, _.toString,
+      s""","iterative":{"reps":${repsJson(iterativeReps, _.toString)},"iterations":$iterationsJson}""" +
+        s""","scale_mode":${toJson(scaleResults, _.toString)},"reps":${repsJson(repResults, _.toString)}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // nothing after this print: it must be the last stdout line
-    println(line(fmt, ""))
+    // nothing after this print: it must be the last stdout line, and it must
+    // fit the driver's 2000-char tail capture whole
+    val driverLine = line(headlineResults, fmt, "")
+    require(driverLine.length < 1950,
+      s"driver line ${driverLine.length} chars would be tail-truncated")
+    println(driverLine)
   }
 }
