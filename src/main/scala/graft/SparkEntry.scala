@@ -181,6 +181,11 @@ object SparkEntry {
     "ann_lsh_multiprobe"   -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "ann_pq_topk"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_ivfpq_topk"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ann_lsh_multitable"   -> ((s, d) => Similarity.lshMultiTableTopK(s, d)),
+    "ann_pq_tuned"         -> ((s, d) => Similarity.pqTopK(s, d, m = 32, ks = 16, iters = 2)),
+    "ann_ivfpq_tuned"      -> ((s, d) => Similarity.ivfPqTopK(s, d, m = 32, ks = 16, nProbe = 3, iters = 2, rerankDepth = 50)),
+    "ann_pq_rerank"        -> ((s, d) => Similarity.pqTopK(s, d, m = 32, ks = 16, iters = 2, rerankDepth = 50)),
+    "multimodal_wav_stats" -> ((s, d) => graft.pipeline.Multimodal.wavStats(s, d)),
     "ann_filtered_topk"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
@@ -350,25 +355,39 @@ bmr AS (SELECT query_id, doc_id, bm25,
     * first 16 vectors + one decimal-exact Lloyd iteration); `codes` is
     * the encoded corpus, `lut` the per-query partial-dot table.
     */
-  private lazy val OraclePqCtes =
-    s"""sub AS (SELECT vec_id, s, emb[(s*4+1):(s*4+4)] AS sub FROM n, unnest(range(0, 16)) t(s)),
+  private def oraclePqCtes(m: Int, ks: Int, iters: Int): String = {
+    val sd = 64 / m
+    // assignment CTE body against codebook `cn$i`
+    def assignFrom(c: String) =
+      s"""SELECT a.vec_id, a.s, a.sub, c.cell,
+    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
+  FROM sn a JOIN $c c ON a.s = c.s"""
+    // one unrolled Lloyd round: assign against cn(i-1), decimal-exact
+    // element means rounded 6dp, re-normed codebook cn(i)
+    def lloydSql(i: Int) =
+      s"""a$i AS (SELECT vec_id, s, sub, cell FROM (
+  ${assignFrom(s"cn${i - 1}")}) WHERE crk = 1),
+d$i AS (SELECT s, cell, i AS dim, CAST(sub[i] AS DECIMAL(28,12)) AS v FROM a$i, unnest(range(1, len(sub) + 1)) t(i)),
+mm$i AS (SELECT s, cell, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d$i GROUP BY s, cell, dim),
+cl$i AS (SELECT s, cell, list(mv ORDER BY dim) AS cs FROM mm$i GROUP BY s, cell),
+cn$i AS (SELECT s, cell, cs, sqrt(list_reduce(list_prepend(0.0, list_transform(cs, x -> x * x)), (a, b) -> a + b)) AS csn FROM cl$i)"""
+    s"""sub AS (SELECT vec_id, s, emb[(s*$sd+1):(s*$sd+$sd)] AS sub FROM n, unnest(range(0, $m)) t(s)),
 sn AS (SELECT vec_id, s, sub, sqrt(list_reduce(list_prepend(0.0, list_transform(sub, x -> x * x)), (a, b) -> a + b)) AS snrm FROM sub),
-c1 AS (SELECT s, vec_id AS cell, sub AS cs, snrm AS csn FROM sn WHERE vec_id < 16),
-a1 AS (SELECT vec_id, s, sub, cell FROM (
-  SELECT a.vec_id, a.s, a.sub, c.cell,
-    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
-  FROM sn a JOIN c1 c ON a.s = c.s) WHERE crk = 1),
-d AS (SELECT s, cell, i AS dim, CAST(sub[i] AS DECIMAL(28,12)) AS v FROM a1, unnest(range(1, len(sub) + 1)) t(i)),
-mm AS (SELECT s, cell, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY s, cell, dim),
-c2 AS (SELECT s, cell, list(mv ORDER BY dim) AS cs FROM mm GROUP BY s, cell),
-c2n AS (SELECT s, cell, cs, sqrt(list_reduce(list_prepend(0.0, list_transform(cs, x -> x * x)), (a, b) -> a + b)) AS csn FROM c2),
+cn0 AS (SELECT s, vec_id AS cell, sub AS cs, snrm AS csn FROM sn WHERE vec_id < $ks),
+${(1 to iters).map(lloydSql).mkString(",\n")},
 codes AS (SELECT vec_id, s, cell AS code FROM (
-  SELECT a.vec_id, a.s, c.cell,
-    row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY ${cosSql("a.sub", "c.cs", "a.snrm", "c.csn")} DESC, c.cell ASC) AS crk
-  FROM sn a JOIN c2n c ON a.s = c.s) WHERE crk = 1),
+  ${assignFrom(s"cn$iters")}) WHERE crk = 1),
 lut AS (SELECT q.vec_id AS query_id, q.s, c.cell,
   CAST(round(list_reduce(list_prepend(0.0, list_transform(list_zip(q.sub, c.cs), p -> p[1] * p[2])), (a, b) -> a + b), 6) AS DECIMAL(28,12)) AS pd
-  FROM sn q JOIN c2n c ON q.s = c.s WHERE q.vec_id < 10)"""
+  FROM sn q JOIN cn$iters c ON q.s = c.s WHERE q.vec_id < 10)"""
+  }
+
+  private lazy val OraclePqCtes = oraclePqCtes(16, 16, 1)
+  /** The tuned PQ operating point (sweep-gated recall): 32 subspaces of
+    * 2 dims — same total codebook size, 4× less quantization distortion
+    * per subspace — trained for 2 Lloyd rounds.
+    */
+  private lazy val OraclePqTunedCtes = oraclePqCtes(32, 16, 2)
 
   /** Norm-normalize summed ADC partials and rank — tail shared by the
     * two PQ oracles; expects a CTE `sc(query_id, neighbor_id, spd)`.
@@ -1816,6 +1835,93 @@ sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
   JOIN lut l ON l.query_id = p.p_query AND l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id
   GROUP BY 1, 2),
 $OraclePqFinish""",
+
+    // tuned PQ operating point: 32 subspaces × 2 dims, 2 Lloyd rounds —
+    // same machinery, the parameters the ANN scale sweep gates recall on
+    "ann_pq_tuned" ->
+      s"""WITH $embNorms,
+$OraclePqTunedCtes,
+sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
+  FROM codes k JOIN lut l ON l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id GROUP BY 1, 2),
+$OraclePqFinish""",
+
+    // the gated sweep config exactly: tuned codebook + nProbe 3 coarse
+    // pruning + depth-50 exact rerank (FAISS IVF-PQ + refine)
+    "ann_ivfpq_tuned" ->
+      s"""WITH $embNorms,
+$OraclePqTunedCtes,
+icents AS (SELECT vec_id AS icell, emb AS ice, nrm AS icn FROM n WHERE vec_id < 8),
+irk AS (SELECT vec_id, icell, row_number() OVER (PARTITION BY vec_id ORDER BY icos DESC, icell ASC) AS icrk FROM
+  (SELECT a.vec_id, icell, ${cosSql("a.emb", "ice", "a.nrm", "icn")} AS icos FROM n a CROSS JOIN icents)),
+cellof AS (SELECT vec_id, icell FROM irk WHERE icrk = 1),
+iprobes AS (SELECT vec_id AS p_query, icell FROM irk WHERE vec_id < 10 AND icrk <= 3),
+sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
+  FROM codes k JOIN cellof co ON co.vec_id = k.vec_id JOIN iprobes p ON p.icell = co.icell
+  JOIN lut l ON l.query_id = p.p_query AND l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id
+  GROUP BY 1, 2),
+fin AS (SELECT query_id, neighbor_id, round(CAST(spd AS DOUBLE) / (qn.nrm * nn.nrm), 6) AS acos
+  FROM sc JOIN n qn ON qn.vec_id = sc.query_id JOIN n nn ON nn.vec_id = sc.neighbor_id),
+short AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id ASC) AS srnk FROM fin)
+  WHERE srnk <= 50),
+c AS (SELECT query_id, neighbor_id, ${cosSql("qn.emb", "nn.emb", "qn.nrm", "nn.nrm")} AS cos
+  FROM short JOIN n qn ON qn.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
+    // PQ-ADC shortlist (depth 50) + exact full-dim rerank — the FAISS
+    // refine composition; the shortlist ranks by the same acos as
+    // ann_pq_tuned, the final top-5 by true cosine
+    "ann_pq_rerank" ->
+      s"""WITH $embNorms,
+$OraclePqTunedCtes,
+sc AS (SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.pd) AS spd
+  FROM codes k JOIN lut l ON l.s = k.s AND l.cell = k.code AND k.vec_id <> l.query_id GROUP BY 1, 2),
+fin AS (SELECT query_id, neighbor_id, round(CAST(spd AS DOUBLE) / (qn.nrm * nn.nrm), 6) AS acos
+  FROM sc JOIN n qn ON qn.vec_id = sc.query_id JOIN n nn ON nn.vec_id = sc.neighbor_id),
+short AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id ASC) AS srnk FROM fin)
+  WHERE srnk <= 50),
+c AS (SELECT query_id, neighbor_id, ${cosSql("qn.emb", "nn.emb", "qn.nrm", "nn.nrm")} AS cos
+  FROM short JOIN n qn ON qn.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
+
+    // real WAV round-trip: engine synthesizes PCM, RIFF-encodes, chunk-
+    // walk decodes, aggregates integer-exactly; the oracle regenerates
+    // the closed-form samples directly — equality witnesses the codec
+    "multimodal_wav_stats" ->
+      """WITH s AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents),
+sm AS (SELECT doc_id, n, k, (doc_id * 7919 + k * 104729) % 65536 - 32768 AS v
+  FROM s, unnest(range(0, n)) t(k)),
+lg AS (SELECT doc_id, n, k, v, lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM sm),
+agg AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples, SUM(v) AS sum_amp, SUM(v * v) AS sum_sq,
+  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+  CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings
+  FROM lg GROUP BY doc_id)
+SELECT doc_id AS id, CAST(16000 AS BIGINT) AS sample_rate, n_samples,
+  round(CAST(sum_amp AS DOUBLE) / n_samples, 6) AS mean_amp,
+  round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
+  zero_crossings, peak FROM agg""",
+
+    // multi-table LSH: 4 independent 8-plane tables over disjoint slices
+    // of the hyperplane family (table t = planes t*8..t*8+7); candidates
+    // deduped across tables before the single scoring join
+    "ann_lsh_multitable" ->
+      s"""WITH $embNorms,
+nbt AS (SELECT vec_id, t, CAST(list_sum(list_transform(range(0, 8),
+  h -> CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64),
+    i -> emb[CAST(i AS INTEGER) + 1] * (CASE WHEN CAST(('0x' || substring(md5((t * 8 + h) || '_' || i), 1, 4)) AS BIGINT) % 2 = 0
+      THEN 1.0 ELSE -1.0 END))), (a, c) -> a + c) >= 0
+  THEN CAST(1 AS BIGINT) << h ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM n, unnest(range(0, 4)) tt(t)),
+q AS (SELECT vec_id AS query_id, t, bucket FROM nbt WHERE vec_id < 10),
+cand AS (SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+  FROM nbt a JOIN q USING (t, bucket) WHERE a.vec_id <> query_id),
+c AS (SELECT query_id, neighbor_id, ${cosSql("qn.emb", "nn.emb", "qn.nrm", "nn.nrm")} AS cos
+  FROM cand JOIN n qn ON qn.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM c)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= 5""",
 
     // add-one smoothing over the corpus vocabulary; per-token terms
     // rounded 10dp (they range to ~1e-9), decimal sum, 6dp final

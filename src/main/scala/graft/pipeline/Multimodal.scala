@@ -7,10 +7,6 @@ import graft.Tables
 /** Multimodal column plumbing: media as opaque `binary` + typed metadata,
   * decode/feature-extract as a per-partition batch transform.
   *
-  * The decode step itself is a STUB (this container ships no image/audio
-  * codecs): `decodeStub` produces deterministic pseudo-features from the
-  * bytes. Everything around it is the real production shape:
-  *
   *  - input contract:  (id LONG, media BINARY, media_type STRING)
   *  - output contract: (id LONG, media_type STRING, n_bytes LONG,
   *                      features ARRAY<FLOAT>)
@@ -18,8 +14,14 @@ import graft.Tables
   *    one decoder init per partition (model load, codec context), rows
   *    streamed through in batches, never collected to the driver.
   *
-  * Swapping in a real decoder means replacing `decodeStub` only; the
-  * schema, partitioning and per-partition lifecycle stay identical.
+  * The decode step dispatches on `media_type` (round 8 — no longer a
+  * stub): `audio/wav` payloads go through [[WavCodec]], a real pure-JVM
+  * RIFF/WAVE chunk-walking parser, and their features are audio
+  * statistics of the decoded PCM samples; any other content type falls
+  * back to a byte-histogram featurizer (a legitimate content-agnostic
+  * signature for unknown binaries, not a placeholder). Adding a format
+  * (PPM, PNG…) means adding a decoder + a `media_type` branch; schema,
+  * partitioning and per-partition lifecycle stay identical.
   */
 object Multimodal {
 
@@ -28,10 +30,11 @@ object Multimodal {
   case class MediaRow(id: Long, media: Array[Byte], media_type: String)
   case class FeatureRow(id: Long, media_type: String, n_bytes: Long, features: Array[Float])
 
-  /** Deterministic fake "decode": per-feature byte-histogram projections.
-    * Stands in for image resize/embed or audio frame-sample.
+  /** Content-type-agnostic fallback featurizer: normalized byte-histogram
+    * projections (formerly the documented decode stub; kept as the
+    * unknown-binary branch of the dispatch).
     */
-  private[pipeline] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+  private[pipeline] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
     val f = new Array[Float](FeatureDim)
     var i = 0
     while (i < bytes.length) {
@@ -45,17 +48,100 @@ object Multimodal {
     f
   }
 
+  /** Audio features from REAL decoded PCM: [mean, rms, zero-crossing
+    * rate, peak, quarter-band rms ×4], amplitudes normalized to [-1, 1].
+    */
+  private[pipeline] def wavFeatures(bytes: Array[Byte]): Array[Float] = {
+    val (_, s) = WavCodec.decode(bytes)
+    val n = s.length
+    val f = new Array[Float](FeatureDim)
+    if (n == 0) return f
+    var sum = 0L; var sq = 0.0; var zc = 0; var peak = 0
+    var i = 0
+    while (i < n) {
+      val v = s(i).toInt
+      sum += v; sq += v.toDouble * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    f(0) = (sum.toDouble / n / 32768.0).toFloat
+    f(1) = (math.sqrt(sq / n) / 32768.0).toFloat
+    f(2) = if (n > 1) zc.toFloat / (n - 1) else 0f
+    f(3) = peak / 32768.0f
+    var q = 0
+    while (q < 4) {
+      val from = q * n / 4; val until = (q + 1) * n / 4
+      var bsq = 0.0; var j = from
+      while (j < until) { bsq += s(j).toDouble * s(j); j += 1 }
+      f(4 + q) = if (until > from) (math.sqrt(bsq / (until - from)) / 32768.0).toFloat else 0f
+      q += 1
+    }
+    f
+  }
+
   /** Per-partition decode: one decoder context per partition, streaming
     * iterator in/out (constant memory regardless of partition size).
+    * Dispatch on content type — real WAV parse for `audio/wav`,
+    * byte-histogram signature otherwise.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // decoder/codec init happens HERE, once per partition
       rows.map { r =>
-        FeatureRow(r.id, r.media_type, r.media.length.toLong, decodeStub(r.media))
+        val feats =
+          if (r.media_type == "audio/wav") wavFeatures(r.media)
+          else byteHistogram(r.media)
+        FeatureRow(r.id, r.media_type, r.media.length.toLong, feats)
       }
     }
+  }
+
+  /** Deterministic per-document synthetic PCM: n = 200 + id%57 samples,
+    * s_k = ((id·7919 + k·104729) mod 65536) − 32768 — closed-form, so the
+    * DuckDB oracle regenerates the identical samples without touching the
+    * WAV bytes. The ENGINE path, by contrast, round-trips them through a
+    * real RIFF encode + chunk-walking decode, so oracle equality witnesses
+    * the codec, not just the arithmetic.
+    */
+  private[pipeline] def syntheticSamples(id: Long): Array[Short] = {
+    val n = (200 + id % 57).toInt
+    Array.tabulate(n)(k =>
+      (Math.floorMod(id * 7919L + k.toLong * 104729L, 65536L) - 32768L).toShort)
+  }
+
+  /** Oracle-gated WAV round-trip statistics: synthesize → RIFF-encode →
+    * chunk-walk decode → integer-exact sample aggregates; the division /
+    * sqrt / 6dp-round happen in Spark expressions (the engine-wide
+    * cross-engine float contract). `sample_rate` is the value PARSED from
+    * the fmt chunk — a constant only if the header survived the trip.
+    */
+  def wavStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec context init once per partition (decodeFeatures contract)
+        ids.map { id =>
+          val (rate, s) = WavCodec.decode(WavCodec.encode(syntheticSamples(id)))
+          var sum = 0L; var sq = 0L; var zc = 0L; var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sum += v; sq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          (id, rate.toLong, s.length.toLong, sum, sq, zc, peak)
+        }
+      }
+      .toDF("id", "sample_rate", "n_samples", "sum_amp", "sum_sq", "zero_crossings", "peak")
+    agg.select(col("id"), col("sample_rate"), col("n_samples"),
+      round(col("sum_amp").cast("double") / col("n_samples"), 6).as("mean_amp"),
+      round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6).as("rms"),
+      col("zero_crossings"), col("peak"))
   }
 
   /** documents.text as the stand-in binary payload → feature table. */
@@ -81,9 +167,10 @@ object Multimodal {
     * comes from metadata in production; sampling picks k uniformly spaced
     * indices j·(n−1)/(k−1) (every frame when n ≤ k), so clip length
     * doesn't change the downstream batch shape. Same per-partition
-    * decoder lifecycle as [[decodeFeatures]]; the per-frame decode is the
-    * documented stub over the frame's byte window, everything else —
-    * schema, explode shape, partitioning — is the production contract.
+    * decoder lifecycle as [[decodeFeatures]]; the per-frame featurizer is
+    * the byte-histogram signature over the frame's byte window (text
+    * payloads carry no codec), everything else — schema, explode shape,
+    * partitioning — is the production contract.
     */
   def sampleFrames(media: Dataset[MediaRow], k: Int = 4): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
@@ -97,7 +184,7 @@ object Multimodal {
         idxs.distinct.map { i =>
           val from = (i * FrameBytes).toInt
           val frame = r.media.slice(from, math.min(from + FrameBytes, r.media.length))
-          FrameRow(r.id, r.media_type, nFrames, i, i * FrameMs, decodeStub(frame))
+          FrameRow(r.id, r.media_type, nFrames, i, i * FrameMs, byteHistogram(frame))
         }
       }
     }

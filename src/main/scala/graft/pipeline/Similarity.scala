@@ -106,11 +106,14 @@ object Similarity {
     }
 
   /** Sign-bit LSH bucket id from `nPlanes` ±1 hyperplanes: one codegen'd
-    * dot product against a literal weight vector per plane.
+    * dot product against a literal weight vector per plane. `planeBase`
+    * offsets into the global hyperplane family so independent hash TABLES
+    * (multi-table LSH) draw disjoint plane sets; bit h of the bucket is
+    * plane `planeBase + h`.
     */
-  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int, planeBase: Int = 0): Column =
     (0 until nPlanes).map { h =>
-      when(call_function("graft_dot", emb, typedLit(hyperplane(h, dim))) >= 0,
+      when(call_function("graft_dot", emb, typedLit(hyperplane(planeBase + h, dim))) >= 0,
         shiftleft(lit(1L), h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -243,6 +246,58 @@ object Similarity {
     // no dedup needed: a neighbor lives in exactly one bucket, and the
     // probe set per query is distinct buckets — each (query, neighbor)
     // pair matches at most once
+    topK(scored, k)
+  }
+
+  /** Multi-TABLE sign-LSH top-k — the standard high-recall LSH
+    * construction (and the production operating point the scale sweep
+    * gates): `nTables` independent 2^nPlanes-bucket tables, each drawn
+    * from a disjoint slice of the deterministic hyperplane family
+    * (table t = planes [t·nPlanes, (t+1)·nPlanes)); a candidate is any
+    * vector sharing the query's bucket in ANY table. Where multi-probe
+    * repairs one-plane straddles inside a single table (recall
+    * 0.14 → 0.32 on the sweep corpus), independent tables multiply the
+    * miss probability: recall ≈ 1−(1−r₁)^L for single-table recall r₁,
+    * at candidate touch ≈ L/2^nPlanes of the corpus per query — at the
+    * sweep's L=8, b=8 that is ~3% touch for ~0.7 recall, vs 36% touch
+    * for the Hamming-≤3 multi-probe reaching the same recall. Corpus
+    * cost: the bucketing scan emits nTables id+bucket rows per vector
+    * (the vectors themselves are NOT replicated — candidates are id-only
+    * and deduped before the single scoring join, the minhash-band
+    * discipline), so the 100 TB shape is L narrow shuffle legs of
+    * 16-byte rows plus one bounded candidate join.
+    */
+  def lshMultiTableTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+                        k: Int = 5, nPlanes: Int = 8, nTables: Int = 4): DataFrame =
+    lshMultiTableTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, nPlanes, nTables)
+
+  def lshMultiTableTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
+                            nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val base = withNormsFrom(raw)
+    val dim = base.select(size(col("embedding"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    // one (vector, table) row per table — posexplode of the per-table
+    // bucket array computed in a single codegen'd projection
+    val e = base
+      .select(col("vec_id"), posexplode(array(
+        (0 until nTables).map(t => lshBucket(col("embedding"), nPlanes, dim, t * nPlanes)): _*)))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    // id-only candidates, deduped across tables BEFORE the vectors join:
+    // a neighbor colliding in 3 tables is scored once
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket"))
+      .join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRFromNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")).as("cos"))
     topK(scored, k)
   }
 
@@ -454,8 +509,9 @@ object Similarity {
     * cross-engine contract as `kmeansAssign`.
     */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-             m: Int = 16, ks: Int = 16): DataFrame =
-    pqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks)
+             m: Int = 16, ks: Int = 16, iters: Int = 1,
+             rerankDepth: Int = 0): DataFrame =
+    pqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks, iters, rerankDepth)
 
   /** Trained PQ state shared by `pqTopKFrom` and `ivfPqTopKFrom`:
     * `base` = (vec_id, emb, nrm) double-cast corpus, `codes` = the m
@@ -464,15 +520,17 @@ object Similarity {
   private case class PqModel(base: DataFrame, codes: DataFrame, lut: DataFrame)
 
   def pqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
-                 m: Int = 16, ks: Int = 16): DataFrame = {
-    val md = pqTrain(raw, nQueries, m, ks)
+                 m: Int = 16, ks: Int = 16, iters: Int = 1,
+                 rerankDepth: Int = 0): DataFrame = {
+    val md = pqTrain(raw, nQueries, m, ks, iters)
     // ADC scoring against the WHOLE corpus: one (candidate × query) row
     // with the m lookups fused into a single codegen'd decimal fold
     val spd = pqPacked(md, m, ks)
       .join(broadcast(pqLutPacked(md, ks)), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdcSum(m, ks).as("spd"))
-    pqFinish(spd, md.base, nQueries, k)
+    if (rerankDepth > 0) pqRerank(spd, md.base, nQueries, k, rerankDepth)
+    else pqFinish(spd, md.base, nQueries, k)
   }
 
   /** IVF-PQ: the coarse quantizer (same seeded cells + cosine assignment
@@ -486,13 +544,15 @@ object Similarity {
     * the final per-(query, candidate) decimal sum.
     */
   def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-                m: Int = 16, ks: Int = 16, nCells: Int = 8, nProbe: Int = 2): DataFrame =
-    ivfPqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks, nCells, nProbe)
+                m: Int = 16, ks: Int = 16, nCells: Int = 8, nProbe: Int = 2,
+                iters: Int = 1, rerankDepth: Int = 0): DataFrame =
+    ivfPqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks, nCells,
+      nProbe, iters, rerankDepth)
 
   def ivfPqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
                     m: Int = 16, ks: Int = 16, nCells: Int = 8,
-                    nProbe: Int = 2): DataFrame = {
-    val md = pqTrain(raw, nQueries, m, ks)
+                    nProbe: Int = 2, iters: Int = 1, rerankDepth: Int = 0): DataFrame = {
+    val md = pqTrain(raw, nQueries, m, ks, iters)
     // coarse quantizer over FULL vectors — identical contract to ivfTopK
     val cents = md.base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
@@ -514,7 +574,35 @@ object Similarity {
         col("p_query") === col("query_id") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdcSum(m, ks).as("spd"))
-    pqFinish(spd, md.base, nQueries, k)
+    if (rerankDepth > 0) pqRerank(spd, md.base, nQueries, k, rerankDepth)
+    else pqFinish(spd, md.base, nQueries, k)
+  }
+
+  /** ADC-shortlist + exact-rerank refine (the FAISS `refine` composition,
+    * and the tuned operating point the scale sweep gates): the PQ codes
+    * rank the corpus approximately, the top `depth` candidates per query
+    * are re-scored with TRUE full-dim cosine, and the final top-k comes
+    * from the exact scores. This is how production PQ recovers recall on
+    * low-margin corpora: ADC recall@depth is far higher than
+    * recall@k (the shortlist only needs to CONTAIN the true neighbors,
+    * not rank them), and the exact stage touches depth·nQueries vectors
+    * regardless of corpus size — the same bounded-rerank asymmetry as
+    * `jlRerank`/`retrieval_rerank`. At 100 TB the codes stay the stored
+    * scan representation; only the shortlist join reads float vectors.
+    */
+  private def pqRerank(spd: DataFrame, base: DataFrame, nQueries: Int,
+                       k: Int, depth: Int): DataFrame = {
+    val shortlist = pqFinish(spd, base, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("emb"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRFromNorms(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+    topK(scored, k)
   }
 
   /** Corpus codes packed to ONE row per vector: `pcodes[s+1]` = the
@@ -549,9 +637,17 @@ object Similarity {
     call_function("graft_pq_adc", col("pcodes"), col("plut"), lit(ks))
 
   /** Codebook training + corpus encoding + per-query ADC table — the
-    * shared front half of the PQ paths (doc on `pqTopK`).
+    * shared front half of the PQ paths (doc on `pqTopK`). `iters` Lloyd
+    * rounds refine the seeded codebook (each round: decimal-exact
+    * assignment + mean recompute, checkpointed so the lineage — and the
+    * double broadcast into codes/lut — doesn't recompute the chain);
+    * more rounds tighten each subspace's centroids around the data and
+    * directly raise ADC recall — the tuned operating point
+    * (`ann_pq_tuned`: m=32 2-dim subspaces, 2 rounds) is oracle-gated
+    * alongside the 1-round default.
     */
-  private def pqTrain(raw: DataFrame, nQueries: Int, m: Int, ks: Int): PqModel = {
+  private def pqTrain(raw: DataFrame, nQueries: Int, m: Int, ks: Int,
+                      iters: Int = 1): PqModel = {
     // double-cast once: all subspace math below matches the oracle's
     // double-list rendering bit-for-bit (same fold order as graft_dot)
     val base = raw.select(col("vec_id"),
@@ -581,9 +677,9 @@ object Similarity {
     val c1 = sub.filter(col("vec_id") < ks)
       .select(col("s").as("cs"), col("vec_id").as("cell"),
         col("sub").as("c_sub"), col("snrm").as("c_snrm"))
-    // one Lloyd iteration per subspace: decimal-exact element sums so the
+    // Lloyd iterations per subspace: decimal-exact element sums so the
     // trained codebook is deterministic under any partitioning
-    val c2 = assign(c1)
+    def lloydStep(cents: DataFrame): DataFrame = assign(cents)
       .select(col("s"), col("cell"), posexplode(col("sub")))
       .select(col("s"), col("cell"), col("pos"),
         col("col").cast("decimal(28,12)").as("v"))
@@ -596,12 +692,18 @@ object Similarity {
       .select(col("s").as("cs"), col("cell"),
         transform(col("dm"), x => x.getField("mv")).as("c_sub"))
       .select(col("cs"), col("cell"), col("c_sub"), norm(col("c_sub")).as("c_snrm"))
+    // checkpoint each round: the codebook is m·ks tiny rows but its lineage
+    // is a corpus-wide aggregation — and the final codebook feeds BOTH the
+    // encode assignment and the ADC table below
+    val trained = (1 to iters.max(1)).foldLeft(c1) { (c, _) =>
+      lloydStep(c).localCheckpoint()
+    }
     // the stored representation: m codes per vector (+ its true norm)
-    val codes = assign(c2).select(col("vec_id"), col("s"), col("cell").as("code"))
+    val codes = assign(trained).select(col("vec_id"), col("s"), col("cell").as("code"))
     // ADC lookup table: every query subvector × every centroid, built once
     val lut = sub.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("s").as("qs"), col("sub").as("q_sub"))
-      .join(broadcast(c2), col("qs") === col("cs"))
+      .join(broadcast(trained), col("qs") === col("cs"))
       .select(col("query_id"), col("qs"), col("cell"),
         round(dot(col("q_sub"), col("c_sub")), 6).cast("decimal(28,12)").as("pd"))
     PqModel(base, codes, lut)

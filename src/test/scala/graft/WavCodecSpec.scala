@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Multimodal, WavCodec}
+
+/** The real (non-stub) multimodal decoder: RIFF/WAVE round-trip, chunk
+  * walking over foreign chunks with odd-length padding, loud rejection
+  * of out-of-scope or corrupt payloads, and the `audio/wav` dispatch in
+  * `decodeFeatures`.
+  */
+class WavCodecSpec extends AnyFunSuite {
+
+  private val samples: Array[Short] =
+    Array.tabulate(331)(k => ((k * 7919 % 65536) - 32768).toShort)
+
+  test("encode/decode round-trip: samples and rate bit-exact") {
+    val bytes = WavCodec.encode(samples, 22050)
+    // standard minimal file: 44-byte header + 2 bytes per sample
+    assert(bytes.length == 44 + samples.length * 2)
+    val (rate, got) = WavCodec.decode(bytes)
+    assert(rate == 22050)
+    assert(got.toSeq == samples.toSeq)
+  }
+
+  test("chunk walker: foreign odd-sized chunk between fmt and data is skipped") {
+    val std = WavCodec.encode(samples)
+    // splice a 5-byte LIST chunk (odd → 1 pad byte) after fmt (ends at 36)
+    val foreign = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "junk!".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = std.slice(0, 36) ++ foreign ++ std.drop(36)
+    // patch the RIFF payload size (offset 4, little-endian)
+    val riffLen = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte
+    val (rate, got) = WavCodec.decode(spliced)
+    assert(rate == WavCodec.DefaultSampleRate)
+    assert(got.toSeq == samples.toSeq)
+  }
+
+  test("loud failures: truncation, wrong magic, stereo, float PCM") {
+    val std = WavCodec.encode(samples)
+    intercept[IllegalArgumentException](WavCodec.decode(std.take(30)))
+    val notRiff = std.clone(); notRiff(0) = 'X'.toByte
+    intercept[IllegalArgumentException](WavCodec.decode(notRiff))
+    val stereo = std.clone(); stereo(22) = 2 // channels field
+    intercept[IllegalArgumentException](WavCodec.decode(stereo))
+    val floatFmt = std.clone(); floatFmt(20) = 3 // IEEE-float format tag
+    intercept[IllegalArgumentException](WavCodec.decode(floatFmt))
+  }
+
+  test("decodeFeatures dispatches audio/wav through the real decoder") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wav = WavCodec.encode(samples)
+    val media = Seq(
+      Multimodal.MediaRow(1L, wav, "audio/wav"),
+      Multimodal.MediaRow(2L, wav, "application/octet-stream"))
+      .toDS()
+    val rows = Multimodal.decodeFeatures(media).collect().map(r => r.id -> r).toMap
+    val audio = rows(1L).features
+    // audio branch: f3 = peak/32768 from DECODED samples (header bytes
+    // excluded) — the byte-histogram of the same payload differs
+    val peak = samples.map(s => math.abs(s.toInt)).max
+    assert(math.abs(audio(3) - peak / 32768.0f) < 1e-6f)
+    assert(audio.toSeq != rows(2L).features.toSeq)
+    // zero-crossing rate is a real statistic of the PCM, in (0, 1]
+    assert(audio(2) > 0f && audio(2) <= 1f)
+  }
+}
