@@ -186,6 +186,7 @@ object SparkEntry {
     "ann_ivfpq_tuned"      -> ((s, d) => Similarity.ivfPqTopK(s, d, m = 32, ks = 16, nProbe = 3, iters = 2, rerankDepth = 50)),
     "ann_pq_rerank"        -> ((s, d) => Similarity.pqTopK(s, d, m = 32, ks = 16, iters = 2, rerankDepth = 50)),
     "multimodal_wav_stats" -> ((s, d) => graft.pipeline.Multimodal.wavStats(s, d)),
+    "multimodal_ppm_stats" -> ((s, d) => graft.pipeline.Multimodal.ppmStats(s, d)),
     "ann_filtered_topk"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
@@ -1903,6 +1904,26 @@ SELECT doc_id AS id, CAST(16000 AS BIGINT) AS sample_rate, n_samples,
   round(CAST(sum_amp AS DOUBLE) / n_samples, 6) AS mean_amp,
   round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
   zero_crossings, peak FROM agg""",
+
+    // real P6/PPM round-trip: engine synthesizes RGB, encodes a real
+    // Netpbm header + raster, header-parse decodes, aggregates channel
+    // sums integer-exactly; the oracle regenerates the closed-form pixels
+    "multimodal_ppm_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w, CAST(6 + doc_id % 7 AS BIGINT) AS h FROM documents),
+px AS (SELECT doc_id, w, h, idx, (doc_id * 31 + idx * 17) % 256 AS v, idx % 3 AS ch, idx // 3 AS p
+  FROM d, unnest(range(0, 3 * w * h)) t(idx)),
+pix AS (SELECT doc_id, w, h, p,
+  MAX(CASE WHEN ch = 0 THEN v END) AS r, MAX(CASE WHEN ch = 1 THEN v END) AS g,
+  MAX(CASE WHEN ch = 2 THEN v END) AS b FROM px GROUP BY doc_id, w, h, p),
+agg AS (SELECT doc_id, w, h, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+  SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb,
+  CAST(MAX(r * 299 + g * 587 + b * 114) AS BIGINT) AS max_luma_milli
+  FROM pix GROUP BY doc_id, w, h)
+SELECT doc_id AS id, w AS width, h AS height, n_pixels,
+  round(CAST(sr AS DOUBLE) / n_pixels, 6) AS mean_r,
+  round(CAST(sg AS DOUBLE) / n_pixels, 6) AS mean_g,
+  round(CAST(sb AS DOUBLE) / n_pixels, 6) AS mean_b,
+  max_luma_milli FROM agg""",
 
     // multi-table LSH: 4 independent 8-plane tables over disjoint slices
     // of the hyperplane family (table t = planes t*8..t*8+7); candidates

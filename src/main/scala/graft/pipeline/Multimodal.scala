@@ -80,19 +80,57 @@ object Multimodal {
     f
   }
 
+  /** Image features from REAL decoded P6 pixels: [mean R, mean G,
+    * mean B, mean luma, quadrant lumas ×4], channels normalized to
+    * [0, 1].
+    */
+  private[pipeline] def ppmFeatures(bytes: Array[Byte]): Array[Float] = {
+    val img = PpmCodec.decode(bytes)
+    val f = new Array[Float](FeatureDim)
+    val n = img.width * img.height
+    if (n == 0) return f
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val quad = new Array[Long](4)
+    val quadN = new Array[Long](4)
+    var p = 0
+    while (p < n) {
+      val r = img.rgb(3 * p) & 0xff
+      val g = img.rgb(3 * p + 1) & 0xff
+      val b = img.rgb(3 * p + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val x = p % img.width; val y = p / img.width
+      val q = (if (y * 2 >= img.height) 2 else 0) + (if (x * 2 >= img.width) 1 else 0)
+      quad(q) += (r * 299L + g * 587L + b * 114L) / 1000L
+      quadN(q) += 1
+      p += 1
+    }
+    f(0) = sr.toFloat / n / 255f
+    f(1) = sg.toFloat / n / 255f
+    f(2) = sb.toFloat / n / 255f
+    f(3) = (sr * 299L + sg * 587L + sb * 114L).toFloat / 1000f / n / 255f
+    var q = 0
+    while (q < 4) {
+      f(4 + q) = if (quadN(q) > 0) quad(q).toFloat / quadN(q) / 255f else 0f
+      q += 1
+    }
+    f
+  }
+
   /** Per-partition decode: one decoder context per partition, streaming
     * iterator in/out (constant memory regardless of partition size).
-    * Dispatch on content type — real WAV parse for `audio/wav`,
-    * byte-histogram signature otherwise.
+    * Dispatch on content type — real WAV parse for `audio/wav`, real P6
+    * parse for `image/ppm`, byte-histogram signature otherwise.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // decoder/codec init happens HERE, once per partition
       rows.map { r =>
-        val feats =
-          if (r.media_type == "audio/wav") wavFeatures(r.media)
-          else byteHistogram(r.media)
+        val feats = r.media_type match {
+          case "audio/wav" => wavFeatures(r.media)
+          case "image/ppm" => ppmFeatures(r.media)
+          case _           => byteHistogram(r.media)
+        }
         FeatureRow(r.id, r.media_type, r.media.length.toLong, feats)
       }
     }
@@ -152,6 +190,57 @@ object Multimodal {
         col("lang").as("media_type"))
       .as[MediaRow]
     decodeFeatures(media).toDF()
+  }
+
+  /** Deterministic per-document synthetic RGB raster: w = 8 + id%9,
+    * h = 6 + id%7, channel byte = (id·31 + idx·17) mod 256 at flat
+    * index idx = 3·(y·w + x) + c — closed-form for the oracle, real
+    * P6 round-trip for the engine (the [[syntheticSamples]] pattern).
+    */
+  private[pipeline] def syntheticImage(id: Long): PpmCodec.Image = {
+    val w = (8 + id % 9).toInt
+    val h = (6 + id % 7).toInt
+    val rgb = Array.tabulate(3 * w * h)(idx =>
+      Math.floorMod(id * 31L + idx.toLong * 17L, 256L).toByte)
+    PpmCodec.Image(w, h, rgb)
+  }
+
+  /** Oracle-gated PPM round-trip statistics: synthesize → P6-encode →
+    * header-parse decode → integer-exact channel aggregates; divisions
+    * and 6dp rounds in Spark expressions (the cross-engine contract).
+    * `width`/`height` are the values PARSED from the header, and
+    * `max_luma_milli` is the max of the integer luma 299·R+587·G+114·B
+    * over decoded pixels — header and raster both witnessed.
+    */
+  def ppmStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec context init once per partition (decodeFeatures contract)
+        ids.map { id =>
+          val img = PpmCodec.decode(PpmCodec.encode(syntheticImage(id)))
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
+          var p = 0
+          while (p < n) {
+            val r = img.rgb(3 * p) & 0xff
+            val g = img.rgb(3 * p + 1) & 0xff
+            val b = img.rgb(3 * p + 2) & 0xff
+            sr += r; sg += g; sb += b
+            val luma = r * 299L + g * 587L + b * 114L
+            if (luma > maxLuma) maxLuma = luma
+            p += 1
+          }
+          (id, img.width.toLong, img.height.toLong, n.toLong, sr, sg, sb, maxLuma)
+        }
+      }
+      .toDF("id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "max_luma_milli")
+    agg.select(col("id"), col("width"), col("height"), col("n_pixels"),
+      round(col("sum_r").cast("double") / col("n_pixels"), 6).as("mean_r"),
+      round(col("sum_g").cast("double") / col("n_pixels"), 6).as("mean_g"),
+      round(col("sum_b").cast("double") / col("n_pixels"), 6).as("mean_b"),
+      col("max_luma_milli"))
   }
 
   /** One sampled frame: position, time offset, decoded features. */

@@ -47,6 +47,25 @@ class WavCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(floatFmt))
   }
 
+  test("PPM round-trip: header + raster bit-exact; comments and whitespace tolerated") {
+    import graft.pipeline.PpmCodec
+    val img = PpmCodec.Image(5, 3,
+      Array.tabulate(45)(i => ((i * 37) % 256).toByte))
+    val std = PpmCodec.encode(img)
+    val got = PpmCodec.decode(std)
+    assert(got.width == 5 && got.height == 3 && got.rgb.toSeq == img.rgb.toSeq)
+    // a foreign-tool header: comment lines + mixed whitespace
+    val weird = ("P6 # binary pixmap\n# written by some tool\n 5\t3 # dims\n255\n"
+      .getBytes("US-ASCII")) ++ img.rgb
+    val got2 = PpmCodec.decode(weird)
+    assert(got2.width == 5 && got2.height == 3 && got2.rgb.toSeq == img.rgb.toSeq)
+    // loud failures: wrong magic, 16-bit maxval, truncated raster
+    intercept[IllegalArgumentException](PpmCodec.decode("P5\n1 1\n255\n0".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      PpmCodec.decode(("P6\n1 1\n65535\n" .getBytes("US-ASCII")) ++ Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](PpmCodec.decode(std.dropRight(1)))
+  }
+
   test("decodeFeatures dispatches audio/wav through the real decoder") {
     val spark = TestSpark.spark
     import spark.implicits._
