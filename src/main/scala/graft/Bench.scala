@@ -82,7 +82,17 @@ object Bench {
     // silently recorded its graph's count under dedup_clusters)
     val clusterCallers = Set("dedup_clusters", "er_entities")
     val iterByQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val repResults = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // local-iteration aid, NOT used by the driver: a comma-separated
+    // SPARK_GRAFT_BENCH_ONLY restricts the timed registry so a single
+    // query can be profiled in a fresh JVM (isolates it from the cache/GC
+    // pressure of the other ~190 — the r07 q1 "2×" investigation)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timedQueries = only match {
+      case Some(names) => SparkEntry.queries.toSeq.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries.toSeq
+    }
+    val repResults = timedQueries.map { case (name, fn) =>
       val r = name -> timedReps(name, fn)
       if (clusterCallers(name))
         iterByQuery(name) = graft.pipeline.Dedup.lastClusterIterations
@@ -95,7 +105,9 @@ object Bench {
     // mode") — sketch rewrites on — re-timing the queries whose plans the
     // rules change. Approximate results, so they are NOT the oracle-gated
     // numbers above; the appendix records the switch works and what it buys.
-    val scaleQueries = Seq("a2_product_stats", "a3_province_stats", "a8_percentiles")
+    val scaleQueries =
+      if (only.isDefined) Seq.empty[String] // profiling mode: appendix off
+      else Seq("a2_product_stats", "a3_province_stats", "a8_percentiles")
     graft.operators.Scale.scaleMode(spark) // the one-switch 100 TB profile
     val scaleResults = scaleQueries.map { name =>
       name -> timed(s"scale-mode $name", SparkEntry.queries(name))

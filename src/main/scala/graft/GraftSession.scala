@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // static conf, default 100: the Janino generated-class cache. The
+      // bench/verify registry compiles ~190 distinct plans, so at the
+      // default every rep of every query re-compiles its WholeStageCodegen
+      // classes after eviction (measured: q1 min-of-3 0.88 s inside the full
+      // registry vs 0.59 s isolated in a fresh JVM — the gap is cache
+      // thrash, not execution). A long-lived production session serving many
+      // distinct queries wants the same headroom; 2000 entries of generated
+      // classes is a few hundred MB of metaspace at worst.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

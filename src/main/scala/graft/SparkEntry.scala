@@ -110,6 +110,7 @@ object SparkEntry {
     "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
     "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
     "text_ngram_freq"      -> ((s, d) => T.ngramFrequency(s, d)),
+    "text_collocations"    -> ((s, d) => T.collocations(s, d)),
     "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
@@ -159,6 +160,8 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_prefix"   -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
+    "dedup_passage_strip"  -> ((s, d) => Dedup.passageDedupStrip(s, d)),
+    "dedup_jaccard_knn"    -> ((s, d) => Dedup.jaccardKnn(s, d)),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
@@ -1127,6 +1130,20 @@ AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 00:00:00')""",
 b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
 SELECT bigram, COUNT(*) AS ct FROM b GROUP BY bigram ORDER BY ct DESC, bigram ASC LIMIT 200""",
 
+    "text_collocations" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+cu AS (SELECT tok, COUNT(*) AS cu FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nt FROM cu),
+b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS pr
+FROM t WHERE len(toks) >= 2),
+cb AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c_ab FROM b GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b)
+SELECT w1 || ' ' || w2 AS bigram, c_ab,
+round(ln(((CAST(c_ab AS DOUBLE) * nt) * nt) / ((CAST(nb AS DOUBLE) * ca.cu) * cbu.cu)), 6) AS pmi
+FROM cb JOIN cu ca ON ca.tok = cb.w1 JOIN cu cbu ON cbu.tok = cb.w2
+CROSS JOIN nt CROSS JOIN nb
+ORDER BY pmi DESC, bigram ASC LIMIT 100""",
+
     "text_bpe_pairs" ->
       s"""WITH wf AS (SELECT tok AS word, COUNT(*) AS wf FROM (SELECT unnest($TOKS) AS tok FROM documents) GROUP BY tok),
 pr AS (SELECT wf, unnest(list_transform(range(1, len(word)), i -> substring(word, CAST(i AS INT), 2))) AS pair
@@ -1783,6 +1800,27 @@ FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1
     // the prefix-filtered join must produce the IDENTICAL pair set — same
     // oracle, independently gated
     "dedup_ngram_prefix" -> OracleNgramJaccard,
+
+    "dedup_passage_strip" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+p AS (SELECT doc_id, CAST(s // 32 AS BIGINT) AS pidx,
+array_to_string(list_slice(toks, s + 1, least(s + 32, n)), ' ') AS passage
+FROM nz, unnest(range(0, n, 32)) t(s)),
+r AS (SELECT doc_id, pidx, passage,
+row_number() OVER (PARTITION BY passage ORDER BY doc_id, pidx) AS rk FROM p)
+SELECT doc_id, COUNT(*) AS n_passages,
+CAST(COUNT(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+coalesce(array_to_string(list(passage ORDER BY pidx ASC) FILTER (WHERE rk = 1), ' '), '') AS text_clean
+FROM r GROUP BY doc_id""",
+
+    "dedup_jaccard_knn" ->
+      s"""WITH pairs AS ($OracleNgramJaccard),
+sym AS (SELECT doc_a, doc_b, jaccard FROM pairs
+UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b, jaccard FROM pairs),
+r AS (SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard,
+row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b ASC) AS rank FROM sym)
+SELECT doc_id, rank, neighbor, jaccard FROM r WHERE rank <= 3""",
 
     "dedup_embedding" ->
       s"""WITH $embNorms

@@ -52,6 +52,54 @@ object Dedup {
       .select(col("dup_ct"), col("n_groups"),
         (col("dup_ct") * col("n_groups")).as("n_docs"))
 
+  /** Passage-level exact dedup — the line/paragraph-granularity pass the
+    * C4/CCNet pipelines run between document-exact and near-dup dedup:
+    * boilerplate and mirrored passages repeat across otherwise-distinct
+    * documents, so dropping repeated PASSAGES removes text that
+    * document-level fingerprints can never catch. The corpus has no
+    * newline structure, so a "passage" is a fixed `width`-token window
+    * (the same segmentation contract as `TextPipeline.chunkDocuments`
+    * with stride = width).
+    *
+    * Keep rule: a passage survives iff its (doc_id, passage_idx) is the
+    * globally FIRST occurrence of its text — the deterministic
+    * keep-first-seen rule every distributed line-dedup uses (order by
+    * ingest key, not arrival). Survivors are reassembled in passage
+    * order; per-doc kept/total counts quantify the strip.
+    *
+    * Scale: ONE corpus shuffle keyed by the passage fingerprint (the
+    * row_number groups are duplicate sets — tiny), then one doc_id
+    * shuffle for reassembly. Same posture as `exact`, at passage
+    * granularity; no joins, no pairs.
+    */
+  def passageDedupStrip(spark: SparkSession, dir: String, width: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val passages = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(width))).as("start"))
+      .select(col("doc_id"), (col("start") / width).cast("long").as("pidx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(width))).as("passage"))
+    // first-occurrence rank inside each duplicate set; partitioning by the
+    // fingerprint keeps the shuffled key narrow while the per-group sort
+    // touches only the duplicate set's rows
+    val rk = row_number().over(
+      Window.partitionBy(md5(col("passage"))).orderBy(col("doc_id"), col("pidx")))
+    passages
+      .withColumn("rk", rk)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("pidx"), col("passage"))))),
+            s => s.getField("passage"))).as("text_clean"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Number of hash functions and LSH banding (16 bands × 4 rows). The
@@ -676,6 +724,36 @@ object Dedup {
   def ngramJaccardPrefix(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     // no spread: bagTable hash-partitions by doc_id itself
     ngramJaccardPrefixFrom(documents(spark, dir), threshold)
+
+  /** Exact threshold-kNN over token-bag Jaccard: for every document, its
+    * top-`k` most similar neighbors among pairs with similarity ≥
+    * `threshold` — the "find me this document's near-duplicates, ranked"
+    * retrieval shape (duplicate triage UIs, canonical-selection review).
+    *
+    * Built on the prefix-filtered pair join, which is EXACT for a
+    * threshold query (the prefix lemma prunes only pairs that cannot
+    * reach `threshold`), so the ranked lists are exact too — this is not
+    * an ANN: recall is 1.0 by construction. Pairs are symmetrized (each
+    * direction ranks independently) and cut per doc by a rank window the
+    * optimizer renders as WindowGroupLimit — each map task keeps its
+    * local top-k before the exchange, so the ranking shuffle carries
+    * O(k·partitions) rows per doc, never the full candidate fan-out.
+    * Ties break on neighbor id; similarity is the same 6-dp-rounded
+    * value the pair oracle gates, so ranking is engine-deterministic.
+    */
+  def jaccardKnn(spark: SparkSession, dir: String, k: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardPrefix(spark, dir, threshold).localCheckpoint()
+    val sym = pairs.unionByName(pairs.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("jaccard")))
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("jaccard").desc, col("doc_b").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_a").as("doc_id"), col("rank").cast("long").as("rank"),
+        col("doc_b").as("neighbor"), col("jaccard"))
+  }
 
   /** Core prefix-filtered join over any (doc_id, source, text) frame.
     *

@@ -56,6 +56,56 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Bigram collocation mining by pointwise mutual information — the
+    * classic corpus-linguistics ranking (Church & Hanks 1990) of word
+    * pairs that co-occur far more than their unigram frequencies
+    * predict. In a training-data pipeline this surfaces templated /
+    * boilerplate constructions and multi-word entities worth treating
+    * as single tokens. PMI = ln(P(ab) / (P(a)·P(b))) with P(ab) over
+    * the bigram stream and P(·) over the token stream, support-floored
+    * (`minCount`) so rare-pair noise can't dominate the top of the list.
+    *
+    * Scale: unigram and bigram count tables are both Heaps'-law-bounded
+    * (vocabulary-sized, not corpus-sized) after their one map-side-
+    * combinable aggregate each; the two unigram attaches ride the byte
+    * gate (broadcast now, SMJ past it), the two totals are 1-row
+    * broadcasts, and the top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). All multiplicands are exact
+    * integer-valued doubles far below 2^53 at any tested SF, so the
+    * 6-dp-rounded PMI is engine-deterministic.
+    */
+  def collocations(spark: SparkSession, dir: String, minCount: Long = 5,
+                   topK: Int = 100): DataFrame = {
+    val toks = spread(spark, documents(spark, dir))
+      .select(tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    // unigram counts feed two joins and the token total: pin once
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val ntRow = uni.agg(sum(col("cu")).as("nt"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint() // feeds the pair counts AND the bigram total
+    val nbRow = bg.agg(count(lit(1)).as("nb"))
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(graft.operators.Scale.maybeBroadcast(
+        uni.select(col("tok").as("w1"), col("cu").as("ca"))), "w1")
+      .join(graft.operators.Scale.maybeBroadcast(
+        uni.select(col("tok").as("w2"), col("cu").as("cb"))), "w2")
+      .join(broadcast(ntRow)).join(broadcast(nbRow))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_ab"),
+        round(log(((col("c_ab").cast("double") * col("nt")) * col("nt")) /
+          ((col("nb").cast("double") * col("ca")) * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010): per doc, the top-k
     * multi-word candidate phrases. Candidates are maximal stopword-free
     * token runs; each word scores degree/frequency within the doc (degree

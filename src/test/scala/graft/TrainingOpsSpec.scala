@@ -1199,4 +1199,112 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(TextPipeline.epochShuffle(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
   }
+
+  test("passage dedup: one survivor per distinct passage, untouched docs round-trip") {
+    val w = 32
+    val out = Dedup.passageDedupStrip(spark, dir, width = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // independent passage recount on the driver (sf0.001 is 50 docs)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def passages(t: String): Seq[String] = {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      ws.grouped(w).map(_.mkString(" ")).toSeq
+    }
+    val byDoc = docs.map { case (id, t) => id -> passages(t) }.toMap
+      .filter(_._2.nonEmpty)
+    assert(out.map(_._1).toSet == byDoc.keySet)
+    out.foreach { case (id, nP, nKept, _) =>
+      assert(nP == byDoc(id).size, s"doc $id passage count")
+      assert(nKept <= nP)
+    }
+    // keep-first: total survivors == number of DISTINCT passage texts
+    val distinctPassages = byDoc.values.flatten.toSet
+    assert(out.map(_._3).sum == distinctPassages.size)
+    // a doc whose passages all survive reassembles to its normalized text
+    val untouched = out.filter(o => o._2 == o._3)
+    assert(untouched.nonEmpty, "test corpus has no fully-kept doc")
+    untouched.foreach { case (id, _, _, clean) =>
+      assert(clean == byDoc(id).mkString(" "), s"doc $id round-trip")
+    }
+    // and the survivor set is exactly first-occurrence by (doc_id, pidx)
+    val firstSeen = scala.collection.mutable.Map[String, (Long, Int)]()
+    byDoc.toSeq.sortBy(_._1).foreach { case (id, ps) =>
+      ps.zipWithIndex.foreach { case (p, i) =>
+        if (!firstSeen.contains(p)) firstSeen(p) = (id, i)
+      }
+    }
+    val keptPerDoc = firstSeen.values.groupBy(_._1).view.mapValues(_.size).toMap
+    out.foreach { case (id, _, nKept, _) =>
+      assert(nKept == keptPerDoc.getOrElse(id, 0).toLong, s"doc $id keep-first")
+    }
+  }
+
+  test("jaccard kNN: ranks dense, similarity non-increasing, pairs consistent") {
+    val k = 3
+    val knn = Dedup.jaccardKnn(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pairs = Dedup.ngramJaccardPrefix(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // every kNN row is a real pair with the pair list's similarity
+    knn.foreach { case (d, _, n, j) =>
+      assert(sym.get((d, n)).contains(j), s"($d,$n) not in pair list at $j")
+    }
+    knn.groupBy(_._1).foreach { case (d, rows) =>
+      val byRank = rows.sortBy(_._2)
+      // dense ranks from 1, capped at k and at the doc's true degree
+      val degree = sym.keys.count(_._1 == d)
+      assert(byRank.map(_._2).toSeq == (1L to math.min(k, degree).toLong))
+      // similarity non-increasing in rank, ties broken by neighbor id
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"doc $d order")
+        case _ =>
+      }
+      // rank 1 is the true maximum (min neighbor id on ties); toSeq first —
+      // collect-to-pairs on the Map would key by jaccard and drop ties
+      val best = sym.toSeq.collect { case ((`d`, n), j) => (j, n) }
+        .sortBy { case (j, n) => (-j, n) }.head
+      assert((byRank.head._4, byRank.head._3) == best, s"doc $d top-1")
+    }
+  }
+
+  test("collocations: PMI recount from raw counts, support floor, ordered") {
+    val out = TextPipeline.collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // driver recount of all three count tables
+    val docs = Tables.documents(spark, dir).select("text").as[String].collect()
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = uni.values.sum
+    val bis = docs.filter(_.size >= 2).flatMap(ws => ws.zip(ws.tail))
+    val nb = bis.size.toLong
+    val cb = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (bigram, cab, pmi) =>
+      assert(cab >= 5, s"$bigram below support floor")
+      val Array(w1, w2) = bigram.split(" ", 2)
+      assert(cb((w1, w2)) == cab, s"$bigram count")
+      val expect = BigDecimal(math.log(
+        ((cab.toDouble * nt) * nt) / ((nb.toDouble * uni(w1)) * uni(w2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - expect) < 1e-9, s"$bigram pmi $pmi vs $expect")
+    }
+    // ordering: pmi desc, bigram asc — and the cut is the true top slice
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // NOTE cb.toSeq first: collect-to-pairs on a Map would key by pmi and
+    // silently collapse equal-PMI bigrams
+    val all = cb.toSeq.collect { case ((w1, w2), c) if c >= 5 =>
+      (BigDecimal(math.log(((c.toDouble * nt) * nt) /
+        ((nb.toDouble * uni(w1)) * uni(w2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, w1 + " " + w2)
+    }.toSeq.sortBy { case (p, bg) => (-p, bg) }.take(100)
+    assert(out.map(o => (o._3, o._1)).toSeq == all)
+  }
 }
