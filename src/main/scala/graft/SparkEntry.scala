@@ -37,6 +37,8 @@ object SparkEntry {
     "q13_order_dist"       -> ((s, d) => R.q13OrderDist(s, d)),
     "q2_min_cost_supp"     -> ((s, d) => R.q2MinCostSupp(s, d)),
     "a22_mad_outliers"     -> ((s, d) => R.a22MadOutliers(s, d)),
+    "a25_lateness_profile" -> ((s, d) => R.a25LatenessProfile(s, d)),
+    "a26_value_decay"      -> ((s, d) => R.a26ValueDecay(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
@@ -109,8 +111,10 @@ object SparkEntry {
     // UDTF / text functions (§2.7-2.8 + training-data ops)
     "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
     "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
+    "text_langid_eval"     -> ((s, d) => T.langIdEval(s, d)),
     "text_ngram_freq"      -> ((s, d) => T.ngramFrequency(s, d)),
     "text_collocations"    -> ((s, d) => T.collocations(s, d)),
+    "text_hashed_features" -> ((s, d) => T.hashedFeatures(s, d)),
     "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
@@ -190,6 +194,7 @@ object SparkEntry {
     "ann_pq_rerank"        -> ((s, d) => Similarity.pqTopK(s, d, m = 32, ks = 16, iters = 2, rerankDepth = 50)),
     "multimodal_wav_stats" -> ((s, d) => graft.pipeline.Multimodal.wavStats(s, d)),
     "multimodal_ppm_stats" -> ((s, d) => graft.pipeline.Multimodal.ppmStats(s, d)),
+    "multimodal_ppm_resize" -> ((s, d) => graft.pipeline.Multimodal.ppmResizeStats(s, d)),
     "ann_filtered_topk"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
@@ -229,6 +234,8 @@ object SparkEntry {
     "mine_bitext_lsh"      -> ((s, d) => graft.pipeline.Mining.bitextMarginPairsLsh(s, d)),
     "er_blocked_pairs"     -> ((s, d) => graft.pipeline.Mining.erBlockedPairs(s, d)),
     "er_entities"          -> ((s, d) => graft.pipeline.Mining.erEntities(s, d)),
+    "er_golden_records"    -> ((s, d) => graft.pipeline.Mining.erGoldenRecords(s, d)),
+    "mine_contrastive"     -> ((s, d) => graft.pipeline.Mining.contrastiveTriplets(s, d)),
     "er_sorted_neighborhood" -> ((s, d) => graft.pipeline.Mining.erSortedNeighborhood(s, d)),
     // bloom-pruned semi join (Relational.bloomPruneSemiJoin)
     "j8_bloom_semi"        -> ((s, d) => R.bloomPruneSemiJoin(s, d)),
@@ -465,6 +472,38 @@ FROM terms JOIN tot USING (doc_id) GROUP BY doc_id, total"""
   /** Bag-Jaccard oracle — shared by the exhaustive and prefix-filtered
     * renderings (they must emit the identical pair set).
     */
+  /** Shared lang-ID prediction CTE — `text_lang_id` reads it row-wise,
+    * `text_langid_eval` aggregates it into the confusion matrix. Ends in
+    * a CTE named `pred` with (doc_id, labeled_lang, pred_lang).
+    */
+  private lazy val OracleLangPred =
+    s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $TOKS AS toks FROM documents),
+s AS (SELECT doc_id, labeled_lang,
+len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
+len(list_filter(toks, x -> x IN ('le','la','de','et','un'))) AS s_fr,
+len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS s_zh FROM t),
+pred AS (SELECT doc_id, labeled_lang, CASE
+WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS pred_lang FROM s)"""
+
+  /** Shared ER connected-components CTE: blocked fuzzy pairs →
+    * symmetric edges → recursive min-label reachability. `er_entities`
+    * reads the labels directly; `er_golden_records` aggregates
+    * survivorship rules over them.
+    */
+  private val OracleErReach =
+    """WITH RECURSIVE p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+FROM customer a JOIN customer b
+ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2),
+edges AS (SELECT a_key AS src, b_key AS dst FROM p UNION ALL SELECT b_key, a_key FROM p),
+reach(id, lab) AS (SELECT c_custkey, c_custkey FROM customer
+UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)"""
+
   private val OracleNgramJaccard =
     s"""WITH tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM
 (SELECT doc_id, source, unnest($TOKS) AS tok FROM documents) GROUP BY doc_id, source, tok),
@@ -610,6 +649,28 @@ SELECT d.event_type, MAX(d.med) AS med, MAX(mad) AS mad,
 CAST(SUM(CASE WHEN dev > mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS outlier_ct
 FROM d JOIN md ON d.event_type = md.event_type
 GROUP BY d.event_type""",
+
+    "a25_lateness_profile" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM events),
+b AS (SELECT greatest(0, coalesce(prev_max - tsu, 0)) AS late_us FROM l)
+SELECT CASE WHEN late_us = 0 THEN 'in_order'
+WHEN late_us < 1000000 THEN 'lt_1s' WHEN late_us < 10000000 THEN 'lt_10s'
+WHEN late_us < 60000000 THEN 'lt_60s' ELSE 'ge_60s' END AS bucket,
+COUNT(*) AS n_events, CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM b GROUP BY bucket""",
+
+    // fixed reference instant 2024-02-01T00:00:00Z = 1706745600000000 µs;
+    // divisor literal 2.592e12 = 86400e6 · 30-day half-life, matching the
+    // engine's plan-time constant exactly
+    "a26_value_decay" ->
+      """WITH t AS (SELECT user_id,
+CAST(round(value * pow(2.0, -(CAST(1706745600000000 - epoch_us(ts) AS DOUBLE) / 2592000000000.0)), 6) AS DECIMAL(28,10)) AS term
+FROM events WHERE event_type = 'purchase')
+SELECT user_id, COUNT(*) AS n_purchases,
+round(CAST(SUM(term) AS DOUBLE), 6) AS decayed_value
+FROM t GROUP BY user_id""",
 
     "mine_assoc_rules" ->
       s"""WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1130,6 +1191,11 @@ AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 00:00:00')""",
 b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
 SELECT bigram, COUNT(*) AS ct FROM b GROUP BY bigram ORDER BY ct DESC, bigram ASC LIMIT 200""",
 
+    "text_hashed_features" ->
+      s"""SELECT doc_id, CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS bucket, COUNT(*) AS n
+FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+GROUP BY doc_id, bucket""",
+
     "text_collocations" ->
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
 cu AS (SELECT tok, COUNT(*) AS cu FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
@@ -1154,18 +1220,16 @@ SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM pr GROUP BY pair ORDER BY freq
       s"SELECT doc_id, unnest($TOKS) AS word FROM documents WHERE doc_id < 20",
 
     "text_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $TOKS AS toks FROM documents),
-s AS (SELECT doc_id, labeled_lang,
-len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
-len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es,
-len(list_filter(toks, x -> x IN ('le','la','de','et','un'))) AS s_fr,
-len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS s_zh FROM t)
-SELECT doc_id, labeled_lang, CASE
-WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
-WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
-WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
-WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS pred_lang FROM s""",
+      s"""$OracleLangPred
+SELECT doc_id, labeled_lang, pred_lang FROM pred""",
+
+    // classifier EVAL: confusion matrix of the lang-ID heuristic against
+    // the corpus's labeled lang column — the accuracy audit you run
+    // before trusting any filter built on the predictor
+    "text_langid_eval" ->
+      s"""$OracleLangPred
+SELECT labeled_lang AS labeled, pred_lang AS predicted, COUNT(*) AS n
+FROM pred GROUP BY labeled, predicted""",
 
     "text_quality_score" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1814,6 +1878,20 @@ CAST(COUNT(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
 coalesce(array_to_string(list(passage ORDER BY pidx ASC) FILTER (WHERE rk = 1), ' '), '') AS text_clean
 FROM r GROUP BY doc_id""",
 
+    "mine_contrastive" ->
+      s"""WITH pairs AS ($OracleNgramJaccard),
+sym AS (SELECT doc_a, doc_b, jaccard FROM pairs
+UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b, jaccard FROM pairs),
+docs AS (SELECT doc_id, source FROM documents),
+anchors AS (SELECT DISTINCT s.doc_a, d.source FROM sym s JOIN docs d ON d.doc_id = s.doc_a),
+cand AS (SELECT a.doc_a, c.doc_id AS cand FROM anchors a
+JOIN docs c ON c.source = a.source AND c.doc_id <> a.doc_a
+WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.doc_a = a.doc_a AND s.doc_b = c.doc_id)),
+neg AS (SELECT doc_a, (min(struct_pack(k := md5(doc_a || ':' || cand), c := cand))).c AS negative
+FROM cand GROUP BY doc_a)
+SELECT s.doc_a AS anchor, s.doc_b AS positive, n.negative, s.jaccard AS pos_jaccard
+FROM sym s JOIN neg n ON n.doc_a = s.doc_a""",
+
     "dedup_jaccard_knn" ->
       s"""WITH pairs AS ($OracleNgramJaccard),
 sym AS (SELECT doc_a, doc_b, jaccard FROM pairs
@@ -1962,6 +2040,21 @@ SELECT doc_id AS id, w AS width, h AS height, n_pixels,
   round(CAST(sg AS DOUBLE) / n_pixels, 6) AS mean_g,
   round(CAST(sb AS DOUBLE) / n_pixels, 6) AS mean_b,
   max_luma_milli FROM agg""",
+
+    // resize leg: closed-form regeneration of the nearest-neighbor
+    // ⌊x·w/16⌋/⌊y·h/12⌋ index map over the synthetic raster; the
+    // position-weighted checksum fails on any pixel-ORDER mistake
+    "multimodal_ppm_resize" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS BIGINT) AS w, CAST(6 + doc_id % 7 AS BIGINT) AS h FROM documents),
+px AS (SELECT id, p, ((p % 16) * w) // 16 AS sx, ((p // 16) * h) // 12 AS sy, w FROM d, unnest(range(0, 192)) t(p)),
+ch AS (SELECT id, p,
+  ((id * 31 + (3 * (sy * w + sx)) * 17) % 256) AS r,
+  ((id * 31 + (3 * (sy * w + sx) + 1) * 17) % 256) AS g,
+  ((id * 31 + (3 * (sy * w + sx) + 2) * 17) % 256) AS b FROM px)
+SELECT id, CAST(16 AS BIGINT) AS out_w, CAST(12 AS BIGINT) AS out_h,
+CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b,
+CAST(SUM((p + 1) * (299 * r + 587 * g + 114 * b)) AS BIGINT) AS checksum
+FROM ch GROUP BY id""",
 
     // multi-table LSH: 4 independent 8-plane tables over disjoint slices
     // of the hyperplane family (table t = planes t*8..t*8+7); candidates
@@ -2376,14 +2469,19 @@ FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
 WHERE levenshtein(a.c_name, b.c_name) <= 2""",
 
     "er_entities" ->
-      """WITH RECURSIVE p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
-FROM customer a JOIN customer b
-ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 2),
-edges AS (SELECT a_key AS src, b_key AS dst FROM p UNION ALL SELECT b_key, a_key FROM p),
-reach(id, lab) AS (SELECT c_custkey, c_custkey FROM customer
-UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      s"""$OracleErReach
 SELECT id AS c_custkey, MIN(lab) AS entity_id FROM reach GROUP BY id""",
+
+    "er_golden_records" ->
+      s"""$OracleErReach,
+lbl AS (SELECT id AS c_custkey, MIN(lab) AS entity_id FROM reach GROUP BY id),
+m AS (SELECT l.entity_id, c.c_custkey, c.c_name, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal, c.c_mktsegment
+FROM lbl l JOIN customer c USING (c_custkey))
+SELECT entity_id, COUNT(*) AS n_members, MIN(c_custkey) AS canonical_key,
+(max(struct_pack(b := bal, k := -c_custkey, nm := c_name))).nm AS best_name,
+CAST(SUM(bal) AS DOUBLE) AS total_balance,
+COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM m GROUP BY entity_id""",
 
     "j8_bloom_semi" ->
       s"""SELECT l_returnflag, COUNT(*) AS line_ct,

@@ -640,6 +640,66 @@ object Relational {
         sum(when(col("dev") > col("mad") * lit(4.4478), 1L).otherwise(0L)).as("outlier_ct"))
   }
 
+  /** a25 (beyond-reference analytics): out-of-orderness / lateness
+    * profile — the empirical audit behind every watermark choice (ST4):
+    * treating `event_id` as the ingest sequence, an event is "late" by
+    * how far the per-user running-max event time had already advanced
+    * when it arrived. The bucketed histogram (in-order / <1s / <10s /
+    * <60s / ≥60s, with per-bucket max) is exactly the evidence you read
+    * before setting `withWatermark` — pick the bound that covers the
+    * tail you're willing to wait for, drop what the reference's
+    * BoundedOutOfOrderness also drops beyond it.
+    *
+    * Scale: ONE user-keyed sort window (the same per-user exchange the
+    * a13–a24 event family shares) and a 5-row bucket aggregate; nothing
+    * corpus-wide is single-partition.
+    */
+  def a25LatenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max(col("tsu")).over(w) - col("tsu"), lit(0L))))
+      .select(
+        when(col("late_us") === 0, "in_order")
+          .when(col("late_us") < 1000000L, "lt_1s")
+          .when(col("late_us") < 10000000L, "lt_10s")
+          .when(col("late_us") < 60000000L, "lt_60s")
+          .otherwise("ge_60s").as("bucket"),
+        col("late_us"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+  }
+
+  /** a26 (beyond-reference analytics): exponentially time-decayed user
+    * value — the feature-store staple (recency-weighted LTV): each
+    * purchase contributes value·2^(−age/half-life) against a FIXED
+    * reference instant (2024-02-01, just past the corpus; a wall-clock
+    * `now()` would make the figure unreproducible). Per-term 6-dp round
+    * into an exact-decimal fold keeps the sum engine-deterministic —
+    * a raw double Σ would depend on reduction order.
+    *
+    * Scale: pure map-side decay math + ONE user-keyed aggregate with
+    * map-side partials; the same one-shuffle shape as a19's moments.
+    */
+  def a26ValueDecay(spark: SparkSession, dir: String,
+                    halfLifeDays: Double = 30.0): DataFrame = {
+    val refUs = lit(java.time.Instant.parse("2024-02-01T00:00:00Z")
+      .toEpochMilli * 1000L)
+    events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") *
+          pow(lit(2.0), -((refUs - unix_micros(col("ts").cast("timestamp"))).cast("double") /
+            lit(86400e6 * halfLifeDays))), 6)
+          .cast("decimal(28,10)").as("term"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("term")).cast("double"), 6).as("decayed_value"))
+  }
+
   /** a23 (beyond-reference analytics): equi-depth value discretization —
     * `ntile` deciles per event type with per-bin count/lo/hi, the
     * feature-engineering binning step (monotone buckets, ~equal mass)

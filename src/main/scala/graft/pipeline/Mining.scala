@@ -181,6 +181,84 @@ object Mining {
       .select(col("doc_id").as("c_custkey"), col("cluster_id").as("entity_id"))
   }
 
+  /** Survivorship ("golden record") construction — the step after entity
+    * resolution: collapse each matched cluster to ONE canonical record
+    * with per-field merge rules. Rules here: canonical key = MIN member
+    * key (stable, re-runnable), best_name = the name of the
+    * highest-balance member (richest record wins, custkey-asc tie-break —
+    * rendered as one max(struct(...)) argmax aggregate, no window, no
+    * self-join), total_balance = exact-decimal sum across members,
+    * n_segments = how many distinct market segments the cluster spans (a
+    * merge audit column: >1 flags records that matched on name but
+    * disagree on profile — the blocking key already pins nation).
+    *
+    * Scale: composes on `erEntities`' audited label machinery; the new
+    * work is ONE custkey-keyed join to attach attributes and ONE
+    * entity-keyed aggregate where every rule is an algebraic
+    * (map-side-combinable) min/max/sum — the standard way survivorship
+    * stays a single shuffle at any corpus size. The balance argmax
+    * compares exact decimals (a double compare could tie-break
+    * differently across engines).
+    */
+  def erGoldenRecords(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val labels = erEntities(spark, dir, maxDist)
+    val members = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"), col("c_mktsegment"))
+      .join(labels, "c_custkey")
+    members.groupBy(col("entity_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("c_custkey")).as("canonical_key"),
+        max(struct(col("bal").as("b"), (-col("c_custkey")).as("k"),
+          col("c_name").as("nm"))).getField("nm").as("best_name"),
+        sum(col("bal")).cast("double").as("total_balance"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+  }
+
+  /** Contrastive training-triplet construction — the dataset shape an
+    * embedding model (SimCSE/E5-style) trains on: for every near-dup
+    * pair, an (anchor, positive, negative) row where the positive is the
+    * anchor's near-duplicate (exact prefix-join pairs, both directions)
+    * and the negative is a DETERMINISTIC same-source non-neighbor —
+    * argmin of md5(anchor:candidate) over the anchor's source block
+    * minus itself and its neighbor set. Same-source negatives are the
+    * "hard" kind (topically close, lexically distinct); the md5 argmin
+    * replaces RNG so any engine reproduces the identical dataset.
+    *
+    * Scale: positives ride the audited prefix join; the negative pick is
+    * one source-blocked join + left_anti + an argmin aggregate keyed by
+    * anchor. Block size bounds the candidate fan-out; at corpus scale
+    * the pool swaps to the per-source bottom-k md5 sample
+    * (`TextPipeline.bottomKSample`'s growth-stable pool) so the join is
+    * anchors × k instead of anchors × block. Anchors whose whole block
+    * is neighbors drop out (no honest negative exists).
+    */
+  def contrastiveTriplets(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .localCheckpoint()
+    val pairs = Dedup.ngramJaccardPrefix(spark, dir, threshold).localCheckpoint()
+    val sym = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"), col("jaccard")))
+      .localCheckpoint() // feeds anchors, the anti side, and the final join
+    val anchors = sym.select(col("doc_a")).distinct()
+      .join(docs, col("doc_a") === col("doc_id"))
+      .select(col("doc_a"), col("source"))
+    val negatives = anchors
+      .join(docs.select(col("doc_id").as("cand"), col("source")), Seq("source"))
+      .filter(col("cand") =!= col("doc_a"))
+      .join(sym.select(col("doc_a"), col("doc_b").as("cand")),
+        Seq("doc_a", "cand"), "left_anti")
+      .groupBy(col("doc_a"))
+      .agg(min(struct(
+        md5(concat_ws(":", col("doc_a"), col("cand"))).as("k"),
+        col("cand").as("c"))).getField("c").as("negative"))
+    sym.join(negatives, Seq("doc_a"))
+      .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+        col("negative"), col("jaccard").as("pos_jaccard"))
+  }
+
   /** Association rules over order baskets (market-basket mining, the
     * FP-growth-lite pairs pass): for co-purchased part pairs with support
     * ≥ `minSupport` baskets, both directed rules a→b and b→a with

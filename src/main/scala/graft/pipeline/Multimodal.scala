@@ -243,6 +243,47 @@ object Multimodal {
       col("max_luma_milli"))
   }
 
+  /** Oracle-gated image RESIZE: synthesize → P6-encode → decode →
+    * nearest-neighbor resize to a fixed (16×12) target → integer-exact
+    * channel stats plus a POSITION-WEIGHTED checksum (Σ (p+1)·luma_milli
+    * over destination pixels p), so a resize that produced the right
+    * multiset of pixels in the wrong ORDER still fails the gate. The
+    * oracle regenerates the same figures closed-form from the synthetic
+    * raster formula and the ⌊x·w/W⌋ index map — the decode/resize pair
+    * runs only engine-side, over real P6 bytes.
+    *
+    * This is the "resize" leg of the decode / feature-extract / resize /
+    * frame-sample multimodal quartet: a fixed target shape is what makes
+    * downstream batch geometry independent of source resolution. Pure
+    * map-side (mapPartitions, codec context per partition); nothing
+    * shuffles but the final one-row-per-image stats.
+    */
+  def ppmResizeStats(spark: SparkSession, dir: String,
+                     outW: Int = 16, outH: Int = 12): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = PpmCodec.resizeNearest(
+            PpmCodec.decode(PpmCodec.encode(syntheticImage(id))), outW, outH)
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L; var checksum = 0L
+          var p = 0
+          while (p < n) {
+            val r = img.rgb(3 * p) & 0xff
+            val g = img.rgb(3 * p + 1) & 0xff
+            val b = img.rgb(3 * p + 2) & 0xff
+            sr += r; sg += g; sb += b
+            checksum += (p + 1L) * (r * 299L + g * 587L + b * 114L)
+            p += 1
+          }
+          (id, img.width.toLong, img.height.toLong, sr, sg, sb, checksum)
+        }
+      }
+      .toDF("id", "out_w", "out_h", "sum_r", "sum_g", "sum_b", "checksum")
+  }
+
   /** One sampled frame: position, time offset, decoded features. */
   case class FrameRow(id: Long, media_type: String, n_frames: Long,
                       frame_idx: Long, t_offset_ms: Long, features: Array[Float])

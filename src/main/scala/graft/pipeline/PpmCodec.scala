@@ -71,4 +71,29 @@ object PpmCodec {
 
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\r' || b == '\n'
+
+  /** Nearest-neighbor resize to (outW, outH): source pixel for output
+    * (x, y) is (⌊x·w/outW⌋, ⌊y·h/outH⌋) — the integer-exact index map
+    * every engine can replay closed-form (no filtering kernel, no float
+    * rounding to disagree over). Per-pixel constant work, pure map-side
+    * when applied inside a partition iterator.
+    */
+  def resizeNearest(img: Image, outW: Int, outH: Int): Image = {
+    require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+    val dst = new Array[Byte](3 * outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        val s = 3 * (sy * img.width + sx)
+        val d = 3 * (y * outW + x)
+        dst(d) = img.rgb(s); dst(d + 1) = img.rgb(s + 1); dst(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(outW, outH, dst)
+  }
 }

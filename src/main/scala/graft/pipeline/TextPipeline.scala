@@ -56,6 +56,30 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
+    * document's tokens land in a FIXED number of hash buckets, giving a
+    * bounded-width sparse feature vector no matter how the vocabulary
+    * grows — the preprocessing that feeds linear classifiers/regressors
+    * at corpus scale without a vocabulary dictionary to build, ship, or
+    * keep consistent. Bucket = md5-prefix of the token mod `nBuckets`
+    * (engine-portable: any reader recomputes the same bucket with no
+    * coordination, the `shardAssign` discipline). Output is the sparse
+    * COO form (doc_id, bucket, n) a trainer ingests directly.
+    *
+    * Scale: tokenize + bucket are map-side; the only shuffle is the
+    * (doc_id, bucket)-keyed count with map-side partials — and since
+    * bucket count is fixed, row width and key cardinality per doc are
+    * both bounded by construction.
+    */
+  def hashedFeatures(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % nBuckets)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Bigram collocation mining by pointwise mutual information — the
     * classic corpus-linguistics ranking (Church & Hanks 1990) of word
     * pairs that co-occur far more than their unigram frequencies
@@ -413,6 +437,23 @@ object TextPipeline {
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     spread(spark, documents(spark, dir))
       .select(col("doc_id"), col("lang").as("labeled_lang"), langId(col("text")).as("pred_lang"))
+
+  /** Classifier evaluation for the lang-ID heuristic: the (labeled ×
+    * predicted) confusion matrix against the corpus's ground-truth lang
+    * column — the accuracy audit you run BEFORE trusting any
+    * language-quota sampling or per-lang filter built on the predictor
+    * (the eval-first discipline of the minhash/KMV/CMS accuracy gates,
+    * applied to a classifier). Per-class precision/recall read straight
+    * off the matrix rows/columns.
+    *
+    * Scale: map-side prediction + one |langs|²-bounded aggregate — the
+    * matrix never outgrows the label catalog however large the corpus.
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(col("lang").as("labeled"), langId(col("text")).as("predicted"))
+      .groupBy(col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
 
   /** Quality-score features: the standard C4/Gopher-style ratio filters.
     * Tokens materialized once per row in their own projection — the ratio

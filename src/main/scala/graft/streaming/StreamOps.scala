@@ -160,6 +160,32 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of `Dedup.passageDedupStrip`'s suppression half:
+    * incoming documents are exploded into fixed-width passages and each
+    * passage is admitted exactly once corpus-wide (keyed stateful
+    * dropDuplicates on the passage fingerprint). Emits the surviving
+    * (doc_id, pidx, passage) rows as an append stream — the reassembly
+    * into per-doc stripped text is a downstream batch concern (an
+    * all-time per-doc aggregate has no finite emission point in a
+    * stream). Same batch-wins caveat as `streamingExactDedup`: WITHIN a
+    * micro-batch the surviving (doc_id, pidx) for a fingerprint is
+    * arbitrary; across batches the earlier batch always wins. State is
+    * one 32-hex fingerprint per DISTINCT passage — the passage-granular
+    * analog of the exact-dedup store, TTL-boundable with the same
+    * `dropDuplicatesWithinWatermark` machinery when ingest carries a
+    * time column.
+    */
+  def streamingPassageDedup(docs: DataFrame, width: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(width))).as("start"))
+      .select(col("doc_id"), (col("start") / width).cast("long").as("pidx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(width))).as("passage"))
+      .withColumn("fp", md5(col("passage")))
+      .dropDuplicates("fp")
+
   case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
   case class BandBucket(docs: List[(Long, Seq[Long])])

@@ -204,4 +204,64 @@ class MiningSpec extends SparkSpecBase {
       assert(conf == wantConf, s"($a,$c) confidence $conf vs $wantConf")
     }
   }
+
+  test("contrastive triplets: positives are pairs, negatives are md5-argmin non-neighbors") {
+    import graft.pipeline.{Dedup, Mining}
+    val trip = Mining.contrastiveTriplets(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(trip.nonEmpty)
+    val pairs = Dedup.ngramJaccardPrefix(spark, d).as[(Long, Long, Double)].collect()
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val docs = Tables.documents(spark, d).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    trip.foreach { case (a, p, n, j) =>
+      assert(sym.get((a, p)).contains(j), s"($a,$p) not a near-dup pair")
+      assert(docs(n) == docs(a), s"negative $n crosses source for anchor $a")
+      assert(n != a && !sym.contains((a, n)), s"negative $n is self/neighbor of $a")
+      // deterministic pick: md5 argmin over the anchor's eligible block
+      val want = docs.collect {
+        case (c, src) if src == docs(a) && c != a && !sym.contains((a, c)) =>
+          (md5hex(s"$a:$c"), c)
+      }.toSeq.min._2
+      assert(n == want, s"anchor $a negative $n vs argmin $want")
+    }
+    // every direction of every pair whose anchor has an eligible negative
+    val anchorsWithNeg = trip.map(_._1).toSet
+    sym.keys.filter(k => anchorsWithNeg(k._1)).foreach { case (a, b) =>
+      assert(trip.exists(t => t._1 == a && t._2 == b), s"missing triplet ($a,$b)")
+    }
+  }
+
+  test("golden records: partition of the key set, per-rule driver recount") {
+    import graft.pipeline.Mining
+    val dir = sf("customer")
+    val labels = Mining.erEntities(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val golden = Mining.erGoldenRecords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getLong(5)))
+    // one golden row per entity, members partition the customer key set
+    assert(golden.map(_._1).distinct.length == golden.length)
+    assert(golden.map(_._2).sum == labels.size)
+    assert(golden.map(_._1).toSet == labels.values.toSet)
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getString(3)))
+    val byEntity = cust.groupBy(c => labels(c._1))
+    golden.foreach { case (ent, nMembers, canon, bestName, totBal, nSegs) =>
+      val ms = byEntity(ent)
+      assert(nMembers == ms.length, s"entity $ent size")
+      assert(canon == ms.map(_._1).min, s"entity $ent canonical")
+      // richest member wins, min-key tie-break
+      val want = ms.sortBy(c => (-c._3, c._1)).head._2
+      assert(bestName == want, s"entity $ent best_name")
+      assert(math.abs(totBal - ms.map(_._3).sum.toDouble) < 1e-6, s"entity $ent balance")
+      assert(nSegs == ms.map(_._4).distinct.length, s"entity $ent segments")
+    }
+  }
 }

@@ -778,4 +778,80 @@ class OperatorSpec extends SparkSpecBase {
     assert(got21 == top, s"q21: got $got21 want $top")
     assert(roster.nonEmpty) // sanity: the roster actually loaded
   }
+
+  test("a25 lateness profile: running-max recount, buckets partition the corpus") {
+    val d = sf("events")
+    val got = Relational.a25LatenessProfile(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lates = ev.groupBy(_._1).values.flatMap { grp =>
+      var maxSoFar = Long.MinValue
+      grp.sortBy(_._2).map { case (_, _, tsu) =>
+        val late = if (maxSoFar == Long.MinValue) 0L else math.max(0L, maxSoFar - tsu)
+        maxSoFar = math.max(maxSoFar, tsu)
+        late
+      }
+    }.toSeq
+    def bucket(l: Long) =
+      if (l == 0) "in_order" else if (l < 1000000L) "lt_1s"
+      else if (l < 10000000L) "lt_10s" else if (l < 60000000L) "lt_60s" else "ge_60s"
+    val want = lates.groupBy(bucket).view
+      .mapValues(ls => (ls.size.toLong, ls.max)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.values.map(_._1).sum == ev.length, "buckets partition all events")
+  }
+
+  test("a26 value decay: per-user decimal fold replays; decay strictly discounts") {
+    val d = sf("events")
+    val got = Relational.a26ValueDecay(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val refUs = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli * 1000L
+    val p = graft.Tables.events(spark, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = p.groupBy(_._1).view.mapValues { grp =>
+      val terms = grp.map { case (_, tsu, v) =>
+        r6(v * math.pow(2.0, -((refUs - tsu).toDouble / 2.592e12)))
+      }
+      // engine order: exact decimal Σ → cast double → round 6
+      (grp.length.toLong, r6(terms.sum.toDouble).toDouble)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (n, dv)) =>
+      assert((n, dv) == want(u), s"user $u: got ($n,$dv) want ${want(u)}")
+      // every purchase is in the past of the reference: decayed < raw sum
+      val raw = p.filter(_._1 == u).map(_._3).sum
+      assert(dv < raw, s"user $u decay should discount ($dv vs $raw)")
+    }
+  }
+
+  test("hashed features: buckets bounded, per-doc mass equals token count") {
+    val d = sf("documents")
+    val got = graft.pipeline.TextPipeline.hashedFeatures(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, b, n) => b >= 0 && b < 64 && n > 0 })
+    // (doc, bucket) keys unique; per-doc Σn == whitespace token count
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+      .toMap
+    val mass = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(mass == docs.filter(_._2 > 0), "per-doc hashed mass == token count")
+    // engine-portable bucket rule: md5-prefix mod 64, recounted for one doc
+    val one = graft.Tables.documents(spark, d).select("doc_id", "text").collect().head
+    val toks = one.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val wantOne = toks.groupBy(b).view.mapValues(_.length.toLong).toMap
+    val gotOne = got.filter(_._1 == one.getLong(0)).map(t => t._2 -> t._3).toMap
+    assert(gotOne == wantOne, s"doc ${one.getLong(0)} bucket recount")
+  }
 }

@@ -655,4 +655,40 @@ class StreamingParitySpec extends SparkSpecBase {
       .groupBy(_._1.getLong(0)).map { case (_, rs) => rs.maxBy(_._2)._1.toSeq }.toSet
     assert(finalPerUser == batch, s"stream=$finalPerUser\nbatch=$batch")
   }
+
+  test("streaming passage dedup parity: one survivor per distinct passage, earlier batch wins") {
+    // width-4 passages so tiny docs produce several; docs 1/2 share their
+    // first passage exactly, doc 3 re-ships doc 1's text entirely
+    val w = 4
+    val docs = Seq(
+      Doc(1, "web", "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(2, "web", "en", "alpha beta gamma delta iota kappa lambda mu"),
+      Doc(3, "web", "en", "alpha beta gamma delta epsilon zeta eta theta"))
+    // batch truth: distinct width-4 passages over the corpus
+    val allPassages = docs.flatMap(d =>
+      d.text.toLowerCase.split("\\s+").filter(_.nonEmpty).grouped(w).map(_.mkString(" ")))
+    val distinctPassages = allPassages.distinct
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val name = s"spassage${System.nanoTime()}"
+    val q = StreamOps.streamingPassageDedup(input.toDF(), width = w).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); q.processAllAvailable()
+      input.addData(docs.drop(2)); q.processAllAvailable() // full replay suppressed
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pidx"), r.getAs[String]("passage")))
+    // exactly one surviving row per distinct passage text
+    assert(got.map(_._3).sorted.toSeq == distinctPassages.sorted.toSeq)
+    // doc 3 (batch 2) is a full replay of doc 1 (batch 1): zero survivors
+    assert(!got.exists(_._1 == 3L), "batch-2 replay must be fully suppressed")
+    // the shared head passage survives from batch 1 (doc 1 or 2, intra-batch
+    // arbitrary), and each batch-1 doc keeps its own distinct tail
+    val head = got.filter(_._3 == "alpha beta gamma delta")
+    assert(head.length == 1 && Set(1L, 2L)(head.head._1) && head.head._2 == 0L)
+    assert(got.exists(r => r._1 == 1L && r._2 == 1L))
+    assert(got.exists(r => r._1 == 2L && r._2 == 1L))
+  }
 }

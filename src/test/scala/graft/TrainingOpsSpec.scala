@@ -1200,6 +1200,22 @@ class TrainingOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
   }
 
+  test("langid eval: matrix is the grouped per-doc prediction, mass = corpus") {
+    val matrix = TextPipeline.langIdEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perDoc = TextPipeline.langIdQuery(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(matrix == want)
+    assert(matrix.values.sum == perDoc.length)
+    // the predictor is better than chance on the labeled corpus: the
+    // diagonal dominates a uniform 1/|langs| baseline
+    val diag = matrix.collect { case ((l, p), n) if l == p => n }.sum
+    val langs = perDoc.map(_._1).distinct.length
+    assert(diag.toDouble / perDoc.length > 1.0 / langs,
+      s"accuracy ${diag.toDouble / perDoc.length} not above chance")
+  }
+
   test("passage dedup: one survivor per distinct passage, untouched docs round-trip") {
     val w = 32
     val out = Dedup.passageDedupStrip(spark, dir, width = w).collect()

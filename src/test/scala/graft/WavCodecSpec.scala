@@ -84,4 +84,33 @@ class WavCodecSpec extends AnyFunSuite {
     // zero-crossing rate is a real statistic of the PCM, in (0, 1]
     assert(audio(2) > 0f && audio(2) <= 1f)
   }
+
+  test("resizeNearest: identity at same dims, exact index map, order-sensitive checksum") {
+    import graft.pipeline.PpmCodec
+    val img = PpmCodec.Image(5, 3, Array.tabulate(45)(i => (i * 7 % 251).toByte))
+    // same-dims resize is the identity (x*w/w == x)
+    assert(PpmCodec.resizeNearest(img, 5, 3).rgb.toSeq == img.rgb.toSeq)
+    // up- and down-scale: every output pixel equals the ⌊x·w/W⌋,⌊y·h/H⌋ source
+    for ((ow, oh) <- Seq((8, 4), (2, 2), (1, 1), (16, 12))) {
+      val out = PpmCodec.resizeNearest(img, ow, oh)
+      assert(out.width == ow && out.height == oh && out.rgb.length == 3 * ow * oh)
+      for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3) {
+        val (sx, sy) = (x * img.width / ow, y * img.height / oh)
+        assert(out.rgb(3 * (y * ow + x) + c) == img.rgb(3 * (sy * img.width + sx) + c),
+          s"pixel ($x,$y) ch $c at ${ow}x$oh")
+      }
+    }
+    // the ppmResizeStats checksum is position-weighted: swapping two
+    // distinct pixels changes it (a right-multiset/wrong-order resize fails)
+    def checksum(rgb: Array[Byte]): Long =
+      (0 until rgb.length / 3).map { p =>
+        (p + 1L) * ((rgb(3 * p) & 0xff) * 299L + (rgb(3 * p + 1) & 0xff) * 587L +
+          (rgb(3 * p + 2) & 0xff) * 114L)
+      }.sum
+    val swapped = img.rgb.clone()
+    for (c <- 0 until 3) {
+      val t = swapped(c); swapped(c) = swapped(3 + c); swapped(3 + c) = t
+    }
+    assert(checksum(img.rgb) != checksum(swapped))
+  }
 }
