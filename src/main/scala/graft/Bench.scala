@@ -167,8 +167,11 @@ object Bench {
     val full = line(results, _.toString,
       s""","iterative":{"reps":${repsJson(iterativeReps, _.toString)},"iterations":$iterationsJson}""" +
         s""","scale_mode":${toJson(scaleResults, _.toString)},"reps":${repsJson(repResults, _.toString)}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // profiling mode must NOT clobber the recorded full-registry artifact
+    // with a filtered run (it did, once — git caught it)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // nothing after this print: it must be the last stdout line, and it must
     // fit the driver's 2000-char tail capture whole

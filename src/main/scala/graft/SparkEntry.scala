@@ -115,6 +115,7 @@ object SparkEntry {
     "text_ngram_freq"      -> ((s, d) => T.ngramFrequency(s, d)),
     "text_collocations"    -> ((s, d) => T.collocations(s, d)),
     "text_hashed_features" -> ((s, d) => T.hashedFeatures(s, d)),
+    "quality_psi_drift"    -> ((s, d) => T.psiDrift(s, d)),
     "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
@@ -201,6 +202,7 @@ object SparkEntry {
     "index_postings"       -> ((s, d) => Retrieval.indexPostings(s, d)),
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "retrieval_rerank"     -> ((s, d) => Retrieval.rerankTopK(s, d)),
+    "retrieval_eval"       -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
@@ -1196,6 +1198,24 @@ SELECT bigram, COUNT(*) AS ct FROM b GROUP BY bigram ORDER BY ct DESC, bigram AS
 FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
 GROUP BY doc_id, bucket""",
 
+    // PSI between doc_id-parity cohorts over two features; Laplace +1 over
+    // the observed cell union, per-term 6dp rounds folded in exact decimal
+    "quality_psi_drift" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars, doc_id % 2 AS cohort FROM documents),
+cells AS (SELECT 'len_bucket' AS feature, CAST(least(n_chars // 50, 9) AS VARCHAR) AS cell, cohort FROM base
+UNION ALL SELECT 'lang' AS feature, lang AS cell, cohort FROM base),
+ct AS (SELECT feature, cell, SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS ct_a,
+SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS ct_b FROM cells GROUP BY feature, cell),
+tot AS (SELECT feature, CAST(SUM(ct_a) AS BIGINT) AS n_a, CAST(SUM(ct_b) AS BIGINT) AS n_b,
+COUNT(*) AS n_cells FROM ct GROUP BY feature),
+p AS (SELECT ct.feature, n_cells,
+CAST(ct_a + 1 AS DOUBLE) / (n_a + n_cells) AS pa,
+CAST(ct_b + 1 AS DOUBLE) / (n_b + n_cells) AS pb FROM ct JOIN tot USING (feature)),
+terms AS (SELECT feature, n_cells,
+CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(28,10)) AS term FROM p)
+SELECT feature, n_cells, round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY feature, n_cells""",
+
     "text_collocations" ->
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
 cu AS (SELECT tok, COUNT(*) AS cu FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
@@ -2115,6 +2135,23 @@ FROM tf GROUP BY term, seg""",
     "retrieval_bm25" ->
       s"""WITH $OracleBm25Ranked
 SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk, bm25 FROM bmr WHERE rnk <= 10""",
+
+    // retrieval EVAL: P@k / capped recall@k against same-source relevance
+    // (the corpus's topical blocks), per query
+    "retrieval_eval" ->
+      s"""WITH $OracleBm25Ranked,
+rtop AS (SELECT query_id, doc_id FROM bmr WHERE rnk <= 10),
+rsrc AS (SELECT doc_id, source FROM documents),
+rsct AS (SELECT source, COUNT(*) AS src_ct FROM rsrc GROUP BY source),
+rq AS (SELECT s.doc_id AS query_id, s.source AS q_src, src_ct - 1 AS n_rel
+FROM rsrc s JOIN rsct USING (source) WHERE s.doc_id < 10),
+rh AS (SELECT t.query_id, CAST(SUM(CASE WHEN d.source = q.q_src THEN 1 ELSE 0 END) AS BIGINT) AS hits
+FROM rtop t JOIN rsrc d ON d.doc_id = t.doc_id JOIN rq q ON q.query_id = t.query_id
+GROUP BY t.query_id)
+SELECT h.query_id, hits, CAST(n_rel AS BIGINT) AS n_rel,
+round(hits / 10.0, 6) AS p_at_k,
+round(CAST(hits AS DOUBLE) / least(n_rel, 10), 6) AS recall_at_k
+FROM rh h JOIN rq q ON q.query_id = h.query_id""",
 
     // dense leg = brute cosine top-20 (vec_id ≡ doc_id), sparse leg =
     // BM25 top-20, fused by reciprocal-rank with c = 60

@@ -40,8 +40,12 @@ object TextFunctions {
     */
   def charLen(text: Column): Column = length(text)
   def punctRatio(text: Column): Column =
-    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0)), 6)
+    // count-by-deletion: length(text) − length(text minus the class) is the
+    // same count as size(regexp_extract_all(class)) without materializing a
+    // per-match string array per row (small win — the projection is
+    // tokenizer-dominated; value-identical, consumers re-gated)
+    round((length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+      .cast("double") / greatest(length(text).cast("double"), lit(1.0)), 6)
   /** Ratio variants over a PRE-MATERIALIZED token array column — pass an
     * attribute, not `tokens(text)` inline: a lambda/expression referencing
     * the tokenizer tree N times re-runs the regex split N times per row.

@@ -210,4 +210,41 @@ object Retrieval {
         concat_ws(",", col("post.doc_id")).as("doc_ids"),
         concat_ws(",", col("post.tf")).as("tfs"))
   }
+
+  /** Retrieval quality evaluation — precision@k and (capped) recall@k of
+    * the BM25 more-like-this ranking against the corpus's own structure:
+    * a hit is a retrieved document from the QUERY's source (the corpus's
+    * topical block), the same labeled-proxy discipline as
+    * `text_langid_eval`. This is the audit that belongs NEXT TO every
+    * retrieval system: the sweep gates check shape (full top-k, positive
+    * scores); this measures whether the ranking finds what it should.
+    *
+    * recall@k caps the denominator at k (a query with 90 relevant docs
+    * can't score above hits/k) — the standard "recall@k" most IR evals
+    * report. Per-query rows; macro-average on the consumer side.
+    *
+    * Scale: the ranked list is nQueries·k rows by construction, source
+    * attach rides the byte gate, per-source corpus counts are a
+    * catalog-sized broadcast — evaluation cost is corpus-independent
+    * once the ranking exists.
+    */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val ranked = bm25MoreLikeThis(spark, dir, k = k)
+    val src = documents(spark, dir)
+      .select(col("doc_id"), col("source")).localCheckpoint()
+    val bySrc = src.groupBy(col("source")).agg(count(lit(1)).as("src_ct"))
+    val q = src.join(broadcast(bySrc), "source")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("source").as("q_src"),
+        (col("src_ct") - 1).as("n_rel"))
+    ranked
+      .join(Scale.maybeBroadcast(src), "doc_id")
+      .join(broadcast(q), "query_id")
+      .groupBy(col("query_id"), col("n_rel"))
+      .agg(sum(when(col("source") === col("q_src"), 1L).otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"), col("n_rel"),
+        round(col("hits") / lit(k.toDouble), 6).as("p_at_k"),
+        round(col("hits").cast("double") / least(col("n_rel"), lit(k.toLong)), 6)
+          .as("recall_at_k"))
+  }
 }

@@ -56,6 +56,44 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Population-stability-index drift between two corpus cohorts — the
+    * production data-quality check for "did today's snapshot shift under
+    * me": PSI = Σ_cells (p_a − p_b)·ln(p_a/p_b) per feature, the standard
+    * monitoring statistic (PSI < 0.1 stable, > 0.25 investigate). Cohorts
+    * here are the deterministic doc_id-parity halves (the stand-in for
+    * yesterday/today partitions); features are the char-length decile
+    * bucket and the lang label. Laplace +1 smoothing over the observed
+    * cell union keeps empty cells finite; per-term 6-dp rounds fold in
+    * exact decimal so the figure is engine-deterministic.
+    *
+    * Scale: one map-side cohort/cell projection, a cell-keyed count (cell
+    * space is feature-bounded: 10 buckets + the lang catalog), and a
+    * per-feature rollup of tens of rows. Corpus size only changes the
+    * scan.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("doc_id") % 2).as("cohort"))
+    val cells = base.select(lit("len_bucket").as("feature"),
+        expr("CAST(least(n_chars div 50, 9) AS STRING)").as("cell"), col("cohort"))
+      .unionByName(base.select(lit("lang").as("feature"),
+        col("lang").as("cell"), col("cohort")))
+    val ct = cells.groupBy(col("feature"), col("cell"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("ct_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("ct_b"))
+    val tot = ct.groupBy(col("feature"))
+      .agg(sum(col("ct_a")).as("n_a"), sum(col("ct_b")).as("n_b"),
+        count(lit(1)).as("n_cells"))
+    val pa = (col("ct_a") + lit(1)).cast("double") / (col("n_a") + col("n_cells"))
+    val pb = (col("ct_b") + lit(1)).cast("double") / (col("n_b") + col("n_cells"))
+    ct.join(broadcast(tot), "feature")
+      .select(col("feature"), col("n_cells"),
+        round((pa - pb) * log(pa / pb), 6).cast("decimal(28,10)").as("term"))
+      .groupBy(col("feature"), col("n_cells"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
     * document's tokens land in a FIXED number of hash buckets, giving a
     * bounded-width sparse feature vector no matter how the vocabulary

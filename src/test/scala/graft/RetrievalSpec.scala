@@ -84,4 +84,24 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got.toSet == want,
       s"only-got=${got.toSet -- want}\nonly-want=${want -- got.toSet}")
   }
+
+  test("retrieval eval: hit recount from the ranking, metric bounds, capped recall") {
+    import graft.pipeline.Retrieval
+    val eval = Retrieval.retrievalEval(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(eval.map(_._1).toSet == (0L until 10L).toSet, "one row per query")
+    val ranked = Retrieval.bm25MoreLikeThis(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = Tables.documents(spark, d).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcCt = src.values.groupBy(identity).view.mapValues(_.size).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    eval.foreach { case (q, hits, nRel, p, rec) =>
+      val wantHits = ranked.count { case (qq, dd) => qq == q && src(dd) == src(q) }
+      assert(hits == wantHits, s"query $q hits")
+      assert(nRel == srcCt(src(q)) - 1, s"query $q n_rel")
+      assert(p == r6(hits / 10.0) && p >= 0.0 && p <= 1.0)
+      assert(rec == r6(hits.toDouble / math.min(nRel, 10L)) && rec <= 1.0)
+    }
+  }
 }

@@ -1200,6 +1200,37 @@ class TrainingOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
   }
 
+  test("PSI drift: full driver recount, identical cohorts give zero drift") {
+    val got = TextPipeline.psiDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("len_bucket", "lang"))
+    // driver recount of the whole statistic
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def psiOf(cells: Seq[(String, Long)]): (Long, Double) = {
+      val byCell = cells.groupBy(_._1)
+      val ctA = byCell.view.mapValues(_.count(_._2 % 2 == 0).toLong).toMap
+      val ctB = byCell.view.mapValues(_.count(_._2 % 2 == 1).toLong).toMap
+      val (nA, nB, nC) = (ctA.values.sum, ctB.values.sum, byCell.size.toLong)
+      val terms = byCell.keys.toSeq.map { c =>
+        val pa = (ctA(c) + 1).toDouble / (nA + nC)
+        val pb = (ctB(c) + 1).toDouble / (nB + nC)
+        r6((pa - pb) * math.log(pa / pb))
+      }
+      (nC, r6(terms.sum.toDouble).toDouble)
+    }
+    val lenCells = base.map { case (id, _, nc) => (math.min(nc / 50, 9L).toString, id) }.toSeq
+    val langCells = base.map { case (id, lg, _) => (lg, id) }.toSeq
+    assert(got("len_bucket") == psiOf(lenCells), "len_bucket recount")
+    assert(got("lang") == psiOf(langCells), "lang recount")
+    // sanity: identical cohort distributions (every doc mirrored into both
+    // parities) give PSI exactly 0
+    val mirrored = base.flatMap { case (_, lg, _) => Seq((lg, 0L), (lg, 1L)) }.toSeq
+    assert(psiOf(mirrored)._2 == 0.0)
+  }
+
   test("langid eval: matrix is the grouped per-doc prediction, mass = corpus") {
     val matrix = TextPipeline.langIdEval(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
