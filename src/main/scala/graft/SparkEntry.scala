@@ -39,6 +39,7 @@ object SparkEntry {
     "a22_mad_outliers"     -> ((s, d) => R.a22MadOutliers(s, d)),
     "a25_lateness_profile" -> ((s, d) => R.a25LatenessProfile(s, d)),
     "a26_value_decay"      -> ((s, d) => R.a26ValueDecay(s, d)),
+    "a27_inter_event_gaps" -> ((s, d) => R.a27InterEventGaps(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "text_collocations"    -> ((s, d) => T.collocations(s, d)),
     "text_hashed_features" -> ((s, d) => T.hashedFeatures(s, d)),
     "quality_psi_drift"    -> ((s, d) => T.psiDrift(s, d)),
+    "text_ngram_novelty"   -> ((s, d) => T.ngramNovelty(s, d)),
     "text_quality_score"   -> ((s, d) => T.qualityScore(s, d)),
     "text_token_counts"    -> ((s, d) => T.tokenCounts(s, d)),
     "text_fingerprints"    -> ((s, d) => T.fingerprints(s, d)),
@@ -167,6 +169,7 @@ object SparkEntry {
     "dedup_ngram_prefix"   -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
     "dedup_passage_strip"  -> ((s, d) => Dedup.passageDedupStrip(s, d)),
     "dedup_jaccard_knn"    -> ((s, d) => Dedup.jaccardKnn(s, d)),
+    "dedup_threshold_hist" -> ((s, d) => Dedup.thresholdHist(s, d)),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_corpus_clean"   -> ((s, d) => Dedup.corpusClean(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.corpusClusters(s, d)),
@@ -286,6 +289,24 @@ hs AS (SELECT doc_id, list_distinct(list_transform(
     val b = graft.plans.expr.Kernels.CoeffB.mkString("[", ", ", "]")
     s"list_min(list_transform(h, x -> (($a)[i+1] * x + ($b)[i+1]) % 4294967291))"
   }
+
+  /** LSH candidate pairs with est AND exact shingle-set Jaccard, ending in
+    * CTE `acc` — shared by `dedup_minhash_acc` (row-wise audit) and
+    * `dedup_threshold_hist` (binned sensitivity view).
+    */
+  private lazy val OracleMinhashAcc =
+    s"""WITH ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+acc AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+  CAST(len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS DOUBLE), 6) AS exact_jaccard
+FROM pairs p JOIN hs a ON p.doc_a = a.doc_id JOIN hs b ON p.doc_b = b.doc_id
+WHERE p.est_jaccard >= 0.5)"""
 
   /** embeddings with double-cast vectors + norms (fold order = Spark's). */
   private val embNorms =
@@ -662,6 +683,16 @@ WHEN late_us < 1000000 THEN 'lt_1s' WHEN late_us < 10000000 THEN 'lt_10s'
 WHEN late_us < 60000000 THEN 'lt_60s' ELSE 'ge_60s' END AS bucket,
 COUNT(*) AS n_events, CAST(MAX(late_us) AS BIGINT) AS max_late_us
 FROM b GROUP BY bucket""",
+
+    "a27_inter_event_gaps" ->
+      """WITH g AS (SELECT event_type,
+lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev,
+epoch_us(ts) AS tsu FROM events),
+d AS (SELECT event_type, CAST(tsu - prev AS DOUBLE) / 1e6 AS gap_s FROM g WHERE prev IS NOT NULL)
+SELECT event_type, COUNT(*) AS n_gaps,
+round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+round(quantile_cont(gap_s, 0.95), 6) AS p95_s
+FROM d GROUP BY event_type""",
 
     // fixed reference instant 2024-02-01T00:00:00Z = 1706745600000000 µs;
     // divisor literal 2.592e12 = 86400e6 · 30-day half-life, matching the
@@ -1198,6 +1229,19 @@ SELECT bigram, COUNT(*) AS ct FROM b GROUP BY bigram ORDER BY ct DESC, bigram AS
 FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
 GROUP BY doc_id, bucket""",
 
+    // per-doc 3-gram novelty vs ingest (doc_id) order: fraction of the
+    // doc's DISTINCT grams first introduced by this doc
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+dg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+FROM t WHERE len(toks) >= 3),
+f AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+SELECT dg.doc_id, COUNT(*) AS n_grams,
+CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+round(CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM dg JOIN f USING (gram) GROUP BY dg.doc_id""",
+
     // PSI between doc_id-parity cohorts over two features; Laplace +1 over
     // the observed cell union, per-term 6dp rounds folded in exact decimal
     "quality_psi_drift" ->
@@ -1341,20 +1385,18 @@ FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_i
 SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""",
 
     "dedup_minhash_acc" ->
-      s"""WITH ${minhashHs("")},
-sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
-bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
-FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
-pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) AS est_jaccard
-FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-acc AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
-round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-  CAST(len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS DOUBLE), 6) AS exact_jaccard
-FROM pairs p JOIN hs a ON p.doc_a = a.doc_id JOIN hs b ON p.doc_b = b.doc_id
-WHERE p.est_jaccard >= 0.5)
+      s"""$OracleMinhashAcc
 SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
 round(abs(est_jaccard - exact_jaccard), 6) AS abs_err FROM acc""",
+
+    // threshold-sensitivity histogram over the audit table: how many
+    // candidate pairs sit in each 0.05-wide exact-similarity bin, and how
+    // far the estimator strays there — the evidence for picking a dedup cut
+    "dedup_threshold_hist" ->
+      s"""$OracleMinhashAcc
+SELECT floor(exact_jaccard * 20) / 20.0 AS bin, COUNT(*) AS n_pairs,
+round(CAST(SUM(CAST(round(abs(est_jaccard - exact_jaccard), 6) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+FROM acc GROUP BY bin""",
 
     "pipeline_funnel" ->
       s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),

@@ -700,6 +700,33 @@ object Relational {
         round(sum(col("term")).cast("double"), 6).as("decayed_value"))
   }
 
+  /** a27 (beyond-reference analytics): inter-event arrival gaps — per
+    * event type, the exact median/p95 of the seconds since the SAME
+    * user's previous event (any type). Together with a25's lateness
+    * profile this characterizes the arrival process: a25 says how out of
+    * order the stream is, a27 says how bursty — both feed session-gap
+    * and state-TTL choices. Exact interpolated percentiles (the a8
+    * contract) so the figures hash against `quantile_cont`.
+    *
+    * Scale: the shared per-user sort window (one user exchange) + a
+    * catalog-keyed percentile aggregate; gap math is integer micros cast
+    * once to double.
+    */
+  def a27InterEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", (col("tsu") - col("prev")).cast("double") / lit(1e6))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_s, 0.5D)"), 6).as("p50_s"),
+        round(expr("percentile(gap_s, 0.95D)"), 6).as("p95_s"))
+  }
+
   /** a23 (beyond-reference analytics): equi-depth value discretization —
     * `ntile` deciles per event type with per-bin count/lo/hi, the
     * feature-engineering binning step (monotone buckets, ~equal mass)

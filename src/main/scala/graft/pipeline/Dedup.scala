@@ -341,6 +341,23 @@ object Dedup {
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
   }
 
+  /** Threshold-sensitivity histogram over the est-vs-exact audit table:
+    * candidate-pair counts per 0.05-wide EXACT-similarity bin with the
+    * estimator's mean absolute error in that bin — the evidence a
+    * pipeline owner reads before choosing the dedup cut (how many pairs
+    * does moving the threshold 0.05 add/drop, and can the estimator be
+    * trusted at that operating point). Composes entirely on
+    * [[minhashAccuracy]]; the new work is one tens-of-rows aggregate.
+    */
+  def thresholdHist(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame =
+    minhashAccuracy(spark, dir, threshold)
+      .select((floor(col("exact_jaccard") * 20) / 20.0).as("bin"),
+        col("abs_err").cast("decimal(28,10)").as("err"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 6).as("mean_abs_err"))
+
   /** Corpus-clean capstone: drop every document that near-duplicates a
     * lower-id survivor (single-pass canonicalization: for each LSH pair
     * keep the smaller doc_id; the greater side is removed). Exact dups are

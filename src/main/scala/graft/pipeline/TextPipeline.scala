@@ -56,6 +56,37 @@ object TextPipeline {
       .orderBy(col("ct").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Per-document n-gram novelty against everything that came before it
+    * in ingest order: the fraction of a doc's DISTINCT n-grams whose
+    * corpus-wide first appearance (min doc_id) is this doc — the
+    * growth-value diagnostic behind "is the new crawl adding anything"
+    * (a per-doc refinement of the Heaps'-law curve: low-novelty tails are
+    * what incremental dedup will drop anyway).
+    *
+    * Scale: one gram explode + distinct, one gram-keyed min aggregate
+    * (map-side combinable), one join back on the gram key, one doc
+    * rollup — every shuffle is keyed by gram or doc id; nothing is
+    * ordered globally (ingest order is the doc_id itself).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val dg = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+        .as("gram"))
+      .distinct()
+      .localCheckpoint() // feeds the first-appearance agg AND the join back
+    val first = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    dg.join(graft.operators.Scale.maybeBroadcast(first), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Population-stability-index drift between two corpus cohorts — the
     * production data-quality check for "did today's snapshot shift under
     * me": PSI = Σ_cells (p_a − p_b)·ln(p_a/p_b) per feature, the standard

@@ -830,6 +830,34 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("a27 inter-event gaps: lag recount with the same interpolation") {
+    val d = sf("events")
+    val got = Relational.a27InterEventGaps(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { grp =>
+      val ordered = grp.sortBy(e => (e._4, e._3)) // ts, then event_id
+      ordered.sliding(2).collect { case Array(a, b) =>
+        (b._2, (b._4 - a._4).toDouble / 1e6)
+      }
+    }.toSeq
+    val want = gaps.groupBy(_._1).view.mapValues { g =>
+      val xs = g.map(_._2).toArray
+      (xs.length.toLong, r6(pct(xs, 0.5)), r6(pct(xs, 0.95)))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("hashed features: buckets bounded, per-doc mass equals token count") {
     val d = sf("documents")
     val got = graft.pipeline.TextPipeline.hashedFeatures(spark, d).collect()

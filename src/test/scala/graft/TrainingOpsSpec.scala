@@ -1200,6 +1200,45 @@ class TrainingOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
   }
 
+  test("threshold histogram: bins partition the audit table, mean errors replay") {
+    val audit = Dedup.minhashAccuracy(spark, dir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))) // est, exact, abs_err
+    val hist = Dedup.thresholdHist(spark, dir).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(hist.values.map(_._1).sum == audit.length, "bins partition the pairs")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = audit.groupBy { case (_, exact, _) => math.floor(exact * 20) / 20.0 }
+      .view.mapValues { rs =>
+        val s = rs.map(r => BigDecimal(r._3).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        (rs.length.toLong, r6((s.toDouble / rs.length)))
+      }.toMap
+    assert(hist == want, s"got $hist want $want")
+  }
+
+  test("ngram novelty: first-appearance recount, first doc fully novel, bounded") {
+    val got = TextPipeline.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.size >= 3)
+    val grams = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val firstDoc = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSet == grams.keySet)
+    got.foreach { case (id, nG, nNov, nov) =>
+      assert(nG == grams(id).size, s"doc $id gram count")
+      val wantNovel = grams(id).count(g => firstDoc(g) == id).toLong
+      assert(nNov == wantNovel, s"doc $id novel count")
+      assert(nov == r6(nNov.toDouble / nG) && nov >= 0.0 && nov <= 1.0)
+    }
+    // the earliest doc introduces every one of its grams
+    val minDoc = grams.keySet.min
+    assert(got.find(_._1 == minDoc).get._4 == 1.0, "first doc must be fully novel")
+  }
+
   test("PSI drift: full driver recount, identical cohorts give zero drift") {
     val got = TextPipeline.psiDrift(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
