@@ -74,11 +74,41 @@ object BenchScaleSubstr {
     val (baseSec, baseSpans) = timed(pipeline.Dedup.duplicateSpansFrom(base))
     val (scaledSec, scaledSpans) = timed(pipeline.Dedup.duplicateSpansFrom(scaled))
 
+    // passage-dedup leg under the SAME salted construction: passages never
+    // collide across replicas, so doc count, total passages, and total
+    // survivors must each be exactly ×factor — a broken first-occurrence
+    // window or a cross-replica fingerprint collision breaks the multiple
+    def passageTotals(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("n_passages")), sum(col("n_kept")))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def timedPassage(mk: => org.apache.spark.sql.DataFrame): (Double, (Long, Long, Long)) = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val totals = passageTotals(mk)
+        val dt = (System.nanoTime() - t0) / 1e9
+        drop(spark)
+        (dt, totals)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+    val (pBaseSec, (pbDocs, pbPass, pbKept)) =
+      timedPassage(pipeline.Dedup.passageDedupStripFrom(base))
+    val (pScaledSec, (psDocs, psPass, psKept)) =
+      timedPassage(pipeline.Dedup.passageDedupStripFrom(scaled))
+    val passageExact = psDocs == factor * pbDocs && psPass == factor * pbPass &&
+      psKept == factor * pbKept && pbKept > 0
+
     val json =
       s"""{"metric":"scale_sweep_substr","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
         s""""base_sec":$baseSec,"scaled_sec":$scaledSec,""" +
         s""""base_spans":$baseSpans,"scaled_spans":$scaledSpans,""" +
-        s""""spans_exact_multiple":${scaledSpans == factor * baseSpans}}"""
+        s""""spans_exact_multiple":${scaledSpans == factor * baseSpans},""" +
+        s""""passage":{"base_sec":$pBaseSec,"scaled_sec":$pScaledSec,""" +
+        s""""base_docs":$pbDocs,"base_passages":$pbPass,"base_kept":$pbKept,""" +
+        s""""scaled_docs":$psDocs,"scaled_passages":$psPass,"scaled_kept":$psKept,""" +
+        s""""exact_multiple":$passageExact}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_substr.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
@@ -86,5 +116,9 @@ object BenchScaleSubstr {
     // after the print (driver tail-capture still sees the record): an
     // uncaught throw here exits the JVM nonzero
     enforce(baseSpans, scaledSpans, factor)
+    if (!passageExact)
+      throw new IllegalStateException(
+        s"passage sweep invalid: docs $pbDocs→$psDocs passages $pbPass→$psPass " +
+          s"kept $pbKept→$psKept factor=$factor — timings must not be cited")
   }
 }

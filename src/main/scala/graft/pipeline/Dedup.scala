@@ -72,9 +72,15 @@ object Dedup {
     * shuffle for reassembly. Same posture as `exact`, at passage
     * granularity; no joins, no pairs.
     */
-  def passageDedupStrip(spark: SparkSession, dir: String, width: Int = 32): DataFrame = {
+  def passageDedupStrip(spark: SparkSession, dir: String, width: Int = 32): DataFrame =
+    passageDedupStripFrom(spread(spark, documents(spark, dir)), width)
+
+  /** Core passage dedup over any (doc_id, text) frame — the `From` form
+    * the 10× sweep drives with salted replicas.
+    */
+  def passageDedupStripFrom(docsIn: DataFrame, width: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val passages = spread(spark, documents(spark, dir))
+    val passages = docsIn
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint() // Generate re-evals its input per output row
