@@ -93,6 +93,51 @@ class StreamingParitySpec extends SparkSpecBase {
     }
   }
 
+  test("lateness monitor parity: transformWithState high-water mark == batch a25 definition") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real corpus slice, fed strictly in ingest (event_id) order — plus
+      // three planted regressions (the sf corpus arrives in-order by
+      // event_id, so the monitor needs injected disorder to show nonzero)
+      val real = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().sortBy(_.event_id).take(300).toSeq
+      val lateUsers = real.map(_.user_id).distinct.take(3)
+      val planted = lateUsers.zipWithIndex.map { case (u, i) =>
+        val anchor = real.filter(_.user_id == u).maxBy(_.event_id)
+        Event(1000000L + i, new java.sql.Timestamp(anchor.ts.getTime - (i + 1) * 7000L),
+          u, "late_probe", 0.0)
+      }
+      val evs = real ++ planted // ids past the slice: arrive last, behind the mark
+      // batch truth: per-user running max of event-time in ingest order
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val want = evs.groupBy(_.user_id).values.flatMap { grp =>
+        var maxSoFar = Long.MinValue
+        grp.sortBy(_.event_id).map { e =>
+          val tsu = micros(e.ts)
+          val late = if (maxSoFar == Long.MinValue) 0L else math.max(0L, maxSoFar - tsu)
+          maxSoFar = math.max(maxSoFar, tsu)
+          (e.event_id, e.user_id, late)
+        }
+      }.toSet
+      val got = runStream(Seq(evs.take(150), evs.drop(150)), "update") { df =>
+        graft.streaming.LatenessProcessor(df.as[Event]).toDF()
+      }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      // the monitor actually observes disorder in this corpus
+      assert(got.exists(_._3 > 0L), "test slice has no late events — weak fixture")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("J4 parity: transformWithState event-time timers == batch lead() oracle") {
     // transformWithState timers need column families → RocksDB state store
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
