@@ -199,6 +199,7 @@ object SparkEntry {
     "multimodal_wav_stats" -> ((s, d) => graft.pipeline.Multimodal.wavStats(s, d)),
     "multimodal_ppm_stats" -> ((s, d) => graft.pipeline.Multimodal.ppmStats(s, d)),
     "multimodal_ppm_resize" -> ((s, d) => graft.pipeline.Multimodal.ppmResizeStats(s, d)),
+    "multimodal_wav_resample" -> ((s, d) => graft.pipeline.Multimodal.wavResampleStats(s, d)),
     "ann_filtered_topk"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     // retrieval (sparse BM25 + hybrid fusion)
     "retrieval_bm25"       -> ((s, d) => Retrieval.bm25MoreLikeThis(s, d)),
@@ -2102,6 +2103,17 @@ SELECT doc_id AS id, w AS width, h AS height, n_pixels,
   round(CAST(sg AS DOUBLE) / n_pixels, 6) AS mean_g,
   round(CAST(sb AS DOUBLE) / n_pixels, 6) AS mean_b,
   max_luma_milli FROM agg""",
+
+    // audio resample leg: closed-form regeneration of out[i] = in[⌊i·n/128⌋]
+    // over the synthetic PCM; position-weighted checksum is order-sensitive
+    "multimodal_wav_resample" ->
+      """WITH s AS (SELECT doc_id AS id, 200 + doc_id % 57 AS n FROM documents),
+o AS (SELECT id, i, ((id * 7919 + ((i * n) // 128) * 104729) % 65536) - 32768 AS v
+FROM s, unnest(range(0, 128)) t(i))
+SELECT id, CAST(128 AS BIGINT) AS n_out, CAST(SUM(v) AS BIGINT) AS sum_amp,
+CAST(MIN(v) AS BIGINT) AS min_amp, CAST(MAX(v) AS BIGINT) AS max_amp,
+CAST(SUM((i + 1) * v) AS BIGINT) AS checksum
+FROM o GROUP BY id""",
 
     // resize leg: closed-form regeneration of the nearest-neighbor
     // ⌊x·w/16⌋/⌊y·h/12⌋ index map over the synthetic raster; the

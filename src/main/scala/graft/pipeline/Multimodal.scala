@@ -182,6 +182,35 @@ object Multimodal {
       col("zero_crossings"), col("peak"))
   }
 
+  /** Oracle-gated audio RESAMPLE: synthesize → RIFF-encode → chunk-walk
+    * decode → nearest-sample resample to a fixed `outN` samples
+    * (out[i] = in[⌊i·n/outN⌋], the same integer-exact index map as the
+    * image resize) → integer stats plus the position-weighted checksum
+    * (Σ (i+1)·vᵢ) that fails any wrong-ORDER rendering. Fixed output
+    * length is what makes downstream batch geometry independent of clip
+    * length — the audio leg of the resize contract. Pure map-side.
+    */
+  def wavResampleStats(spark: SparkSession, dir: String, outN: Int = 128): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (_, s) = WavCodec.decode(WavCodec.encode(syntheticSamples(id)))
+          var i = 0; var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var ck = 0L
+          while (i < outN) {
+            val v = s((i * s.length) / outN).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            ck += (i + 1L) * v
+            i += 1
+          }
+          (id, outN.toLong, sum, mn, mx, ck)
+        }
+      }
+      .toDF("id", "n_out", "sum_amp", "min_amp", "max_amp", "checksum")
+  }
+
   /** documents.text as the stand-in binary payload → feature table. */
   def documentFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

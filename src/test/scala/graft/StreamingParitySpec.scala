@@ -138,6 +138,48 @@ class StreamingParitySpec extends SparkSpecBase {
     }
   }
 
+  test("decay parity: forward-decayed running value folds to the batch a26 figure") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val d = "/root/testdata/sf0.001"
+      val purchases = graft.Tables.events(spark, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().filter(_.event_type == "purchase")
+        .sortBy(_.event_id).toSeq
+      val rows = runStream(Seq(purchases.take(purchases.size / 2),
+        purchases.drop(purchases.size / 2)), "update") { df =>
+        graft.streaming.DecayProcessor(df.as[Event]).toDF()
+      }.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // the LAST emission per user, forward-decayed to the fixed reference,
+      // must equal the batch Σ value·2^(−(ref−tᵢ)/hl) (float tolerance: the
+      // batch folds 6dp-rounded decimal terms, the stream multiplies
+      // incrementally)
+      val refUs = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli * 1000L
+      val hlUs = 30.0 * 86400e6
+      val finalPerUser = rows.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).toMap
+      val batch = graft.operators.Relational.a26ValueDecay(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(finalPerUser.keySet == batch.keySet)
+      // and the stream emitted exactly one row per purchase
+      assert(rows.length == purchases.length)
+      finalPerUser.foreach { case (u, (_, tsu, v)) =>
+        val folded = v * math.pow(2.0, -((refUs - tsu).toDouble / hlUs))
+        val want = batch(u)._2
+        assert(math.abs(folded - want) <= 1e-3 + 1e-6 * math.abs(want),
+          s"user $u folded $folded vs batch $want")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("J4 parity: transformWithState event-time timers == batch lead() oracle") {
     // transformWithState timers need column families → RocksDB state store
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
