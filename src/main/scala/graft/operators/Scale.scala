@@ -71,6 +71,32 @@ object Scale {
     else df
   }
 
+  /** Measured-bytes variant of the gate for frames derived from a
+    * MATERIALIZED `localCheckpoint`: the estimate `maybeBroadcast` reads
+    * is preserved from the ORIGINATING plan (SPARK-39748), and the
+    * size-only join estimator MULTIPLIES child sizes — so a ~26 KB
+    * checkpointed join output can report gigabytes and silently decline
+    * the hint, leaving a no-key join to plan as CartesianProduct (the
+    * registry-wide `PlanAudit` caught exactly this in `mine_bitext`).
+    * Here the actual UnsafeRow bytes are summed with one tiny job over
+    * the already-materialized partitions — no recompute, milliseconds at
+    * broadcast-candidate sizes — and the hint decision uses the REAL
+    * figure. Use where the candidate side comes off a checkpoint and the
+    * join has no equi keys (estimate-blind cross joins); keep the
+    * zero-job `maybeBroadcast` for scan-rooted frames whose estimates
+    * are honest.
+    */
+  def maybeBroadcastMeasured(df: DataFrame, maxBytes: Long = -1L): DataFrame = {
+    val bound =
+      if (maxBytes > 0) maxBytes
+      else df.sparkSession.conf.get(BroadcastGateConf, BroadcastGateDefault.toString).toLong
+    val measured = df.queryExecution.toRdd
+      .mapPartitions(it => Iterator.single(it.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow].getSizeInBytes.toLong).sum))
+      .fold(0L)(_ + _)
+    if (measured <= bound) broadcast(df) else df
+  }
+
   /** Skew flag for the exhaustive dedup joins (`Dedup.sharedTokenJoin`):
     * 0/1 = plain blocked join (default); k > 1 = salt the (source, tok)
     * block key k ways through `saltedJoin`, for corpora where ONE block

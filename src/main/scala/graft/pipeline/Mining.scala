@@ -46,7 +46,11 @@ object Mining {
     val tgt = normed.filter(col("lang") === pivotLang)
       .select(col("vec_id").as("tgt_id"),
         col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
-    val scored = src.join(Scale.maybeBroadcast(tgt))
+    // measured gate: tgt comes off the checkpoint and this join has no
+    // equi keys — the estimate-based gate read the origin JOIN's
+    // size-product stats (GBs for a KB frame) and declined, planning a
+    // CartesianProduct (caught by PlanAudit)
+    val scored = src.join(Scale.maybeBroadcastMeasured(tgt))
       .select(col("src_id"), col("src_lang"), col("tgt_id"),
         cosineRFromNorms(col("s_emb"), col("t_emb"), col("s_nrm"), col("t_nrm")).as("cos"))
     val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
