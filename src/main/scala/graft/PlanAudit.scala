@@ -38,15 +38,22 @@ object PlanAudit {
         try {
           val df = fn(spark, sfDir)
           df.queryExecution.toRdd.count() // execute so AQE finalizes
+          // the AQE toString appends an "== Initial Plan ==" section that
+          // would double-count every node: audit the FINAL plan only
           val plan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
           def n(marker: String): Int =
             plan.sliding(marker.length).count(_ == marker)
+          // whole-stage regions print as "*(k)" prefixes in tree mode —
+          // count DISTINCT region ids, not occurrences
+          val codegenIds = raw"\*\((\d+)\)".r.findAllMatchIn(plan)
+            .map(_.group(1)).toSet.size
           Map(
             "exchanges" -> n("Exchange "),
             "single_partition" -> n("Exchange SinglePartition"),
             "cartesian" -> n("CartesianProduct"),
             "bnlj" -> n("BroadcastNestedLoopJoin"),
-            "codegen_spans" -> n("WholeStageCodegen"))
+            "codegen_spans" -> codegenIds)
         } catch {
           case e: Throwable =>
             System.err.println(s"[audit] $name failed: ${e.getMessage}")
