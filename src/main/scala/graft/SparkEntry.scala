@@ -129,6 +129,11 @@ object SparkEntry {
     "sample_token_budget"  -> ((s, d) => T.tokenBudgetSample(s, d)),
     "sample_lang_balance"  -> ((s, d) => T.langBalanceSample(s, d)),
     "sample_temperature"   -> ((s, d) => T.temperatureSample(s, d)),
+    "sample_priority"      -> ((s, d) => T.prioritySample(s, d)),
+    "text_normalize_stats" -> ((s, d) => T.normalizeStats(s, d)),
+    "quality_compression"  -> ((s, d) => T.compressionRatio(s, d)),
+    "quality_ks_lengths"   -> ((s, d) => T.ksLengths(s, d)),
+    "quality_benford"      -> ((s, d) => graft.operators.Layout.benfordAudit(s, d)),
     "corpus_report"        -> ((s, d) => T.corpusReport(s, d)),
     "shard_assign"         -> ((s, d) => T.shardAssign(s, d)),
     "text_char_entropy"    -> ((s, d) => T.charEntropyScore(s, d)),
@@ -226,6 +231,7 @@ object SparkEntry {
     "layout_bucketed_join" -> ((s, d) => graft.operators.Layout.bucketedJoin(s, d)),
     "layout_partitioned"   -> ((s, d) => graft.operators.Layout.partitionPrunedMonth(s, d)),
     "layout_dpp"           -> ((s, d) => graft.operators.Layout.dppQuarterJoin(s, d)),
+    "layout_skew_profile"  -> ((s, d) => graft.operators.Layout.skewProfile(s, d)),
     "quality_expectations" -> ((s, d) => graft.operators.Layout.expectations(s, d)),
     "text_topngram_frac"   -> ((s, d) => T.topNgramCoverage(s, d)),
     "text_keyphrases"      -> ((s, d) => T.rakeKeyphrases(s, d)),
@@ -1740,6 +1746,58 @@ r AS (SELECT source, least(1000, CAST(floor(1000.0::DOUBLE * q / mq) AS BIGINT))
 SELECT doc_id, d.source AS source, permille FROM documents d JOIN r ON d.source = r.source
 WHERE ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < permille""",
 
+    // Efraimidis–Spirakis: k smallest −ln(u)/w (u md5-derived, w = token
+    // count); selection orders on the UNROUNDED priority, ties by doc_id
+    "sample_priority" ->
+      s"""WITH t AS (SELECT doc_id,
+CAST(greatest(len($TOKS), 1) AS BIGINT) AS n_tokens,
+CAST(${MD5P("CAST(doc_id AS VARCHAR)")} % 1000000 + 1 AS DOUBLE) / 1000001.0 AS u
+FROM documents),
+p AS (SELECT doc_id, n_tokens, -ln(u) / CAST(n_tokens AS DOUBLE) AS prio FROM t)
+SELECT doc_id, n_tokens, round(prio, 6) AS priority
+FROM p ORDER BY prio ASC, doc_id ASC LIMIT 100""",
+
+    // two-sample KS over cohort length ECDFs (curated short-name sources
+    // vs rest): D = sup|F_a − F_b|, α=0.05 critical value 1.358·√((a+b)/ab)
+    "quality_ks_lengths" ->
+      s"""WITH t AS (SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS c,
+CAST(len($TOKS) AS BIGINT) AS v FROM documents),
+h AS (SELECT v, SUM(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS na,
+SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS nb FROM t GROUP BY v),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM h),
+cum AS (SELECT SUM(na) OVER (ORDER BY v) AS ca, SUM(nb) OVER (ORDER BY v) AS cb FROM h),
+d AS (SELECT MAX(ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) -
+  CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS dmax FROM cum, tot),
+k AS (SELECT ta, tb, dmax,
+  1.358 * sqrt(CAST(ta + tb AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) AS crit
+  FROM d, tot)
+SELECT ta AS n_a, tb AS n_b, round(dmax, 6) AS ks_stat, round(crit, 6) AS crit_05,
+CAST(CASE WHEN dmax > crit THEN 1 ELSE 0 END AS BIGINT) AS reject FROM k""",
+
+    // Benford first-digit audit: obs vs log10(1+1/d) expectation
+    "quality_benford" ->
+      s"""WITH g AS (SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+FROM lineitem),
+h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM g WHERE digit >= 1 GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+s AS (SELECT CAST(digit AS BIGINT) AS digit, n,
+round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS exp_share FROM h, t)
+SELECT digit, n, obs_share, exp_share,
+round(ABS(obs_share - exp_share), 6) AS abs_dev FROM s""",
+
+    // control-char strip (C0 minus \n, plus DEL) → space/tab-run collapse
+    // → trim; per-doc before/after audit
+    "text_normalize_stats" ->
+      raw"""WITH n AS (SELECT doc_id, source, text,
+trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+  '[ \t]+', ' ', 'g')) AS norm FROM documents)
+SELECT doc_id, source,
+CAST(length(text) AS BIGINT) AS raw_len,
+CAST(length(norm) AS BIGINT) AS norm_len,
+CAST(length(text) - length(norm) AS BIGINT) AS removed,
+CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed FROM n""",
+
     "sample_lang_balance" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
 m AS (SELECT MIN(n_l) AS n_min FROM c),
@@ -2421,6 +2479,22 @@ SELECT deg.v AS part_id, deg.d AS degree, COALESCE(tri_ct, 0) AS tri_ct,
 round(CASE WHEN d >= 2 THEN 2.0 * COALESCE(tri_ct, 0) / (CAST(d AS DOUBLE) * (d - 1))
   ELSE 0.0 END, 6) AS clust_coeff
 FROM deg LEFT JOIN tv ON deg.v = tv.v""",
+
+    // per-key count distribution facts for events.user_id as a shuffle
+    // key: Gini via the rank identity 2·Σ i·cᵢ/(n·Σc) − (n+1)/n (counts
+    // ascending), salt factor = ceil(max/mean)
+    "layout_skew_profile" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c ASC, user_id ASC) AS rnk FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+CAST(SUM(c) AS BIGINT) AS total_rows,
+CAST(MAX(c) AS BIGINT) AS max_count,
+round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top1_share,
+round(2.0 * CAST(SUM(rnk * c) AS DOUBLE) /
+  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) -
+  CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini,
+CAST((MAX(c) * COUNT(*) + SUM(c) - 1) // SUM(c) AS BIGINT) AS salt_factor
+FROM r""",
 
     "layout_partitioned" ->
       s"""SELECT l_returnflag, COUNT(*) AS line_ct,

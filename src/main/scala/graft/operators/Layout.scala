@@ -277,4 +277,70 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Shuffle-key skew profile — the diagnostic that decides WHETHER the
+    * scale toolkit's mitigations (`Scale.saltedJoin`, salted distinct, AQE
+    * skew thresholds) are needed for a key before paying for them: one row
+    * of distribution facts for `events.user_id` as a shuffle key. Reports
+    * key/row counts, the hottest key's absolute count and share, the Gini
+    * coefficient of the per-key count distribution (0 = perfectly even,
+    * →1 = one key owns the table), and a recommended salt factor
+    * ceil(max_count / mean_count) — the multiplier that levels the
+    * hottest reducer back to the average.
+    *
+    * Gini comes from the rank identity G = 2·Σᵢ i·cᵢ /(n·Σc) − (n+1)/n
+    * over counts sorted ascending; the global rank is
+    * `Scale.distributedPrefixSum` (never a single-partition window over
+    * the key space — at 100 TB the KEY table itself is large). Cost: one
+    * map-combined groupBy of the fact table down to key counts, then
+    * rank + a one-row aggregate over #keys rows. Integer sums feed the
+    * two rounded doubles, so engine and oracle agree exactly.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val ranked = Scale.distributedPrefixSum(counts,
+      Seq(col("c").asc, col("user_id").asc), "c", "cum_c", Some("rnk"))
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("c")).cast("long").as("total_rows"),
+        max(col("c")).cast("long").as("max_count"),
+        // decimal accumulation: Σ rnk·c can pass 2^63 long before the
+        // corpus does (DuckDB's SUM(BIGINT) is HUGEINT-exact; this matches)
+        sum(col("rnk").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("double").as("ws"))
+      .select(col("n_keys"), col("total_rows"), col("max_count"),
+        round(col("max_count").cast("double") / col("total_rows").cast("double"), 6)
+          .as("top1_share"),
+        round((lit(2.0) * col("ws")) /
+            (col("n_keys").cast("double") * col("total_rows").cast("double")) -
+          (col("n_keys") + lit(1L)).cast("double") / col("n_keys").cast("double"), 6)
+          .as("gini"),
+        expr("(max_count * n_keys + total_rows - 1L) DIV total_rows")
+          .cast("long").as("salt_factor"))
+  }
+
+  /** Benford first-digit audit over `lineitem.l_extendedprice` — the
+    * classic synthetic-/fabricated-numeric detector for ingested fact
+    * data: naturally-occurring multiplicative amounts follow
+    * P(d) = log10(1 + 1/d); uniform-generated or truncated feeds don't,
+    * and the per-digit deviation table says so at a glance (the TPC-H-ish
+    * uniform price generator here is exactly such a non-conforming feed).
+    * One map-combined 9-group aggregate + a broadcast one-row total —
+    * nothing scales but the scan.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, dir)
+      .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = digits.agg(sum(col("n")).cast("long").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("obs_share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6)
+          .as("exp_share"))
+      .withColumn("abs_dev", round(abs(col("obs_share") - col("exp_share")), 6))
+  }
 }

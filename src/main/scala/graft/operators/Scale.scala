@@ -162,7 +162,18 @@ object Scale {
     */
   def distributedPrefixSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                            valueCol: String, outCol: String,
-                           rankCol: Option[String] = None): DataFrame = {
+                           rankCol: Option[String] = None): DataFrame =
+    distributedPrefixSumMulti(df, sortCols, Seq(valueCol -> outCol), rankCol)
+
+  /** Multi-column form of `distributedPrefixSum`: every (valueCol →
+    * outCol) pair gets its running sum under ONE shared range
+    * partitioning and ONE pinned intermediate — callers needing several
+    * cumulative series over the same ordering (e.g. a two-sample ECDF)
+    * pay the checkpoint once instead of per column.
+    */
+  def distributedPrefixSumMulti(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                                valueCols: Seq[(String, String)],
+                                rankCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -172,17 +183,23 @@ object Scale {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val totAggs = valueCols.zipWithIndex.map { case ((vc, _), i) =>
+      sum(col(vc)).as(s"__ptot$i") } :+ count(lit(1)).as("__pcnt")
+    val offSelects = col("__pid") +:
+      (valueCols.indices.map { i =>
+        coalesce(sum(col(s"__ptot$i")).over(offW), lit(0L)).as(s"__off$i")
+      } :+ coalesce(sum(col("__pcnt")).over(offW), lit(0L)).as("__roff"))
     val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__ptot"), count(lit(1)).as("__pcnt"))
-      .select(col("__pid"),
-        coalesce(sum(col("__ptot")).over(offW), lit(0L)).as("__off"),
-        coalesce(sum(col("__pcnt")).over(offW), lit(0L)).as("__roff"))
+      .agg(totAggs.head, totAggs.tail: _*)
+      .select(offSelects: _*)
     val cumW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val base = ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(outCol, (col("__off") + sum(col(valueCol)).over(cumW)).cast("long"))
+    val joined = ranged.join(broadcast(offsets), Seq("__pid"))
+    val base = valueCols.zipWithIndex.foldLeft(joined) { case (acc, ((vc, oc), i)) =>
+      acc.withColumn(oc, (col(s"__off$i") + sum(col(vc)).over(cumW)).cast("long"))
+    }
     rankCol.fold(base) { rc =>
       base.withColumn(rc, (col("__roff") + row_number().over(cumW)).cast("long"))
-    }.drop("__pid", "__off", "__roff")
+    }.drop("__pid" +: "__roff" +: valueCols.indices.map(i => s"__off$i"): _*)
   }
 
   /** Exact COUNT(DISTINCT distinctCol) per `key`, restructured for hot

@@ -1419,4 +1419,124 @@ object TextPipeline {
         round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
           .as("pieces_per_word"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis priority sampling): each doc draws priority −ln(u)/w where
+    * w is its token count and u is an md5-derived uniform on (0,1); the k
+    * smallest priorities are an exact weighted-without-replacement draw.
+    * This closes the gap in the sampler family: `stratifiedSample` /
+    * `temperatureSample` reweight GROUPS by per-group rates, but nothing
+    * sampled individual rows proportionally to a per-row weight. Like
+    * every sampler here the "randomness" is an md5 hash, so membership is
+    * RNG-free, partition-insensitive, and recomputable by any worker.
+    *
+    * Scale: one narrow pass computes priorities; top-k plans as
+    * TakeOrderedAndProject (per-partition k-heaps merged on the driver,
+    * k rows each) — no global sort, no corpus-wide shuffle at any size.
+    * Selection orders on the UNROUNDED priority (ties broken by doc_id);
+    * the rounded value is emitted for the oracle hash.
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))), lit(1)).cast("long").as("n_tokens"),
+        ((pmod(md5Prefix64(col("doc_id").cast("string")), lit(1000000L)) + lit(1L))
+          .cast("double") / lit(1000001.0)).as("u"))
+      .withColumn("prio", -log(col("u")) / col("n_tokens").cast("double"))
+      .orderBy(col("prio").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), round(col("prio"), 6).as("priority"))
+
+  /** Text-normalization audit — the cleanup pass every web corpus runs
+    * before anything else (strip non-printing control characters, collapse
+    * horizontal-whitespace runs, trim), reported as per-doc before/after
+    * lengths plus a changed flag so the cleanup's bite is measurable per
+    * source. Newlines survive (paragraph structure is signal); only
+    * C0 controls minus \n, DEL, and space/tab runs are touched. Pure
+    * map-side regexp projection — scores the corpus at scan speed.
+    */
+  def normalizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(col("text"),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""), "[ \\t]+", " "))
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(norm).cast("long").as("norm_len"),
+        (length(col("text")) - length(norm)).cast("long").as("removed"),
+        when(norm =!= col("text"), lit(1L)).otherwise(lit(0L)).as("changed"))
+  }
+
+  /** Deflate compression ratio per document — the information-density
+    * quality heuristic production curation uses alongside entropy
+    * (near-duplicate boilerplate and repeated-template pages compress far
+    * below natural prose; random/base64 blobs barely compress at all).
+    * One reused `java.util.zip.Deflater` (level 6) per PARTITION — the
+    * rich-function open/close lifecycle — so the native zlib context is
+    * paid once per task, not per row. Map-side only; nothing shuffles.
+    * No SQL oracle (DuckDB has no deflate scalar): gated by the spec's
+    * independent per-row recomputation + ordering sanity instead, and
+    * registered rows-only for the driver.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    spread(spark, documents(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(raw); d.finish()
+          var comp = 0L
+          while (!d.finished()) comp += d.deflate(buf)
+          val ratio = comp.toDouble / math.max(raw.length, 1).toDouble
+          (id, raw.length.toLong, comp,
+            math.rint(ratio * 1e6) / 1e6, math.floor(ratio * 10).toLong)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "comp_bytes", "ratio", "bucket")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test between cohort document-length
+    * distributions — the distribution-drift gate a curation pipeline runs
+    * when a new crawl snapshot or source lands ("did the length profile
+    * shift?"), complementing `psiDrift` (binned, feature-level) with the
+    * bin-free exact statistic D = sup|F_a − F_b| plus the α=0.05
+    * decision. Cohorts here: the curated short-name sources vs the rest
+    * (the `stratifiedSample` split).
+    *
+    * Scale shape: the corpus collapses to a per-distinct-length histogram
+    * (value-bounded, ≪ corpus), both cohort ECDFs ride ONE
+    * `distributedPrefixSumMulti` pass over it (one shared range
+    * partitioning, no single-partition window over the value space), and
+    * the sup-gap is a one-row max. Integer counts feed the one double
+    * division, so engine and oracle agree exactly.
+    */
+  def ksLengths(spark: SparkSession, dir: String): DataFrame = {
+    val t = spread(spark, documents(spark, dir))
+      .select(when(length(col("source")) === 4, lit("a")).otherwise(lit("b")).as("c"),
+        size(tokens(col("text"))).cast("long").as("v"))
+    val h = t.groupBy(col("v")).agg(
+      sum(when(col("c") === "a", 1L).otherwise(0L)).as("na"),
+      sum(when(col("c") === "b", 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint() // feeds both the totals and the ECDF pass
+    val cum = graft.operators.Scale.distributedPrefixSumMulti(h,
+      Seq(col("v").asc), Seq("na" -> "ca", "nb" -> "cb"))
+    val tot = h.agg(sum(col("na")).cast("long").as("ta"),
+      sum(col("nb")).cast("long").as("tb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"),
+        abs(col("ca").cast("double") / col("ta").cast("double") -
+          col("cb").cast("double") / col("tb").cast("double")).as("gap"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("gap")).as("dmax"))
+      .withColumn("crit",
+        lit(1.358) * sqrt((col("ta") + col("tb")).cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double"))))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        round(col("dmax"), 6).as("ks_stat"),
+        round(col("crit"), 6).as("crit_05"),
+        when(col("dmax") > col("crit"), lit(1L)).otherwise(lit(0L)).as("reject"))
+  }
 }

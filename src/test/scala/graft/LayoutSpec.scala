@@ -219,4 +219,48 @@ class LayoutSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toMap
     assert(got == want)
   }
+
+  test("skewProfile matches a driver recomputation and bounds hold") {
+    val Array(row) = Layout.skewProfile(spark, d).collect()
+    val counts = Tables.events(spark, d).groupBy($"user_id").count()
+      .as[(Long, Long)].collect()
+    val n = counts.length.toLong
+    val total = counts.map(_._2).sum
+    val mx = counts.map(_._2).max
+    // rank identity Gini over counts sorted (count asc, key asc)
+    val sorted = counts.sortBy { case (k, c) => (c, k) }
+    val ws = sorted.zipWithIndex.map { case ((_, c), i) => (i + 1).toLong * c }.sum
+    val gini = BigDecimal(2.0 * ws / (n.toDouble * total.toDouble) - (n + 1).toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) == n && row.getLong(1) == total && row.getLong(2) == mx)
+    assert(row.getDouble(3) == BigDecimal(mx.toDouble / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(row.getDouble(4) - gini) < 1e-9)
+    assert(row.getLong(5) == (mx * n + total - 1) / total)
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
+    assert(row.getLong(5) >= 1L)
+  }
+
+  test("benfordAudit: digit shares recount, Benford expectations sum to 1") {
+    val rows = Layout.benfordAudit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val prices = Tables.lineitem(spark, d).select("l_extendedprice")
+      .as[Double].collect()
+    val hist = prices.map(p => p.toLong.toString.head.asDigit)
+      .filter(_ >= 1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = hist.values.sum
+    assert(rows.map(_._1).toSet == hist.keySet.map(_.toLong))
+    rows.foreach { case (dig, n, obs, exp, dev) =>
+      assert(n == hist(dig.toInt))
+      val eObs = BigDecimal(n.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val eExp = BigDecimal(math.log(1.0 + 1.0 / dig) / math.log(10.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(obs == eObs && exp == eExp)
+      assert(math.abs(dev - math.abs(obs - exp)) < 1e-9)
+    }
+    // Benford expectation is a proper distribution over 1..9
+    val full = (1 to 9).map(dd => math.log(1.0 + 1.0 / dd) / math.log(10.0)).sum
+    assert(math.abs(full - 1.0) < 1e-12)
+  }
 }

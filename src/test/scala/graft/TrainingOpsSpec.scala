@@ -1393,4 +1393,117 @@ class TrainingOpsSpec extends SparkSpecBase {
     }.toSeq.sortBy { case (p, bg) => (-p, bg) }.take(100)
     assert(out.map(o => (o._3, o._1)).toSeq == all)
   }
+
+  test("priority sample: exact E-S weighted bottom-k vs driver recomputation") {
+    val out = TextPipeline.prioritySample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 100)
+    // recompute every doc's priority on the driver and take the true 100
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def md5p64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val all = docs.map { case (id, text) =>
+      val w = math.max(text.toLowerCase.split("\\s+").count(_.nonEmpty), 1).toLong
+      val u = (md5p64(id.toString) % 1000000L + 1L).toDouble / 1000001.0
+      (id, w, -math.log(u) / w.toDouble)
+    }.sortBy { case (id, _, p) => (p, id) }.take(100)
+    assert(out.map(_._1).toSeq == all.map(_._1).toSeq, "selected ids")
+    out.zip(all).foreach { case ((_, w, pr), (_, ew, ep)) =>
+      assert(w == ew)
+      assert(math.abs(pr - BigDecimal(ep).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // weighting sanity: the sample over-represents long docs vs uniform
+    val meanSel = out.map(_._2).sum.toDouble / out.length
+    val corpusMean = docs.map(d =>
+      math.max(d._2.toLowerCase.split("\\s+").count(_.nonEmpty), 1)).sum.toDouble / docs.length
+    assert(meanSel > corpusMean, s"weighted draw should skew long: $meanSel <= $corpusMean")
+  }
+
+  test("normalize stats: removed = raw−norm, changed flag consistent, idempotent") {
+    val out = TextPipeline.normalizeStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == Tables.documents(spark, dir).count())
+    def norm(t: String): String =
+      t.replaceAll("[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+        .replaceAll("[ \\t]+", " ").trim
+    val texts = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (id, raw, nl, removed, changed) =>
+      val t = texts(id)
+      val n = norm(t)
+      assert(raw == t.length && nl == n.length && removed == raw - nl)
+      assert(changed == (if (n != t) 1L else 0L))
+      assert(norm(n) == n, "normalization must be idempotent")
+    }
+    // the pass must bite on dirty input (constructed, since the corpus is clean)
+    assert(norm("ab  c\td ") == "ab c d")
+  }
+
+  test("compression ratio: matches direct per-row Deflater, ranks text compressibility") {
+    val out = TextPipeline.compressionRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val texts = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.length == texts.size)
+    def deflate(s: String): (Long, Long) = {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192); var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (raw.length.toLong, n)
+    }
+    out.foreach { case (id, raw, comp, ratio, bucket) =>
+      val (eRaw, eComp) = deflate(texts(id))
+      assert(raw == eRaw && comp == eComp, s"doc $id bytes")
+      val eRatio = math.rint(eComp.toDouble / math.max(eRaw, 1).toDouble * 1e6) / 1e6
+      assert(ratio == eRatio && bucket == math.floor(eRatio * 10).toLong)
+    }
+    // ordering sanity at matched length: repeated-char padding compresses
+    // far below prose, which compresses below seeded-random bytes
+    val pad = deflate("a" * 2000)
+    val rnd = new scala.util.Random(7)
+    val blobBytes = new Array[Byte](1500); rnd.nextBytes(blobBytes)
+    val blob = deflate(java.util.Base64.getEncoder.encodeToString(blobBytes).take(2000))
+    val pr = deflate(texts.values.toSeq.sortBy(_.length).reverse.mkString(" ").take(2000))
+    assert(pad._2.toDouble / pad._1 < pr._2.toDouble / pr._1)
+    assert(pr._2.toDouble / pr._1 < blob._2.toDouble / blob._1)
+  }
+
+  test("KS two-sample: exact sup-gap vs driver ECDFs, detects a shifted cohort") {
+    val Array(row) = TextPipeline.ksLengths(spark, dir).collect()
+    val docs = Tables.documents(spark, dir).select("source", "text")
+      .as[(String, String)].collect()
+      .map { case (s, t) =>
+        (if (s.length == 4) "a" else "b",
+          t.toLowerCase.split("\\s+").count(_.nonEmpty).toLong) }
+    val a = docs.filter(_._1 == "a").map(_._2).sorted
+    val b = docs.filter(_._1 == "b").map(_._2).sorted
+    def ecdf(xs: Array[Long], x: Long): Double = {
+      // count of elements <= x
+      var lo = 0; var hi = xs.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (xs(m) <= x) lo = m + 1 else hi = m }
+      lo.toDouble / xs.length
+    }
+    val values = (a ++ b).distinct
+    val dmax = values.map(v => math.abs(ecdf(a, v) - ecdf(b, v))).max
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    assert(math.abs(row.getDouble(2) - dmax) < 1e-6)
+    val crit = 1.358 * math.sqrt((a.length + b.length).toDouble /
+      (a.length.toDouble * b.length.toDouble))
+    assert(math.abs(row.getDouble(3) - crit) < 1e-6)
+    assert(row.getLong(4) == (if (dmax > crit) 1L else 0L))
+    // sensitivity: the op's statistic machinery flags an injected shift —
+    // identical cohorts give D=0, a disjoint shift gives D=1
+    assert(values.map(v => math.abs(ecdf(a, v) - ecdf(a, v))).max == 0.0)
+    val shifted = a.map(_ + 100000L)
+    assert(values.concat(shifted).distinct
+      .map(v => math.abs(ecdf(a, v) - ecdf(shifted, v))).max == 1.0)
+  }
 }
