@@ -40,6 +40,7 @@ object SparkEntry {
     "a25_lateness_profile" -> ((s, d) => R.a25LatenessProfile(s, d)),
     "a26_value_decay"      -> ((s, d) => R.a26ValueDecay(s, d)),
     "a27_inter_event_gaps" -> ((s, d) => R.a27InterEventGaps(s, d)),
+    "a28_hourly_acf"       -> ((s, d) => R.a28HourlyAcf(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
@@ -214,6 +215,9 @@ object SparkEntry {
     "retrieval_eval"       -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "embedding_silhouette" -> ((s, d) => Similarity.kmeansSilhouette(s, d)),
+    "embedding_fisher"     -> ((s, d) => Similarity.embeddingFisher(s, d)),
+    "sample_kcenter"       -> ((s, d) => Similarity.kcenterSample(s, d)),
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "embedding_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
     "embedding_jl_audit"   -> ((s, d) => Similarity.jlAudit(s, d)),
@@ -331,8 +335,8 @@ n AS (SELECT vec_id, label, emb, sqrt(list_reduce(list_prepend(0.0, list_transfo
     * assignment): seed = first 8 vectors, assign, exact-decimal
     * element-wise means rounded to 6dp, re-assign.
     */
-  private lazy val OracleKmeans =
-    s"""WITH $embNorms,
+  private lazy val OracleKmeansCtes =
+    s"""$embNorms,
 c1 AS (SELECT vec_id AS cell, emb AS ce, nrm AS cn FROM n WHERE vec_id < 8),
 s1 AS (SELECT a.vec_id, a.emb, cell, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS c_cos FROM n a CROSS JOIN c1),
 a1 AS (SELECT vec_id, emb, cell AS cluster FROM
@@ -341,9 +345,54 @@ d AS (SELECT cluster, i AS dim, CAST(emb[i] AS DECIMAL(28,12)) AS v FROM a1, unn
 m AS (SELECT cluster, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mv FROM d GROUP BY cluster, dim),
 c2 AS (SELECT cluster, list(mv ORDER BY dim) AS ce FROM m GROUP BY cluster),
 c2n AS (SELECT cluster, ce, sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x * x)), (a, b) -> a + b)) AS cn FROM c2),
-s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)
+s2 AS (SELECT a.vec_id, cluster, ${cosSql("a.emb", "ce", "a.nrm", "cn")} AS cos FROM n a CROSS JOIN c2n)"""
+
+  private lazy val OracleKmeans =
+    s"""WITH $OracleKmeansCtes
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos FROM
 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1"""
+
+  /** Simplified-silhouette oracle: the `kmeans_assign` CTE chain up to the
+    * all-(vector,centroid) cosine table, then per-vector top-2 → a/b
+    * distances → per-cluster decimal-mean silhouette.
+    */
+  private lazy val OracleSilhouette =
+    s"""WITH $OracleKmeansCtes,
+sr AS (SELECT vec_id, cluster, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2),
+sp AS (SELECT vec_id,
+  MAX(CASE WHEN rnk = 1 THEN cluster END) AS cluster,
+  MAX(CASE WHEN rnk = 1 THEN 1.0::DOUBLE - cos END) AS a,
+  MAX(CASE WHEN rnk = 2 THEN 1.0::DOUBLE - cos END) AS b
+  FROM sr WHERE rnk <= 2 GROUP BY vec_id),
+sv AS (SELECT cluster, CASE WHEN greatest(a, b) = 0.0::DOUBLE THEN 0.0::DOUBLE
+  ELSE round((b - a) / greatest(a, b), 6) END AS sil FROM sp)
+SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
+round(CAST(SUM(CAST(sil AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_sil
+FROM sv GROUP BY cluster"""
+
+  /** Greedy k-center oracle: 7 unrolled farthest-point rounds, each a
+    * min-distance pass against the accumulated pick set. Mirrors
+    * `Similarity.kcenterSample` (seed vec 0, ties to low vec_id, round
+    * only at output).
+    */
+  private lazy val OracleKcenter = {
+    val steps = (2 to 8).map { i =>
+      val prev = (2 until i).map(j => s"SELECT vec_id FROM p$j")
+      val selSql = ("SELECT 0 AS vec_id" +: prev).mkString(" UNION ALL ")
+      s"""d$i AS (SELECT a.vec_id, MIN(1.0::DOUBLE - ${cosSql("a.emb", "s.emb", "a.nrm", "s.nrm")}) AS md
+  FROM n a CROSS JOIN n s
+  WHERE s.vec_id IN ($selSql) AND a.vec_id NOT IN ($selSql)
+  GROUP BY a.vec_id),
+p$i AS (SELECT vec_id, md FROM d$i ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+    }.mkString(",\n")
+    val picks = (2 to 8).map(i =>
+      s"SELECT ${i}::BIGINT AS pick, vec_id, round(md, 6) AS min_dist FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $embNorms,
+$steps
+SELECT 1::BIGINT AS pick, 0::BIGINT AS vec_id, 0.0::DOUBLE AS min_dist
+UNION ALL $picks"""
+  }
 
   /** BM25 more-like-this ranking, unlimited depth — shared by
     * `retrieval_bm25` (rnk <= 10) and `retrieval_hybrid_rrf` (sparse leg,
@@ -700,6 +749,24 @@ SELECT event_type, COUNT(*) AS n_gaps,
 round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
 round(quantile_cont(gap_s, 0.95), 6) AS p95_s
 FROM d GROUP BY event_type""",
+
+    // integer-exact ACF: c_t = n·x_t − S so every sum is decimal;
+    // gap-filled hour grid (missing hours are true zeros)
+    "a28_hourly_acf" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x FROM events GROUP BY 1),
+hb AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+hd AS (SELECT t.h, coalesce(x, 0) AS x
+  FROM (SELECT unnest(range((SELECT h0 FROM hb), (SELECT h1 FROM hb) + 1)) AS h) t
+  LEFT JOIN hc ON t.h = hc.h),
+hst AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM hd),
+hcent AS (SELECT h, CAST(n * x - s AS DECIMAL(19,0)) AS c FROM hd, hst),
+hden AS (SELECT SUM(c * c) AS den FROM hcent),
+hnum AS (SELECT lag, SUM(a.c * b.c) AS num
+  FROM hcent a CROSS JOIN (SELECT unnest(range(1, 25)) AS lag) l
+  JOIN hcent b ON b.h = a.h + lag
+  GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+FROM hnum, hden""",
 
     // fixed reference instant 2024-02-01T00:00:00Z = 1706745600000000 µs;
     // divisor literal 2.592e12 = 86400e6 · 30-day half-life, matching the
@@ -2347,6 +2414,25 @@ FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
 WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
 
     "kmeans_assign" -> OracleKmeans,
+    "embedding_silhouette" -> OracleSilhouette,
+    "sample_kcenter" -> OracleKcenter,
+    "embedding_fisher" ->
+      """WITH ef AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+fcm AS (SELECT label, dim, COUNT(*) AS nc,
+  round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mu
+  FROM ef GROUP BY label, dim),
+fgm AS (SELECT dim, round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS gmu
+  FROM ef GROUP BY dim),
+fw AS (SELECT ef.dim,
+  round(CAST(SUM(CAST(round((v - mu) * (v - mu), 6) AS DECIMAL(28,10))) AS DOUBLE), 6) AS within_ss
+  FROM ef JOIN fcm ON ef.label = fcm.label AND ef.dim = fcm.dim GROUP BY ef.dim),
+fb AS (SELECT fcm.dim,
+  round(CAST(SUM(CAST(round(nc * (mu - gmu) * (mu - gmu), 6) AS DECIMAL(28,10))) AS DOUBLE), 6) AS between_ss
+  FROM fcm JOIN fgm ON fcm.dim = fgm.dim GROUP BY fcm.dim)
+SELECT CAST(fb.dim AS BIGINT) AS dim, between_ss, within_ss,
+  CASE WHEN within_ss = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE round(between_ss / within_ss, 6) END AS fisher
+FROM fb JOIN fw ON fb.dim = fw.dim""",
 
     // bottom-decile centroid affinity per trained cluster
     "embedding_outliers" ->

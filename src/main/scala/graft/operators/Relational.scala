@@ -727,6 +727,47 @@ object Relational {
         round(expr("percentile(gap_s, 0.95D)"), 6).as("p95_s"))
   }
 
+  /** a28 (beyond-reference analytics): autocorrelation of the hourly
+    * event-count series at lags 1..24 — the seasonality detector behind
+    * traffic forecasting and anomaly baselines (a 24-lag peak = daily
+    * rhythm; fast decay = memoryless arrivals). Estimator: the standard
+    * biased ACF r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², computed on the
+    * GAP-FILLED hour grid (missing hours are real zeros, and skipping
+    * them would splice non-adjacent hours into fake lag-1 pairs).
+    *
+    * Determinism: multiply the centered terms through by n — c_t =
+    * n·x_t − S is INTEGER — so every sum folds exact decimals and the
+    * ratio touches doubles exactly once (num/den, round 6). DECIMAL(19,0)
+    * per term / (38,0) products keep the multiply inside both engines'
+    * 38-digit cap; |c_t| < 1e19 holds through ~1e14 events/hour.
+    *
+    * Scale: one corpus aggregate onto the hour catalog, then everything
+    * downstream is O(hours) — bounded by the time span, not the corpus
+    * (a year of hours is 8,760 rows; the lag self-join is 24·hours). The
+    * dense grid is a single sequence() explode off the 1-row bounds agg.
+    */
+  def a28HourlyAcf(spark: SparkSession, dir: String, maxLag: Int = 24): DataFrame = {
+    val hrs = events(spark, dir)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val dense = hrs.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hrs, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val cent = dense.join(broadcast(dense.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))))
+      .select(col("h"), (col("n") * col("x") - col("s")).cast("decimal(19,0)").as("c"))
+      .localCheckpoint() // O(hours) rows; reused by den + all 24 lag legs
+    val den = cent.agg(sum(col("c") * col("c")).as("den"))
+    cent.select(col("h"), col("c"),
+        explode(array((1 to maxLag).map(lit(_)): _*)).as("lag"))
+      .join(cent.select(col("h").as("h2"), col("c").as("c2")),
+        col("h") + col("lag") === col("h2"))
+      .groupBy(col("lag")).agg(sum(col("c") * col("c2")).as("num"))
+      .join(broadcast(den))
+      .select(col("lag").cast("long").as("lag"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+  }
+
   /** a23 (beyond-reference analytics): equi-depth value discretization —
     * `ntile` deciles per event type with per-bin count/lo/hi, the
     * feature-engineering binning step (monotone buckets, ~equal mass)

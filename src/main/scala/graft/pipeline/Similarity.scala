@@ -176,6 +176,22 @@ object Similarity {
     */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val e = withNorms(spark, dir)
+    val cents2 = oneLloydCentroids(e, k)
+    e.join(broadcast(cents2))
+      .select(col("vec_id"), col("cluster"),
+        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
+  }
+
+  /** The one-Lloyd-iteration centroid frame shared by `kmeansAssign` and
+    * `kmeansSilhouette`: seed = first k vectors, assign by cosine,
+    * decimal-exact element means rounded 6dp. Output (cluster, c_emb,
+    * c_nrm) — k tiny rows, always broadcast by callers.
+    */
+  private def oneLloydCentroids(e: DataFrame, k: Int): DataFrame = {
     val cents1 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     val a1 = e.join(broadcast(cents1))
@@ -193,18 +209,132 @@ object Similarity {
       .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
       .select(col("cluster"), col("pos"),
         round(col("s").cast("double") / col("cnt"), 6).as("m"))
-    val cents2 = means.groupBy(col("cluster"))
+    means.groupBy(col("cluster"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dm"))
       .select(col("cluster"),
         transform(col("dm"), x => x.getField("m")).as("c_emb"))
       .select(col("cluster"), col("c_emb"), norm(col("c_emb")).as("c_nrm"))
-    e.join(broadcast(cents2))
+  }
+
+  /** Simplified-silhouette clustering audit over the `kmeansAssign`
+    * partition (the standard O(n·k) rendering — Hruschka et al.: distances
+    * to CENTROIDS stand in for mean pairwise distances, which would be
+    * O(n²)): per vector, a = cosine distance to its own centroid, b =
+    * distance to the nearest OTHER centroid, silhouette = (b−a)/max(a,b).
+    * Per-cluster means are the verdict on cluster quality — near 0 means
+    * the k-means partition is not separating the corpus and downstream
+    * cluster-balanced sampling / SemDeDup cells inherit noise.
+    *
+    * Scale: one broadcast of k centroid rows against the corpus scan, a
+    * per-vector top-2 window (vec_id-keyed — the corpus-wide exchange is
+    * on the same key every embedding op shuffles on), then a k-row
+    * aggregate. Decimal-summed silhouettes so the per-cluster mean is
+    * deterministic under any partitioning.
+    */
+  def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = withNorms(spark, dir)
+    val cents = oneLloydCentroids(e, k)
+    val top2 = e.join(broadcast(cents))
       .select(col("vec_id"), col("cluster"),
         cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
+      .filter(col("rnk") <= 2)
+    val per = top2.groupBy(col("vec_id"))
+      .agg(max(when(col("rnk") === 1, col("cluster"))).as("cluster"),
+        max(when(col("rnk") === 1, lit(1.0) - col("cos"))).as("a"),
+        max(when(col("rnk") === 2, lit(1.0) - col("cos"))).as("b"))
+      .select(col("cluster"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)).as("sil"))
+    per.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_sil"))
+      .select(col("cluster").cast("long").as("cluster"), col("n"), col("mean_sil"))
+  }
+
+  /** Per-dimension Fisher discriminant score of the embedding space
+    * against the `label` column: F_d = between-class SS / within-class SS
+    * (Σ_c n_c(μ_cd−μ_d)² over Σ_c Σ_i (v−μ_cd)²) — the classical feature-
+    * quality screen deciding which embedding dimensions actually carry
+    * the label signal (feature selection before a cheap linear probe, or
+    * an audit that a projection/quantization step didn't destroy class
+    * structure).
+    *
+    * Scale: one posexplode pass → (label,dim)-keyed partial sums (k·d
+    * aggregate rows per partition — map-side combine does the work), a
+    * second pass joining the corpus against the BROADCAST k·d class-mean
+    * table, and a d-row final aggregate. Class means are rounded 6dp
+    * before the deviation pass and every summed term is decimal — both
+    * engines fold identical doubles, deterministic under any parallelism
+    * (the a19/a22 center-then-deviate contract).
+    */
+  def embeddingFisher(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .localCheckpoint()
+    val cm = e.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("nc"),
+        round(sum(col("v").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6).as("mu"))
+    val gm = e.groupBy(col("dim"))
+      .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6).as("gmu"))
+    val within = e.join(broadcast(cm), Seq("label", "dim"))
+      .select(col("dim"),
+        round((col("v") - col("mu")) * (col("v") - col("mu")), 6)
+          .cast("decimal(28,10)").as("w"))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("w")).cast("double"), 6).as("within_ss"))
+    val between = cm.join(broadcast(gm), Seq("dim"))
+      .select(col("dim"),
+        round(col("nc") * (col("mu") - col("gmu")) * (col("mu") - col("gmu")), 6)
+          .cast("decimal(28,10)").as("b"))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("b")).cast("double"), 6).as("between_ss"))
+    between.join(within, Seq("dim"))
+      .select(col("dim").cast("long").as("dim"), col("between_ss"), col("within_ss"),
+        when(col("within_ss") === 0.0, lit(0.0))
+          .otherwise(round(col("between_ss") / col("within_ss"), 6)).as("fisher"))
+  }
+
+  /** Greedy k-center (farthest-point traversal, Gonzalez 1985) diversity
+    * sample over the embedding corpus: seed = vec_id 0, then k−1 rounds of
+    * "take the point farthest (min cosine distance) from everything chosen
+    * so far" — the 2-approximation to the k-center cover and the standard
+    * coreset/diversity draw when a sample must SPAN the space rather than
+    * follow its density (contrast `sample_cluster_balance`, which follows
+    * density per cell).
+    *
+    * Scale: k−1 full-corpus map passes, each scoring against the ≤k-row
+    * BROADCAST chosen set and reducing via a TakeOrdered(1) — no corpus
+    * shuffle anywhere, and the driver holds only the ≤k chosen ids (the
+    * same bounded-driver-state contract as the trained k-means centroids).
+    * The corpus-side norms frame is checkpointed once and reused by every
+    * round.
+    */
+  def kcenterSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = withNorms(spark, dir)
+    var picks = Vector[(Long, Long, Double)]((1L, 0L, 0.0))
+    while (picks.size < k) {
+      val selIds = picks.map(_._2)
+      val sel = e.filter(col("vec_id").isin(selIds: _*))
+        .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+      val next = e.filter(!col("vec_id").isin(selIds: _*))
+        .join(broadcast(sel))
+        .select(col("vec_id"),
+          (lit(1.0) - cosineRFromNorms(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")))
+            .as("d"))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      picks = picks :+ ((picks.size + 1L, next.getLong(0), next.getDouble(1)))
+    }
+    // round via the engine (not the driver) so the 6dp contract is the
+    // same Round expression every oracle-gated double goes through
+    picks.toDF("pick", "vec_id", "min_dist")
+      .select(col("pick"), col("vec_id"), round(col("min_dist"), 6).as("min_dist"))
   }
 
   /** Multi-probe sign-LSH top-k: each query probes its own bucket AND

@@ -863,6 +863,34 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("a28 hourly ACF: integer-exact recount on the gap-filled grid, all 24 lags") {
+    val d = sf("events")
+    val got = Relational.a28HourlyAcf(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == (1L to 24L).toSet)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hours = graft.Tables.events(spark, d)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")).collect()
+      .map(_.getLong(0))
+    val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val grid = (hours.min to hours.max).map(h => counts.getOrElse(h, 0L))
+    val n = BigInt(grid.length); val s = BigInt(grid.sum)
+    val c = grid.map(x => n * x - s)
+    val den = c.map(v => v * v).sum
+    (1 to 24).foreach { k =>
+      val num = (0 until grid.length - k).map(t => c(t) * c(t + k)).sum
+      val want = r6(num.toDouble / den.toDouble)
+      assert(got(k.toLong) == want, s"lag $k: got ${got(k.toLong)} want $want")
+    }
+    // estimator invariants: |r_k| <= 1 (Cauchy-Schwarz) and a nonzero
+    // denominator (the series is not constant). The synthetic corpus is
+    // near-memoryless (all |r_k| ~ 0.03 at sf0.001) — the exact-replay
+    // equality above is the correctness gate; a seasonality ASSUMPTION
+    // would be asserting a property the data doesn't have.
+    assert(den > 0)
+    got.values.foreach(a => assert(a >= -1.0 && a <= 1.0))
+  }
+
   test("hashed features: buckets bounded, per-doc mass equals token count") {
     val d = sf("documents")
     val got = graft.pipeline.TextPipeline.hashedFeatures(spark, d).collect()

@@ -1506,4 +1506,93 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(values.concat(shifted).distinct
       .map(v => math.abs(ecdf(a, v) - ecdf(shifted, v))).max == 1.0)
   }
+
+  private def r6(x: Double) =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // in-order fold mirroring the graft_dot / graft_norm kernels
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def normD(a: Array[Double]): Double = math.sqrt(dotD(a, a))
+
+  test("silhouette: same partition as kmeans_assign, bounded values, ordered quality") {
+    val ed = sf("embeddings")
+    val sil = graft.pipeline.Similarity.kmeansSilhouette(spark, ed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val km = graft.pipeline.Similarity.kmeansAssign(spark, ed)
+      .groupBy(col("cluster")).count().as[(Long, Long)].collect().toMap
+    // the audit must describe the IDENTICAL partition the assignment made
+    assert(sil.view.mapValues(_._1).toMap == km,
+      "per-cluster sizes diverge from kmeans_assign")
+    assert(sil.values.map(_._1).sum == Tables.embeddings(spark, ed).count())
+    sil.values.foreach { case (_, s) => assert(s >= -1.0 && s <= 1.0) }
+    // simplified silhouette vs the NEAREST centroid is non-negative by
+    // construction (b >= a for every point); a strictly-positive mean
+    // somewhere is the non-degenerate-signal floor
+    assert(sil.values.forall(_._2 >= 0.0))
+    assert(sil.values.exists(_._2 > 0.0), "silhouette signal collapsed to zero")
+  }
+
+  test("fisher scores: full driver recomputation under the same rounding contract") {
+    val ed = sf("embeddings")
+    val got = graft.pipeline.Similarity.embeddingFisher(spark, ed).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val rows = Tables.embeddings(spark, ed).select("label", "embedding")
+      .as[(Int, Array[Float])].collect()
+      .map { case (l, e) => (l, e.map(_.toDouble)) }
+    val dims = rows.head._2.length
+    // engine shape: decimal(28,12) exact sum, cast double FIRST, then /n
+    def decMean(vs: Seq[Double]): Double = r6(
+      vs.map(v => BigDecimal.valueOf(v).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.length)
+    (0 until dims).foreach { d =>
+      val byLab = rows.groupBy(_._1).view.mapValues(_.map(_._2(d)).toSeq).toMap
+      val gmu = decMean(rows.map(_._2(d)).toSeq)
+      val mus = byLab.view.mapValues(vs => decMean(vs)).toMap
+      def dec10(x: Double) = BigDecimal.valueOf(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      val within = r6(byLab.map { case (l, vs) =>
+        vs.map(v => dec10(r6((v - mus(l)) * (v - mus(l))))).sum
+      }.sum.toDouble)
+      val between = r6(byLab.map { case (l, vs) =>
+        dec10(r6(vs.length * (mus(l) - gmu) * (mus(l) - gmu)))
+      }.sum.toDouble)
+      val fisher = if (within == 0.0) 0.0 else r6(between / within)
+      val (gb, gw, gf) = got(d.toLong)
+      assert(gb == between && gw == within && gf == fisher,
+        s"dim $d: got ($gb,$gw,$gf) want ($between,$within,$fisher)")
+    }
+    // the labeled synthetic corpus must show SOME discriminative dimension,
+    // else the score is vacuous on its own test data
+    assert(got.values.exists(_._3 > 0.0), "no dimension carries label signal")
+  }
+
+  test("k-center sample: greedy farthest-point replays exactly on the driver") {
+    val ed = sf("embeddings")
+    val got = graft.pipeline.Similarity.kcenterSample(spark, ed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val embs = Tables.embeddings(spark, ed).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val nrm = embs.view.mapValues(normD).toMap
+    def dist(a: Long, b: Long): Double =
+      1.0 - r6(dotD(embs(a), embs(b)) / (nrm(a) * nrm(b)))
+    var sel = Vector(0L)
+    val want = scala.collection.mutable.ArrayBuffer((1L, 0L, 0.0))
+    while (sel.size < 8) {
+      val (nid, md) = embs.keys.filterNot(sel.contains).toSeq
+        .map(c => c -> sel.map(s => dist(c, s)).min)
+        .minBy { case (id, m) => (-m, id) }
+      want += ((sel.size + 1L, nid, r6(md)))
+      sel = sel :+ nid
+    }
+    assert(got.toSeq == want.toSeq, s"greedy traversal diverged:\n$got\nvs\n$want")
+    // diversity property: every chosen pair is farther apart than the
+    // LAST pick's covering radius (the Gonzalez 2-approx invariant)
+    val lastMd = want.last._3
+    for (a <- sel; b <- sel if a < b)
+      assert(dist(a, b) >= lastMd - 1e-9, s"picks $a,$b closer than final radius")
+  }
 }
