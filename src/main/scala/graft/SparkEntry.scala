@@ -41,6 +41,7 @@ object SparkEntry {
     "a26_value_decay"      -> ((s, d) => R.a26ValueDecay(s, d)),
     "a27_inter_event_gaps" -> ((s, d) => R.a27InterEventGaps(s, d)),
     "a28_hourly_acf"       -> ((s, d) => R.a28HourlyAcf(s, d)),
+    "a29_winsorized_stats" -> ((s, d) => R.a29WinsorizedStats(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
@@ -226,6 +227,8 @@ object SparkEntry {
     "dedup_semantic"       -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     "sample_cluster_balance" -> ((s, d) => Similarity.clusterBalanceSample(s, d)),
     "sample_split"         -> ((s, d) => Dedup.leakageFreeSplit(s, d)),
+    "split_leakage_audit"  -> ((s, d) => Dedup.splitLeakageAudit(s, d)),
+    "curriculum_phase"     -> ((s, d) => T.curriculumPhase(s, d)),
     // multimodal decode plumbing (mapPartitions batch shape; decode stubbed)
     "multimodal_decode"    -> ((s, d) => graft.pipeline.Multimodal.documentFeatures(s, d)
                                  .select("id", "media_type", "n_bytes")),
@@ -767,6 +770,20 @@ hnum AS (SELECT lag, SUM(a.c * b.c) AS num
   GROUP BY lag)
 SELECT CAST(lag AS BIGINT) AS lag, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
 FROM hnum, hden""",
+
+    // winsorized moments: exact p01/p99 cuts rounded 6dp BEFORE clamping,
+    // decimal(28,10) mean folds (values exact 2dp, cuts exact 6dp)
+    "a29_winsorized_stats" ->
+      """WITH wc AS (SELECT event_type,
+round(quantile_cont("value", 0.01), 6) AS p01,
+round(quantile_cont("value", 0.99), 6) AS p99
+FROM events GROUP BY event_type)
+SELECT e.event_type, COUNT(*) AS n, p01, p99,
+round(CAST(SUM(CAST("value" AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+round(CAST(SUM(CAST(greatest(least("value", p99), p01) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_winsor,
+CAST(SUM(CASE WHEN "value" < p01 OR "value" > p99 THEN 1 ELSE 0 END) AS BIGINT) AS clipped
+FROM events e JOIN wc ON e.event_type = wc.event_type
+GROUP BY e.event_type, p01, p99""",
 
     // fixed reference instant 2024-02-01T00:00:00Z = 1706745600000000 µs;
     // divisor literal 2.592e12 = 86400e6 · 30-day half-life, matching the
@@ -1564,6 +1581,47 @@ SELECT doc_id, cluster_id,
 CASE WHEN ${MD5P("CAST(cluster_id AS VARCHAR)")} % 1000 < 10 THEN 'test'
 WHEN ${MD5P("CAST(cluster_id AS VARCHAR)")} % 1000 < 20 THEN 'val'
 ELSE 'train' END AS split FROM cl""",
+
+    // leakage audit: near-dup pairs straddling the split boundary under a
+    // naive per-doc hash vs the cluster-aware split (must audit to zero)
+    "split_leakage_audit" ->
+      s"""WITH RECURSIVE ${minhashHs("")},
+sigs AS (SELECT doc_id, list_transform(range(0, 64), i -> $minhashSlot) AS sig FROM hs),
+bands AS (SELECT doc_id, sig, bd, array_to_string(list_slice(sig, bd*4 + 1, bd*4 + 4), '_') AS band_key
+FROM sigs, (SELECT unnest(range(0, 16)) AS bd) t),
+pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.bd = y.bd AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+WHERE round(CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 64.0, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, lab) AS (SELECT doc_id, doc_id FROM documents
+UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+cl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+sp AS (SELECT doc_id,
+CASE WHEN ${MD5P("CAST(cluster_id AS VARCHAR)")} % 1000 < 10 THEN 'test'
+WHEN ${MD5P("CAST(cluster_id AS VARCHAR)")} % 1000 < 20 THEN 'val'
+ELSE 'train' END AS split FROM cl),
+nv AS (SELECT doc_id,
+CASE WHEN ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < 10 THEN 'test'
+WHEN ${MD5P("CAST(doc_id AS VARCHAR)")} % 1000 < 20 THEN 'val'
+ELSE 'train' END AS split FROM documents)
+SELECT 'naive_doc_hash' AS method,
+coalesce(CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0) AS straddling_pairs,
+COUNT(*) AS total_pairs
+FROM pairs JOIN nv a ON doc_a = a.doc_id JOIN nv b ON doc_b = b.doc_id
+UNION ALL
+SELECT 'cluster_aware' AS method,
+coalesce(CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0) AS straddling_pairs,
+COUNT(*) AS total_pairs
+FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id""",
+
+    // global quality rank (distinct-token ratio) -> equal-mass phases 0..9
+    "curriculum_phase" ->
+      s"""WITH cq AS (SELECT doc_id,
+round(CAST(len(list_distinct($TOKS)) AS DOUBLE) / greatest(CAST(len($TOKS) AS DOUBLE), 1.0), 6) AS quality
+FROM documents),
+cr AS (SELECT doc_id, quality, row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rnk FROM cq),
+cn AS (SELECT COUNT(*) AS n FROM cq)
+SELECT doc_id, quality, CAST(((rnk - 1) * 10) // n AS BIGINT) AS phase FROM cr, cn""",
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE ${minhashHs("")},

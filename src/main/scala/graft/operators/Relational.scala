@@ -727,6 +727,38 @@ object Relational {
         round(expr("percentile(gap_s, 0.95D)"), 6).as("p95_s"))
   }
 
+  /** a29 (beyond-reference analytics): winsorized moments per event type —
+    * clamp values to the exact [p01, p99] interpolated percentiles and
+    * report raw vs winsorized mean plus the clipped count, the standard
+    * heavy-tail-robust alternative to dropping outliers (a22 flags them;
+    * this bounds their influence). Cuts are rounded to 6dp BEFORE the
+    * clamp pass so both engines clamp against identical doubles; means
+    * fold decimal(28,10) terms (raw values are exact 2dp, cut values
+    * exact 6dp — both recover exactly at scale 10).
+    *
+    * Scale: the a22 shape — one exact-percentile corpus aggregate onto
+    * the bounded event-type catalog, cuts broadcast back, one more
+    * catalog-keyed aggregate. Never shuffles the corpus on anything
+    * wider than event_type.
+    */
+  def a29WinsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir).select(col("event_type"), col("value"))
+    val cuts = base.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.01D)"), 6).as("p01"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+    base.join(broadcast(cuts), "event_type")
+      .withColumn("wv", greatest(least(col("value"), col("p99")), col("p01")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("p01")).as("p01"), first(col("p99")).as("p99"),
+        round(sum(col("value").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_raw"),
+        round(sum(col("wv").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_winsor"),
+        sum(when(col("value") < col("p01") || col("value") > col("p99"), 1L)
+          .otherwise(0L)).as("clipped"))
+  }
+
   /** a28 (beyond-reference analytics): autocorrelation of the hourly
     * event-count series at lags 1..24 — the seasonality detector behind
     * traffic forecasting and anomaly baselines (a 24-lag peak = daily

@@ -494,6 +494,46 @@ object Dedup {
           .otherwise(lit("train")).as("split"))
   }
 
+  /** The leakage audit that justifies `leakageFreeSplit`: count near-dup
+    * pairs whose endpoints land in DIFFERENT splits under (a) the naive
+    * per-DOCUMENT hash split everyone writes first, and (b) the
+    * cluster-aware split. Straddling pairs are train→test leakage — the
+    * eval set contains near-copies of training documents and the benchmark
+    * number is inflated. The cluster-aware row must audit to ZERO by
+    * construction (both endpoints share a cluster_id, so they share a
+    * split); the naive row is the measured cost of skipping clustering.
+    *
+    * Scale: the pair set is the already-bounded LSH output; both audits
+    * join it against id→split maps — id-only shuffles, two 1-row
+    * aggregates. Nothing here adds corpus-scale work beyond the dedup
+    * pipeline the split already runs.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                        testPermille: Int = 10, valPermille: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix64
+    val pairs = minhashLsh(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val naive = documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(md5Prefix64(col("doc_id").cast("string")), lit(1000L)).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < testPermille, lit("test"))
+          .when(col("h") < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")).as("split"))
+    val cluster = leakageFreeSplit(spark, dir, threshold, testPermille, valPermille)
+      .select(col("doc_id"), col("split"))
+    def audit(splits: DataFrame, method: String): DataFrame =
+      pairs
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+        .agg(
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("straddling_pairs"),
+          count(lit(1)).as("total_pairs"))
+        .select(lit(method).as("method"), col("straddling_pairs"), col("total_pairs"))
+    audit(naive, "naive_doc_hash").unionAll(audit(cluster, "cluster_aware"))
+  }
+
   /** Benchmark-contamination check: flag corpus documents (doc_id ≥
     * `benchBound`) sharing at least one distinct word 5-gram with the
     * benchmark set (doc_id < `benchBound`), with the shared-gram count.

@@ -1447,6 +1447,34 @@ object TextPipeline {
       .limit(k)
       .select(col("doc_id"), col("n_tokens"), round(col("prio"), 6).as("priority"))
 
+  /** Curriculum phase assignment: global quality rank (distinct-token
+    * ratio, the `dedup_keep_best` metric) → equal-mass phases 0..9,
+    * phase 0 = cleanest documents. The data-side half of curriculum
+    * learning — train on high-quality text first, anneal toward the
+    * noisy tail — and the deterministic ordering contract a resumable
+    * multi-epoch loader needs (phase boundaries move only when the
+    * corpus does, not with partitioning).
+    *
+    * Scale: the global rank is `Scale.distributedPrefixSum`'s rank path
+    * (range partition + per-partition row numbers + broadcast offsets),
+    * NEVER a single-partition `Window.orderBy`; the phase split is one
+    * integer division against the broadcast corpus count.
+    */
+  def curriculumPhase(spark: SparkSession, dir: String, phases: Int = 10): DataFrame = {
+    val q = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")).cast("double"), lit(1.0)), 6).as("quality"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.Scale.distributedPrefixSum(q,
+      Seq(col("quality").desc, col("doc_id").asc), "one", "cum", Some("rnk"))
+      .drop("cum", "one")
+    ranked.join(broadcast(q.agg(count(lit(1)).as("n"))))
+      .select(col("doc_id"), col("quality"),
+        expr(s"((rnk - 1) * $phases) div n").as("phase"))
+  }
+
   /** Text-normalization audit — the cleanup pass every web corpus runs
     * before anything else (strip non-printing control characters, collapse
     * horizontal-whitespace runs, trim), reported as per-doc before/after

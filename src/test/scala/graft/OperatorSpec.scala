@@ -863,6 +863,36 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("a29 winsorized stats: cuts, clamps, and decimal means replay driver-side") {
+    val d = sf("events")
+    val got = Relational.a29WinsorizedStats(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    def dmean(xs: Seq[Double]) = r6(
+      xs.map(v => BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length)
+    val ev = graft.Tables.events(spark, d).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = ev.groupBy(_._1).view.mapValues { g =>
+      val xs = g.map(_._2)
+      val (p01, p99) = (r6(pct(xs, 0.01)), r6(pct(xs, 0.99)))
+      val wv = xs.map(v => math.max(math.min(v, p99), p01))
+      (xs.length.toLong, p01, p99, dmean(xs.toSeq), dmean(wv.toSeq),
+        xs.count(v => v < p01 || v > p99).toLong)
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the clamp must bite somewhere: clipped rows exist and shift a mean
+    assert(got.values.exists(_._6 > 0))
+    assert(got.values.exists(t => t._4 != t._5), "winsorizing changed no mean")
+  }
+
   test("a28 hourly ACF: integer-exact recount on the gap-filled grid, all 24 lags") {
     val d = sf("events")
     val got = Relational.a28HourlyAcf(spark, d).collect()

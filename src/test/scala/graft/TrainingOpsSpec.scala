@@ -433,6 +433,57 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(got.count(_._3 == "train") / n > 0.9)
   }
 
+  test("split leakage audit: exact driver recount; cluster row zero, naive bites at 50% holdout") {
+    def md5p(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    def split(h: Long, test: Int, v: Int) =
+      if (h < test) "test" else if (h < test + v) "val" else "train"
+    val pairs = Dedup.minhashLsh(spark, dir).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val clusters = Dedup.corpusClusters(spark, dir).as[(Long, Long)].collect().toMap
+    val rows = Dedup.splitLeakageAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val naive = pairs.count { case (a, b) =>
+      split(md5p(a.toString) % 1000, 10, 10) != split(md5p(b.toString) % 1000, 10, 10) }
+    val clus = pairs.count { case (a, b) =>
+      split(md5p(clusters(a).toString) % 1000, 10, 10) !=
+        split(md5p(clusters(b).toString) % 1000, 10, 10) }
+    assert(rows("naive_doc_hash") == ((naive.toLong, pairs.length.toLong)))
+    assert(rows("cluster_aware") == ((clus.toLong, pairs.length.toLong)))
+    assert(clus == 0, "cluster-aware split leaked — violates its construction")
+    // bite: at a 500-permille holdout the naive per-doc hash must straddle
+    // (each near-dup pair lands same-side w.p. ~1/2 under independent md5)
+    val wide = Dedup.splitLeakageAudit(spark, dir, 0.5, 500, 0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide("cluster_aware") == 0L)
+    assert(wide("naive_doc_hash") > 0L,
+      "naive split shows no leakage at a 50% holdout — audit vacuous")
+  }
+
+  test("curriculum phases: exact global-rank replay, equal masses, monotone quality") {
+    val got = graft.pipeline.TextPipeline.curriculumPhase(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val want = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, r6(toks.distinct.length.toDouble / math.max(toks.length, 1).toDouble))
+    }.sortBy { case (id, q) => (-q, id) }.zipWithIndex
+      .map { case ((id, q), i) => (id, q, i.toLong * 10L / docs.length) }
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    // equal-mass phases (floor split: sizes differ by at most 1)
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, s"unbalanced phases: $sizes")
+    // quality never increases across phase boundaries
+    val byPhase = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    byPhase.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(p, q) => assert(byPhase(p).min >= byPhase(q).max,
+        s"phase $p not uniformly cleaner than $q")
+      case _ =>
+    }
+  }
+
   test("duplicate spans: islands match a driver-side seed-merge; spans are verbatim-repeated") {
     val k = 5
     val got = Dedup.duplicateSpans(spark, dir, k)
