@@ -42,8 +42,10 @@ object SparkEntry {
     "a27_inter_event_gaps" -> ((s, d) => R.a27InterEventGaps(s, d)),
     "a28_hourly_acf"       -> ((s, d) => R.a28HourlyAcf(s, d)),
     "a29_winsorized_stats" -> ((s, d) => R.a29WinsorizedStats(s, d)),
+    "a30_cusum_change"     -> ((s, d) => R.a30CusumChange(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
+    "multimodal_phash_pairs" -> ((s, d) => graft.pipeline.Multimodal.phashPairs(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "mine_seq_rules"       -> ((s, d) => graft.pipeline.Mining.seqRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
@@ -219,6 +221,7 @@ object SparkEntry {
     "embedding_silhouette" -> ((s, d) => Similarity.kmeansSilhouette(s, d)),
     "embedding_fisher"     -> ((s, d) => Similarity.embeddingFisher(s, d)),
     "sample_kcenter"       -> ((s, d) => Similarity.kcenterSample(s, d)),
+    "sample_kcenter_weights" -> ((s, d) => Similarity.kcenterWeights(s, d)),
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "embedding_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
     "embedding_jl_audit"   -> ((s, d) => Similarity.jlAudit(s, d)),
@@ -378,24 +381,42 @@ FROM sv GROUP BY cluster"""
     * `Similarity.kcenterSample` (seed vec 0, ties to low vec_id, round
     * only at output).
     */
-  private lazy val OracleKcenter = {
-    val steps = (2 to 8).map { i =>
-      val prev = (2 until i).map(j => s"SELECT vec_id FROM p$j")
-      val selSql = ("SELECT 0 AS vec_id" +: prev).mkString(" UNION ALL ")
-      s"""d$i AS (SELECT a.vec_id, MIN(1.0::DOUBLE - ${cosSql("a.emb", "s.emb", "a.nrm", "s.nrm")}) AS md
+  private lazy val OracleKcenterSteps = (2 to 8).map { i =>
+    val prev = (2 until i).map(j => s"SELECT vec_id FROM p$j")
+    val selSql = ("SELECT 0 AS vec_id" +: prev).mkString(" UNION ALL ")
+    s"""d$i AS (SELECT a.vec_id, MIN(1.0::DOUBLE - ${cosSql("a.emb", "s.emb", "a.nrm", "s.nrm")}) AS md
   FROM n a CROSS JOIN n s
   WHERE s.vec_id IN ($selSql) AND a.vec_id NOT IN ($selSql)
   GROUP BY a.vec_id),
 p$i AS (SELECT vec_id, md FROM d$i ORDER BY md DESC, vec_id ASC LIMIT 1)"""
-    }.mkString(",\n")
+  }.mkString(",\n")
+
+  private lazy val OracleKcenter = {
     val picks = (2 to 8).map(i =>
       s"SELECT ${i}::BIGINT AS pick, vec_id, round(md, 6) AS min_dist FROM p$i")
       .mkString(" UNION ALL ")
     s"""WITH $embNorms,
-$steps
+$OracleKcenterSteps
 SELECT 1::BIGINT AS pick, 0::BIGINT AS vec_id, 0.0::DOUBLE AS min_dist
 UNION ALL $picks"""
   }
+
+  /** Voronoi coreset weights over the k-center picks: every vector to its
+    * nearest center (6dp distance, ties to low center id), per-center
+    * mass + decimal-mean distance.
+    */
+  private lazy val OracleKcenterWeights =
+    s"""WITH $embNorms,
+$OracleKcenterSteps,
+kc AS (SELECT 0 AS c_id ${(2 to 8).map(i => s"UNION ALL SELECT vec_id FROM p$i").mkString(" ")}),
+kce AS (SELECT c_id, emb AS ce, nrm AS cn FROM n JOIN kc ON vec_id = c_id),
+kd AS (SELECT a.vec_id, c_id, round(1.0::DOUBLE - ${cosSql("a.emb", "ce", "a.nrm", "cn")}, 6) AS dist
+  FROM n a CROSS JOIN kce),
+ka AS (SELECT vec_id, c_id, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c_id ASC) AS rnk FROM kd) WHERE rnk = 1)
+SELECT CAST(c_id AS BIGINT) AS center_id, COUNT(*) AS n_assigned,
+round(CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_dist
+FROM ka GROUP BY c_id"""
 
   /** BM25 more-like-this ranking, unlimited depth — shared by
     * `retrieval_bm25` (rnk <= 10) and `retrieval_hybrid_rrf` (sparse leg,
@@ -770,6 +791,25 @@ hnum AS (SELECT lag, SUM(a.c * b.c) AS num
   GROUP BY lag)
 SELECT CAST(lag AS BIGINT) AS lag, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
 FROM hnum, hden""",
+
+    // CUSUM changepoint on the gap-filled daily grid; cum_t = n*CUSUM_t
+    // stays integer, argmax ties to the earliest day
+    "a30_cusum_change" ->
+      """WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d, COUNT(*) AS x FROM events GROUP BY 1),
+db AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM dc),
+dd AS (SELECT t.d, coalesce(x, 0) AS x
+  FROM (SELECT unnest(range((SELECT d0 FROM db), (SELECT d1 FROM db) + 1)) AS d) t
+  LEFT JOIN dc ON t.d = dc.d),
+dst AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM dd),
+dcum AS (SELECT d, x, n, CAST(SUM(n * x - s) OVER (ORDER BY d) AS BIGINT) AS cum FROM dd, dst),
+dpick AS (SELECT d AS cd, cum AS cusum_scaled, n FROM dcum
+  ORDER BY abs(cum) DESC, d ASC LIMIT 1)
+SELECT cd AS change_day, cusum_scaled, n AS n_days,
+round(CAST(SUM(CASE WHEN d <= cd THEN x END) AS DOUBLE) /
+  SUM(CASE WHEN d <= cd THEN 1 ELSE 0 END), 6) AS mean_before,
+round(CAST(SUM(CASE WHEN d > cd THEN x END) AS DOUBLE) /
+  SUM(CASE WHEN d > cd THEN 1 ELSE 0 END), 6) AS mean_after
+FROM dd, dpick GROUP BY cd, cusum_scaled, n""",
 
     // winsorized moments: exact p01/p99 cuts rounded 6dp BEFORE clamping,
     // decimal(28,10) mean folds (values exact 2dp, cuts exact 6dp)
@@ -2474,6 +2514,39 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
     "kmeans_assign" -> OracleKmeans,
     "embedding_silhouette" -> OracleSilhouette,
     "sample_kcenter" -> OracleKcenter,
+    "sample_kcenter_weights" -> OracleKcenterWeights,
+
+    // closed-form aHash replay of the codec path: synthetic raster value
+    // (bid*31 + j*17 + bid*j*13) % 256 at j = 3*idx + c (the cross term
+    // decorrelates bases), two floor index maps (base->variant->8x8
+    // thumbnail), bit = luma*64 >= total, byte-block candidates,
+    // verified Hamming <= 7
+    "multimodal_phash_pairs" ->
+      """WITH ppx AS (SELECT doc_id, p,
+  8 + doc_id % 5 AS vw, 6 + doc_id % 4 AS vh, doc_id // 5 AS bid
+  FROM documents, (SELECT unnest(range(0, 64)) AS p) t),
+pm AS (SELECT doc_id, p, bid, vw, vh,
+  ((p % 8) * vw) // 8 AS vx, ((p // 8) * vh) // 8 AS vy,
+  8 + bid % 9 AS bw, 6 + bid % 7 AS bh FROM ppx),
+pidx AS (SELECT doc_id, p, bid, bw,
+  ((vy * bh) // vh) * bw + ((vx * bw) // vw) AS idx FROM pm),
+plum AS (SELECT doc_id, p,
+  299 * ((bid*31 + (3*idx)*17 + bid*(3*idx)*13) % 256)
++ 587 * ((bid*31 + (3*idx + 1)*17 + bid*(3*idx + 1)*13) % 256)
++ 114 * ((bid*31 + (3*idx + 2)*17 + bid*(3*idx + 2)*13) % 256) AS luma FROM pidx),
+ptot AS (SELECT doc_id, SUM(luma) AS total FROM plum GROUP BY doc_id),
+pbit AS (SELECT doc_id, p, CASE WHEN luma * 64 >= total THEN 1 ELSE 0 END AS bit
+  FROM plum JOIN ptot USING (doc_id)),
+pblk AS (SELECT doc_id, p // 8 AS bi, CAST(SUM(bit << (p % 8)) AS INTEGER) AS bv
+  FROM pbit GROUP BY doc_id, p // 8),
+pcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pblk x JOIN pblk y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+pbl AS (SELECT doc_id, list(bv ORDER BY bi) AS bs FROM pblk GROUP BY doc_id),
+pham AS (SELECT doc_a, doc_b,
+  CAST(list_reduce(list_prepend(0, list_transform(list_zip(a.bs, b.bs),
+    z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
+  FROM pcand JOIN pbl a ON doc_a = a.doc_id JOIN pbl b ON doc_b = b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pham WHERE hamming <= 7""",
     "embedding_fisher" ->
       """WITH ef AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),

@@ -727,6 +727,46 @@ object Relational {
         round(expr("percentile(gap_s, 0.95D)"), 6).as("p95_s"))
   }
 
+  /** a30 (beyond-reference analytics): CUSUM changepoint scan over the
+    * gap-filled DAILY event-count series — the Page/Pettitt-style level-
+    * shift detector behind ingest-drift alarms ("volume changed regime on
+    * day X"). The scan maximizes |Σ_{i≤t}(x_i − μ)|; multiplying through
+    * by n keeps every term integer (c_i = n·x_i − S, so cum_t = n·CUSUM_t)
+    * and the argmax is an exact integer comparison on both engines —
+    * earliest day wins ties. Before/after means are decimal-exact counts
+    * over integer day counts.
+    *
+    * Scale: one corpus aggregate onto the day catalog; the cumulative
+    * window runs over the BOUNDED day grid (a decade is ~3,650 rows —
+    * the `distributedPrefixSum` offsets-table precedent), never the
+    * corpus.
+    */
+  def a30CusumChange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events(spark, dir)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val dense = days.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(days, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val cent = dense
+      .join(broadcast(dense.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))))
+      .select(col("d"), col("x"), col("n"), col("s"),
+        (col("n") * col("x") - col("s")).as("c"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val pick = cent.withColumn("cum", sum(col("c")).over(w))
+      .orderBy(abs(col("cum")).desc, col("d").asc).limit(1)
+      .select(col("d").as("cd"), col("cum").as("cusum_scaled"), col("n"))
+    dense.join(broadcast(pick))
+      .groupBy(col("cd").as("change_day"), col("cusum_scaled"), col("n").as("n_days"))
+      .agg(
+        round(sum(when(col("d") <= col("cd"), col("x"))).cast("double") /
+          sum(when(col("d") <= col("cd"), 1L).otherwise(0L)), 6).as("mean_before"),
+        round(sum(when(col("d") > col("cd"), col("x"))).cast("double") /
+          sum(when(col("d") > col("cd"), 1L).otherwise(0L)), 6).as("mean_after"))
+  }
+
   /** a29 (beyond-reference analytics): winsorized moments per event type —
     * clamp values to the exact [p01, p99] interpolated percentiles and
     * report raw vs winsorized mean plus the clipped count, the standard

@@ -313,6 +313,100 @@ object Multimodal {
       .toDF("id", "out_w", "out_h", "sum_r", "sum_g", "sum_b", "checksum")
   }
 
+  /** The scaled-variant corpus for image near-dup detection: documents in
+    * the same `id / 5` group are nearest-neighbor RESIZES of one shared
+    * base image (the classic perceptual-dedup scenario — same picture,
+    * different resolution), round-tripped through real P6 bytes at every
+    * stage so the codec is exercised, not just the math.
+    */
+  def syntheticVariant(id: Long): PpmCodec.Image = {
+    val base = PpmCodec.decode(PpmCodec.encode(syntheticPhashBase(id / 5)))
+    val vw = (8 + id % 5).toInt
+    val vh = (6 + id % 4).toInt
+    PpmCodec.decode(PpmCodec.encode(PpmCodec.resizeNearest(base, vw, vh)))
+  }
+
+  /** Base raster for the perceptual-hash corpus. Differs from
+    * [[syntheticImage]] by the bid·j CROSS term: without it the raster is
+    * base + constant-per-bid, every base thresholds to the SAME bit
+    * pattern, and distinct images collide at Hamming 0 (measured: 102
+    * cross-group hash-0 pairs at sf0.001). The cross term decorrelates
+    * bases while staying closed-form for the DuckDB oracle.
+    */
+  private def syntheticPhashBase(bid: Long): PpmCodec.Image = {
+    val w = (8 + bid % 9).toInt
+    val h = (6 + bid % 7).toInt
+    val rgb = Array.tabulate(3 * w * h)(j =>
+      Math.floorMod(bid * 31L + j.toLong * 17L + bid * j.toLong * 13L, 256L).toByte)
+    PpmCodec.Image(w, h, rgb)
+  }
+
+  /** Image near-duplicate pairs by average-hash (aHash): decode → resize
+    * to the 8×8 thumbnail → 64 integer lumas → one bit per pixel
+    * (luma·64 ≥ Σluma, integer-exact on both engines) → candidates via
+    * the SimHash byte-block trick (pairs sharing ≥1 of the 8 aligned hash
+    * bytes) → verified Hamming ≤ `maxHam`. With maxHam < 8 the pigeonhole
+    * guarantee holds: any pair within the radius shares a clean byte and
+    * is NEVER missed by the candidate stage — same recall contract as
+    * `dedup_simhash`.
+    *
+    * Scale: hashing is pure map-side (per-partition codec lifecycle);
+    * the candidate join shuffles 8 byte-rows per image (never pixels or
+    * media bytes); verification touches candidates only. This is the
+    * image twin of the text near-dup stack — the base image id is the
+    * ground-truth cluster, and the DuckDB oracle recomputes the whole
+    * thing closed-form from the synthetic raster + ⌊x·w/W⌋ index maps
+    * (the `ppmResizeStats` witnessing trick), so the codec path is
+    * hash-gated end to end.
+    */
+  def phashPairs(spark: SparkSession, dir: String, maxHam: Int = 7): DataFrame = {
+    import spark.implicits._
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val small = PpmCodec.resizeNearest(syntheticVariant(id), 8, 8)
+          val lum = new Array[Long](64)
+          var total = 0L
+          var p = 0
+          while (p < 64) {
+            val r = small.rgb(3 * p) & 0xff
+            val g = small.rgb(3 * p + 1) & 0xff
+            val b = small.rgb(3 * p + 2) & 0xff
+            lum(p) = 299L * r + 587L * g + 114L * b
+            total += lum(p)
+            p += 1
+          }
+          val bs = Array.tabulate(8) { bi =>
+            var v = 0
+            var i = 0
+            while (i < 8) {
+              if (lum(bi * 8 + i) * 64L >= total) v |= (1 << i)
+              i += 1
+            }
+            v
+          }
+          (id, bs)
+        }
+      }
+      .toDF("doc_id", "bs")
+      .localCheckpoint() // hash once; candidate + verify legs both reuse it
+    val ex = blocks.select(col("doc_id"), posexplode(col("bs")))
+      .select(col("doc_id"), col("pos").as("bi"), col("col").as("bv"))
+    val cand = ex.as("x").join(ex.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(blocks.select(col("doc_id").as("doc_a"), col("bs").as("bsa")), Seq("doc_a"))
+      .join(blocks.select(col("doc_id").as("doc_b"), col("bs").as("bsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(bsa, bsb, (a, b) -> bit_count(a ^ b)), 0L, (s, x) -> s + x)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHam)
+  }
+
   /** One sampled frame: position, time offset, decoded features. */
   case class FrameRow(id: Long, media_type: String, n_frames: Long,
                       frame_idx: Long, t_offset_ms: Long, features: Array[Float])

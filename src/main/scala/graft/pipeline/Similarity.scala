@@ -337,6 +337,35 @@ object Similarity {
       .select(col("pick"), col("vec_id"), round(col("min_dist"), 6).as("min_dist"))
   }
 
+  /** Coreset weights for the k-center sample: assign EVERY vector to its
+    * nearest chosen center (cosine distance, ties to the low center id)
+    * and report per-center mass + mean distance — the importance weights
+    * that make the k-point diversity sample usable as a weighted proxy
+    * corpus (Gonzalez centers + Voronoi cell counts = the classic
+    * k-center coreset), and the covering-radius audit per cell.
+    *
+    * Scale: one broadcast of the ≤k chosen rows against the corpus scan,
+    * a vec_id-keyed top-1 window, and a k-row aggregate — identical
+    * shape to `kmeansAssign`.
+    */
+  def kcenterWeights(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = withNorms(spark, dir)
+    val picks = kcenterSample(spark, dir, k).select(col("vec_id").as("c_id"))
+    val cents = e.join(broadcast(picks), col("vec_id") === col("c_id"))
+      .select(col("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        round(lit(1.0) - cosineRFromNorms(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")), 6).as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c_id").asc)))
+      .filter(col("rnk") === 1)
+      .groupBy(col("c_id").as("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("dist").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_dist"))
+  }
+
   /** Multi-probe sign-LSH top-k: each query probes its own bucket AND
     * every bucket at Hamming distance 1 (one plane's sign flipped) —
     * `nPlanes + 1` probes per query. The standard recall repair for

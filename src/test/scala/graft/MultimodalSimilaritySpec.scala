@@ -370,4 +370,44 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     val rawRecall = (raw & brute).size.toDouble / brute.size
     assert(recall > rawRecall, s"rerank ($recall) must improve on raw projected top-5 ($rawRecall)")
   }
+
+  test("phash pairs: brute-force Hamming replay, pigeonhole recall, planted variants bite") {
+    val d = "/root/testdata/sf0.001"
+    val got = Multimodal.phashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver recount through the SAME codec path: hash every doc, check
+    // every pair exhaustively — the engine's candidate stage must lose
+    // NOTHING within the Hamming<8 pigeonhole radius
+    val ids = graft.Tables.documents(spark, d).select("doc_id").as[Long].collect()
+    def ahash(id: Long): Array[Int] = {
+      val small = graft.pipeline.PpmCodec.resizeNearest(
+        Multimodal.syntheticVariant(id), 8, 8)
+      val lum = Array.tabulate(64) { p =>
+        299L * (small.rgb(3 * p) & 0xff) + 587L * (small.rgb(3 * p + 1) & 0xff) +
+          114L * (small.rgb(3 * p + 2) & 0xff)
+      }
+      val total = lum.sum
+      Array.tabulate(8) { bi =>
+        (0 until 8).foldLeft(0)((v, i) =>
+          if (lum(bi * 8 + i) * 64L >= total) v | (1 << i) else v)
+      }
+    }
+    val hs = ids.map(id => id -> ahash(id)).toMap
+    def ham(a: Array[Int], b: Array[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum.toLong
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = ham(hs(a), hs(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    assert(got == want, s"engine pairs diverge: extra=${got -- want} missing=${want -- got}")
+    // the planted scaled-variant groups (id / 5) must actually produce
+    // near-dup pairs, and same-group pairs must dominate the output
+    assert(got.nonEmpty, "no near-dup images found — planting broken")
+    val sameGroup = got.count { case (a, b, _) => a / 5 == b / 5 }
+    assert(sameGroup * 2 > got.size,
+      s"same-group pairs ($sameGroup) don't dominate ${got.size} — hash not perceptual")
+    // scale invariance where the thumbnail maps identically: hamming 0
+    // pairs exist (different resolutions of one base collapsing to one hash)
+    assert(got.exists(_._3 == 0L))
+  }
 }

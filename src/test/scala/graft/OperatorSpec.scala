@@ -863,6 +863,29 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("a30 CUSUM changepoint: integer-exact scan replay; cum zeroes out at the end") {
+    val d = sf("events")
+    val Array(row) = Relational.a30CusumChange(spark, d).collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val days = graft.Tables.events(spark, d)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")).collect()
+      .map(_.getLong(0))
+    val counts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val grid = (days.min to days.max).map(h => h -> counts.getOrElse(h, 0L))
+    val n = BigInt(grid.length); val s = BigInt(grid.map(_._2).sum)
+    var cum = BigInt(0)
+    val cums = grid.map { case (day, x) => cum += n * x - s; (day, cum) }
+    // the full-series CUSUM is telescopically zero — grid sanity
+    assert(cums.last._2 == 0)
+    val (cd, best) = cums.maxBy { case (day, c) => (c.abs, -day) }
+    assert(row.getLong(0) == cd && row.getLong(1) == best.toLong &&
+      row.getLong(2) == grid.length.toLong)
+    val before = grid.filter(_._1 <= cd).map(_._2)
+    val after = grid.filter(_._1 > cd).map(_._2)
+    assert(row.getDouble(3) == r6(before.sum.toDouble / before.length))
+    assert(row.getDouble(4) == r6(after.sum.toDouble / after.length))
+  }
+
   test("a29 winsorized stats: cuts, clamps, and decimal means replay driver-side") {
     val d = sf("events")
     val got = Relational.a29WinsorizedStats(spark, d).collect()

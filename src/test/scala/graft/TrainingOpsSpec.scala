@@ -484,6 +484,35 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("k-center weights: Voronoi masses and mean distances replay on the driver") {
+    val ed = sf("embeddings")
+    val centers = graft.pipeline.Similarity.kcenterSample(spark, ed)
+      .select("vec_id").as[Long].collect().toVector
+    val got = graft.pipeline.Similarity.kcenterWeights(spark, ed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val embs = Tables.embeddings(spark, ed).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val nrm = embs.view.mapValues(normD).toMap
+    def dist(a: Long, b: Long): Double =
+      r6(1.0 - r6(dotD(embs(a), embs(b)) / (nrm(a) * nrm(b))))
+    val assign = embs.keys.toSeq.map { v =>
+      val (c, dd) = centers.map(c => c -> dist(v, c)).minBy { case (c, dd) => (dd, c) }
+      (v, c, dd)
+    }
+    def dec10(x: Double) = BigDecimal.valueOf(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val want = assign.groupBy(_._2).map { case (c, g) =>
+      c -> ((g.length.toLong, r6(g.map(t => dec10(t._3)).sum.toDouble / g.length)))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // total mass = corpus; each center sits in its own cell at distance 0
+    assert(got.values.map(_._1).sum == embs.size)
+    centers.foreach { c =>
+      val (v, cc, dd) = assign.find(_._1 == c).get
+      assert(cc == c && dd == 0.0, s"center $c not self-assigned ($cc, $dd)")
+    }
+  }
+
   test("duplicate spans: islands match a driver-side seed-merge; spans are verbatim-repeated") {
     val k = 5
     val got = Dedup.duplicateSpans(spark, dir, k)
