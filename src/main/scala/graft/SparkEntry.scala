@@ -46,6 +46,7 @@ object SparkEntry {
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "multimodal_phash_pairs" -> ((s, d) => graft.pipeline.Multimodal.phashPairs(s, d)),
+    "multimodal_afp_pairs" -> ((s, d) => graft.pipeline.Multimodal.afpPairs(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "mine_seq_rules"       -> ((s, d) => graft.pipeline.Mining.seqRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
@@ -2547,6 +2548,32 @@ pham AS (SELECT doc_a, doc_b,
     z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
   FROM pcand JOIN pbl a ON doc_a = a.doc_id JOIN pbl b ON doc_b = b.doc_id)
 SELECT doc_a, doc_b, hamming FROM pham WHERE hamming <= 7""",
+
+    // closed-form energy-delta audio fingerprint: plateau raster
+    // (bid*7919 + p*104729 + bid*p*p*13) % 65536 - 32768 at p = bk // 16,
+    // two nearest-resample floor maps (base->variant->256), 32 window
+    // energies, circular delta bits, 4 hash bytes, verified Hamming <= 2
+    "multimodal_afp_pairs" ->
+      """WITH apx AS (SELECT doc_id, i,
+  160 + doc_id % 97 AS nv, doc_id // 5 AS bid, 200 + (doc_id // 5) % 57 AS nb
+  FROM documents, (SELECT unnest(range(0, 256)) AS i) t),
+apm AS (SELECT doc_id, i, bid,
+  ((((i * nv) // 256) * nb) // nv) // 16 AS p FROM apx),
+apv AS (SELECT doc_id, i,
+  abs(((bid*7919 + p*104729 + bid*p*p*13) % 65536) - 32768) AS a FROM apm),
+ape AS (SELECT doc_id, i // 8 AS w, SUM(a) AS e FROM apv GROUP BY doc_id, i // 8),
+apb AS (SELECT x.doc_id, x.w, CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
+  FROM ape x JOIN ape y ON x.doc_id = y.doc_id AND y.w = (x.w + 31) % 32),
+ablk AS (SELECT doc_id, w // 8 AS bi, CAST(SUM(bit << (w % 8)) AS INTEGER) AS bv
+  FROM apb GROUP BY doc_id, w // 8),
+acand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM ablk x JOIN ablk y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+abl AS (SELECT doc_id, list(bv ORDER BY bi) AS bs FROM ablk GROUP BY doc_id),
+aham AS (SELECT doc_a, doc_b,
+  CAST(list_reduce(list_prepend(0, list_transform(list_zip(a.bs, b.bs),
+    z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
+  FROM acand JOIN abl a ON doc_a = a.doc_id JOIN abl b ON doc_b = b.doc_id)
+SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 2""",
     "embedding_fisher" ->
       """WITH ef AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),

@@ -390,7 +390,16 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "bs")
-      .localCheckpoint() // hash once; candidate + verify legs both reuse it
+    blockHammingPairs(blocks, maxHam)
+  }
+
+  /** Shared byte-block LSH tail for the perceptual fingerprints: pairs
+    * sharing ≥1 aligned hash byte → verified Hamming ≤ maxHam. With
+    * maxHam < nBlocks the pigeonhole guarantee holds. Shuffles only
+    * (doc_id, byte) rows; verification touches candidates only.
+    */
+  private def blockHammingPairs(raw: DataFrame, maxHam: Int): DataFrame = {
+    val blocks = raw.localCheckpoint() // hash once; candidate + verify reuse it
     val ex = blocks.select(col("doc_id"), posexplode(col("bs")))
       .select(col("doc_id"), col("pos").as("bi"), col("col").as("bv"))
     val cand = ex.as("x").join(ex.as("y"),
@@ -405,6 +414,67 @@ object Multimodal {
         expr("aggregate(zip_with(bsa, bsb, (a, b) -> bit_count(a ^ b)), 0L, (s, x) -> s + x)")
           .as("hamming"))
       .filter(col("hamming") <= maxHam)
+  }
+
+  /** Base clip for the audio-fingerprint corpus: 16-sample plateaus (a
+    * smooth energy envelope — white noise would decorrelate under
+    * nearest-sample decimation and no fingerprint could survive a
+    * resample), with a bid·p² cross term so plateau PATTERNS differ
+    * across clips (measured: 6 cross-group pairs vs 972 planted at
+    * Hamming ≤ 2 over 500 docs; the linear form gave 591).
+    */
+  def syntheticAudioBase(bid: Long): Array[Short] = {
+    val n = (200 + bid % 57).toInt
+    Array.tabulate(n) { k =>
+      val p = (k / 16).toLong
+      (Math.floorMod(bid * 7919L + p * 104729L + bid * p * p * 13L, 65536L) - 32768L).toShort
+    }
+  }
+
+  /** The resampled-variant clip: documents in the same `id / 5` group are
+    * nearest-sample RESAMPLES of one shared base clip (same recording,
+    * different sample count), WAV round-tripped at every stage.
+    */
+  def syntheticAudioVariant(id: Long): Array[Short] = {
+    val base = WavCodec.decode(WavCodec.encode(syntheticAudioBase(id / 5)))._2
+    val nv = (160 + id % 97).toInt
+    val v = Array.tabulate(nv)(i => base((i * base.length) / nv))
+    WavCodec.decode(WavCodec.encode(v))._2
+  }
+
+  /** Audio near-duplicate pairs by energy-delta fingerprint (the
+    * Haitsma–Kalker shape without the FFT: band energies → sign of the
+    * neighbor delta): decode → nearest-resample to 256 samples → 32
+    * window energies Σ|v| → one bit per window (E_w > E_{w−1}, circular)
+    * → 4 hash bytes → byte-block candidates → verified Hamming ≤
+    * `maxHam` (< 4 keeps the pigeonhole recall guarantee). A resampled
+    * copy preserves the envelope, so variants of one clip collide —
+    * the audio twin of `multimodal_phash_pairs`, same closed-form
+    * DuckDB replay through the nested floor index maps.
+    */
+  def afpPairs(spark: SparkSession, dir: String, maxHam: Int = 2): DataFrame = {
+    import spark.implicits._
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val v = syntheticAudioVariant(id)
+          val t = Array.tabulate(256)(i => v((i * v.length) / 256))
+          val e = Array.tabulate(32) { w =>
+            var s = 0L
+            var i = 0
+            while (i < 8) { s += math.abs(t(8 * w + i).toLong); i += 1 }
+            s
+          }
+          val bits = Array.tabulate(32)(w => if (e(w) > e((w + 31) % 32)) 1 else 0)
+          val bs = Array.tabulate(4) { bi =>
+            (0 until 8).foldLeft(0)((acc, i) => acc | (bits(bi * 8 + i) << i))
+          }
+          (id, bs)
+        }
+      }
+      .toDF("doc_id", "bs")
+    blockHammingPairs(blocks, maxHam)
   }
 
   /** One sampled frame: position, time offset, decoded features. */

@@ -410,4 +410,35 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     // pairs exist (different resolutions of one base collapsing to one hash)
     assert(got.exists(_._3 == 0L))
   }
+
+  test("audio fingerprint pairs: brute-force replay through the codec, planted resamples found") {
+    val d = "/root/testdata/sf0.001"
+    val got = Multimodal.afpPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = graft.Tables.documents(spark, d).select("doc_id").as[Long].collect()
+    def fp(id: Long): Array[Int] = {
+      val v = Multimodal.syntheticAudioVariant(id)
+      val t = Array.tabulate(256)(i => v((i * v.length) / 256))
+      val e = Array.tabulate(32)(w => (0 until 8).map(i => math.abs(t(8 * w + i).toLong)).sum)
+      val bits = Array.tabulate(32)(w => if (e(w) > e((w + 31) % 32)) 1 else 0)
+      Array.tabulate(4)(bi => (0 until 8).foldLeft(0)((a, i) => a | (bits(bi * 8 + i) << i)))
+    }
+    val hs = ids.map(id => id -> fp(id)).toMap
+    def ham(a: Array[Int], b: Array[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum.toLong
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = ham(hs(a), hs(b)) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(got == want, s"engine pairs diverge: extra=${got -- want} missing=${want -- got}")
+    // every planted resample group must be recovered (the envelope
+    // survives nearest-sample decimation by construction)
+    val groups = ids.groupBy(_ / 5).filter(_._2.length > 1)
+    val foundGroups = got.map(p => p._1 / 5).toSet
+    assert(foundGroups.size * 10 >= groups.size * 9,
+      s"only ${foundGroups.size} of ${groups.size} planted groups recovered")
+    val sameGroup = got.count { case (a, b, _) => a / 5 == b / 5 }
+    assert(sameGroup * 2 > got.size,
+      s"same-group pairs ($sameGroup) don't dominate ${got.size}")
+  }
 }
