@@ -138,6 +138,56 @@ class StreamingParitySpec extends SparkSpecBase {
     }
   }
 
+  test("CUSUM parity: streaming Page recursion == exact driver fold; alarms fire and reset") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val d = "/root/testdata/sf0.001"
+      val (mu0, slack, h) = (50.0, 5.0, 300.0)
+      val evs = graft.Tables.events(spark, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().sortBy(_.event_id).toSeq
+      val halves = Seq(evs.take(evs.size / 2), evs.drop(evs.size / 2))
+      val got = runStream(halves, "update") { df =>
+        graft.streaming.CusumProcessor(df.as[Event], mu0, slack, h).toDF()
+      }.map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      // exact replay: per type, each half in (tsu, event_id) order (the
+      // processor's within-batch contract), identical double recursion
+      def tsu(e: Event) = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Double, Long)]
+      val st = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      halves.foreach { half =>
+        half.groupBy(_.event_type).toSeq.flatMap { case (t, g) =>
+          g.sortBy(e => (tsu(e), e.event_id)).map(t -> _) }.foreach { case (t, e) =>
+          val (sp, sn) = st.getOrElse(t, (0.0, 0.0))
+          val spN = math.max(0.0, sp + (e.value - mu0 - slack))
+          val snN = math.max(0.0, sn + (mu0 - slack - e.value))
+          val alarm = spN > h || snN > h
+          st(t) = if (alarm) (0.0, 0.0) else (spN, snN)
+          want += ((e.event_id, t, spN, snN, if (alarm) 1L else 0L))
+        }
+      }
+      assert(got.length == evs.length)
+      assert(got.toSet == want.toSet,
+        s"recursion diverged: extra=${got.toSet -- want.toSet}")
+      // bite: the drift alarm must actually fire on this corpus, and the
+      // post-alarm reset must show a row whose cusum restarts below h
+      val alarms = want.filter(_._5 == 1L)
+      assert(alarms.nonEmpty, "no alarm fired — thresholds vacuous for this data")
+      val perType = want.groupBy(_._2)
+      assert(alarms.exists { a =>
+        perType(a._2).exists(r => r._1 > a._1 && r._3 <= h && r._4 <= h)
+      }, "no post-alarm continuation observed")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("decay parity: forward-decayed running value folds to the batch a26 figure") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
