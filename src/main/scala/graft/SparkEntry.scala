@@ -217,6 +217,8 @@ object SparkEntry {
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "retrieval_rerank"     -> ((s, d) => Retrieval.rerankTopK(s, d)),
     "retrieval_eval"       -> ((s, d) => Retrieval.retrievalEval(s, d)),
+    "index_phrase_match"   -> ((s, d) => Retrieval.phraseMatch(s, d)),
+    "sample_mixture_plan"  -> ((s, d) => T.mixturePlan(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "embedding_silhouette" -> ((s, d) => Similarity.kmeansSilhouette(s, d)),
@@ -2400,6 +2402,35 @@ cells AS (SELECT j, bucket, SUM(exact) AS cnt FROM wb GROUP BY j, bucket),
 est AS (SELECT tok, exact, MIN(cnt) AS est FROM wb JOIN cells USING (j, bucket) GROUP BY tok, exact)
 SELECT tok, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
 FROM est, tot WHERE est * 1000 >= n_total * 2""",
+
+    // positional phrase search: each query doc's first bigram probed
+    // against per-position postings, adjacency = pos2 = pos1 + 1
+    "index_phrase_match" ->
+      s"""WITH ppp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, $TOKS AS t FROM documents) d, unnest(range(1, len(t) + 1)) u(i)),
+ppq AS (SELECT doc_id AS query_id,
+  MAX(CASE WHEN pos = 0 THEN tok END) AS w1,
+  MAX(CASE WHEN pos = 1 THEN tok END) AS w2
+  FROM ppp WHERE doc_id < 10 AND pos <= 1 GROUP BY doc_id),
+ppv AS (SELECT * FROM ppq WHERE w1 IS NOT NULL AND w2 IS NOT NULL),
+pm1 AS (SELECT query_id, doc_id, pos FROM ppp JOIN ppv ON tok = w1),
+pm2 AS (SELECT query_id AS q2, doc_id AS d2, pos - 1 AS pm1 FROM ppp JOIN ppv ON tok = w2)
+SELECT query_id, doc_id, COUNT(*) AS n_occurrences
+FROM pm1 JOIN pm2 ON query_id = q2 AND doc_id = d2 AND pos = pm1
+GROUP BY query_id, doc_id""",
+
+    // mixture waterfill: sqrt-target weights (6dp terms, decimal-summed
+    // normalizer), budget = min over sources of floor(n/w)
+    "sample_mixture_plan" ->
+      s"""WITH ms AS (SELECT source, CAST(SUM(len($TOKS)) AS BIGINT) AS n_tokens FROM documents GROUP BY source),
+mt AS (SELECT SUM(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(28,10))) AS sq_sum FROM ms),
+mw AS (SELECT source, n_tokens,
+  round(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) / CAST(sq_sum AS DOUBLE), 6) AS weight FROM ms, mt),
+mb AS (SELECT MIN(CAST(floor(CAST(n_tokens AS DOUBLE) / weight) AS BIGINT)) AS budget FROM mw)
+SELECT source, n_tokens, weight, budget,
+round(weight * CAST(budget AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS rate,
+CAST(floor(weight * CAST(budget AS DOUBLE)) AS BIGINT) AS take_tokens
+FROM mw, mb""",
 
     "index_postings" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

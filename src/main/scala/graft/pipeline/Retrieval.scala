@@ -211,6 +211,41 @@ object Retrieval {
         concat_ws(",", col("post.tf")).as("tfs"))
   }
 
+  /** Exact phrase search over POSITIONAL postings — the index structure a
+    * bag-of-words posting list can't answer ("new york" ≠ "york new"):
+    * tokens explode WITH positions, each query's phrase (its own first
+    * bigram) probes the two term lists, and adjacency is an equi-join on
+    * pos₂ = pos₁ + 1. Output is (query, doc, occurrence count) — the
+    * verification primitive behind quoted-query retrieval and exact-span
+    * contamination checks.
+    *
+    * Scale: query terms broadcast (nQueries·2 rows) and PRE-FILTER the
+    * postings scan, so only matching term rows survive to the adjacency
+    * join, which is keyed on (query, doc, position) — never a posting-list
+    * cross product. The positional postings frame is built once
+    * (localCheckpoint) and probed by both phrase legs.
+    */
+  def phraseMatch(spark: SparkSession, dir: String, nQueries: Int = 10): DataFrame = {
+    val pos = spread(spark, documents(spark, dir))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .localCheckpoint()
+    val q = pos.filter(col("doc_id") < nQueries && col("pos") <= 1)
+      .groupBy(col("doc_id").as("query_id"))
+      .agg(max(when(col("pos") === 0, col("tok"))).as("w1"),
+        max(when(col("pos") === 1, col("tok"))).as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    val p1 = pos.join(broadcast(q), col("tok") === col("w1"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val p2 = pos.join(broadcast(q.select(col("query_id").as("q2"), col("w2"))),
+        col("tok") === col("w2"))
+      .select(col("q2"), col("doc_id").as("d2"), (col("pos") - 1).as("pm1"))
+    p1.join(p2, col("query_id") === col("q2") && col("doc_id") === col("d2") &&
+        col("pos") === col("pm1"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Retrieval quality evaluation — precision@k and (capped) recall@k of
     * the BM25 more-like-this ranking against the corpus's own structure:
     * a hit is a retrieved document from the QUERY's source (the corpus's

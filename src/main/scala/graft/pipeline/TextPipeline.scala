@@ -1475,6 +1475,38 @@ object TextPipeline {
         expr(s"((rnk - 1) * $phases) div n").as("phase"))
   }
 
+  /** Mixture plan: given per-source token masses and a √n target mixture
+    * (the standard multilingual/multi-domain flattening), compute the
+    * LARGEST total token budget B such that no source is over-drawn
+    * (B = min_s ⌊n_s / w_s⌋ — the binding source caps the epoch), plus
+    * each source's sampling rate and take. This is the arithmetic every
+    * data-mixing config encodes by hand; as an operator it recomputes
+    * from live counts when the corpus changes. √n terms are rounded 6dp
+    * and decimal-summed so the normalization is order-free; everything
+    * downstream is exact doubles on both engines.
+    *
+    * Scale: one corpus aggregate onto the source catalog; the plan math
+    * runs on catalog-sized rows.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val src = spread(spark, documents(spark, dir))
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = src.agg(
+      sum(round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(28,10)")).as("sq_sum"))
+    val w = src.join(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(round(sqrt(col("n_tokens").cast("double")), 6) /
+          col("sq_sum").cast("double"), 6).as("weight"))
+    val budget = w.agg(
+      min(floor(col("n_tokens").cast("double") / col("weight")).cast("long")).as("budget"))
+    w.join(broadcast(budget))
+      .select(col("source"), col("n_tokens"), col("weight"), col("budget"),
+        round(col("weight") * col("budget").cast("double") /
+          col("n_tokens").cast("double"), 6).as("rate"),
+        floor(col("weight") * col("budget").cast("double")).cast("long").as("take_tokens"))
+  }
+
   /** Text-normalization audit — the cleanup pass every web corpus runs
     * before anything else (strip non-printing control characters, collapse
     * horizontal-whitespace runs, trim), reported as per-doc before/after

@@ -104,4 +104,36 @@ class RetrievalSpec extends SparkSpecBase {
       assert(rec == r6(hits.toDouble / math.min(nRel, 10L)) && rec <= 1.0)
     }
   }
+
+  test("phrase match: adjacency recount on the driver, self-hit present, order matters") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.pipeline.Retrieval.phraseMatch(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      .toMap
+    val want = (for {
+      (qid, qtoks) <- docs.toSeq if qid < 10 && qtoks.length >= 2
+      (w1, w2) = (qtoks(0), qtoks(1))
+      (did, dtoks) <- docs.toSeq
+      n = dtoks.sliding(2).count { case Seq(a, b) => a == w1 && b == w2; case _ => false }
+      if n > 0
+    } yield (qid, did) -> n.toLong).toMap
+    assert(got == want, s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    // every query with >= 2 tokens contains its own phrase
+    docs.filter { case (id, t) => id < 10 && t.length >= 2 }.keys.foreach { qid =>
+      assert(got.contains((qid, qid)), s"query $qid missing its self-hit")
+    }
+    // order sensitivity: bag-of-words co-occurrence strictly exceeds
+    // adjacency somewhere, else the positional join proved nothing
+    val bagPairs = (for {
+      (qid, qtoks) <- docs.toSeq if qid < 10 && qtoks.length >= 2
+      (did, dtoks) <- docs.toSeq
+      if dtoks.contains(qtoks(0)) && dtoks.contains(qtoks(1))
+    } yield (qid, did)).toSet
+    assert(got.keySet.subsetOf(bagPairs))
+    assert(got.keySet.size < bagPairs.size,
+      "adjacency == co-occurrence on this corpus — phrase test vacuous")
+  }
 }

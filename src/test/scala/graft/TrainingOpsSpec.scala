@@ -513,6 +513,36 @@ class TrainingOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("mixture plan: waterfill arithmetic replays; no source over-drawn; budget is maximal") {
+    val got = graft.pipeline.TextPipeline.mixturePlan(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    val masses = Tables.documents(spark, dir).select("source", "text")
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(_._2.toLowerCase.split("\\s+").count(_.nonEmpty).toLong).sum).toMap
+    def dec10(x: Double) = BigDecimal.valueOf(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val sqSum = masses.values.map(n => dec10(r6(math.sqrt(n.toDouble)))).sum.toDouble
+    val weights = masses.view.mapValues(n => r6(r6(math.sqrt(n.toDouble)) / sqSum)).toMap
+    val budget = masses.map { case (s, n) => math.floor(n.toDouble / weights(s)).toLong }.min
+    masses.foreach { case (s, n) =>
+      val w = weights(s)
+      val want = (n, w, budget, r6(w * budget.toDouble / n.toDouble),
+        math.floor(w * budget.toDouble).toLong)
+      assert(got(s) == want, s"source $s: got ${got(s)} want $want")
+      // feasibility: the take never exceeds what the source holds
+      assert(got(s)._5 <= n)
+      assert(got(s)._4 <= 1.0)
+    }
+    // maximality: one more token of budget would over-draw SOME source
+    assert(masses.exists { case (s, n) =>
+      weights(s) * (budget + 1).toDouble / n.toDouble > 1.0 ||
+        math.floor(n.toDouble / weights(s)).toLong == budget
+    }, "budget not binding anywhere")
+    // weights normalize to ~1 (6dp rounding drift only)
+    assert(math.abs(weights.values.sum - 1.0) < 1e-4)
+  }
+
   test("duplicate spans: islands match a driver-side seed-merge; spans are verbatim-repeated") {
     val k = 5
     val got = Dedup.duplicateSpans(spark, dir, k)
