@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep for the perceptual-fingerprint near-dup family
+  * (`multimodal_phash_pairs` / `multimodal_afp_pairs`): the 10× evidence
+  * that the byte-block candidate join scales with the number of genuine
+  * collisions, not with corpus², when duplication structure is held
+  * fixed.
+  *
+  * Construction: replica `i` shifts doc ids by `i·SHIFT` with SHIFT a
+  * multiple of the variant-group width 5, so every replica reproduces the
+  * base corpus's GROUP structure while its base-image/clip ids (and
+  * therefore hashes) differ per replica. Two enforced gates:
+  *
+  *  1. copy-0 identity — the scaled output restricted to ids < SHIFT
+  *     must equal the base output EXACTLY (replication may not perturb
+  *     the work it contains);
+  *  2. per-replica recall — every replica must recover planted pairs
+  *     (a replica with zero within-group pairs means hashing broke under
+  *     id shifting).
+  *
+  * Cross-replica pairs are legitimate (different bases can collide
+  * within the Hamming radius) and are RECORDED, not gated. Artifact
+  * `BENCH_SCALE_fingerprint.json` is written before the gates throw, so
+  * an invalid run's numbers cannot be silently cited.
+  */
+object BenchScaleFingerprint {
+
+  private val Shift = 10000000L // multiple of 5: groups never straddle replicas
+
+  def enforceCopy0(base: Set[(Long, Long, Long)], copy0: Set[(Long, Long, Long)]): Unit =
+    if (base.isEmpty || base != copy0)
+      throw new IllegalStateException(
+        s"fingerprint sweep invalid: copy-0 pairs (${copy0.size}) != base pairs " +
+          s"(${base.size}) — replication perturbed the contained work")
+
+  def enforceReplicaRecall(pairs: Seq[(Long, Long, Long)], factor: Int): Unit = {
+    val byReplica = pairs.filter(p => p._1 / Shift == p._2 / Shift)
+      .groupBy(_._1 / Shift).view.mapValues(_.size).toMap
+    val empty = (0 until factor).filterNot(i => byReplica.getOrElse(i.toLong, 0) > 0)
+    if (empty.nonEmpty)
+      throw new IllegalStateException(
+        s"fingerprint sweep invalid: replicas $empty recovered no planted pairs")
+  }
+
+  private def drop(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val spark = GraftSession.get()
+
+    def ids(n: Int) = (0 until n).map(i =>
+        Tables.documents(spark, sfDir)
+          .select((col("doc_id") + lit(i.toLong * Shift)).as("doc_id")))
+      .reduce(_ union _)
+
+    def collect(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // warm codegen off the clock
+    collect(pipeline.Multimodal.phashPairsFrom(ids(1).limit(50)))
+    drop(spark)
+
+    def timed(mk: => org.apache.spark.sql.DataFrame): (Double, Seq[(Long, Long, Long)]) = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = collect(mk)
+        val dt = (System.nanoTime() - t0) / 1e9
+        drop(spark)
+        (dt, rows)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+
+    val (phB, phBase) = timed(pipeline.Multimodal.phashPairsFrom(ids(1)))
+    val (phS, phScaled) = timed(pipeline.Multimodal.phashPairsFrom(ids(factor)))
+    val (afB, afBase) = timed(pipeline.Multimodal.afpPairsFrom(ids(1)))
+    val (afS, afScaled) = timed(pipeline.Multimodal.afpPairsFrom(ids(factor)))
+    // the multi-index scale forms: 16-bit substrings, tighter radius
+    val (pmB, pmBase) = timed(pipeline.Multimodal.phashPairsFrom(ids(1), 3, 16))
+    val (pmS, pmScaled) = timed(pipeline.Multimodal.phashPairsFrom(ids(factor), 3, 16))
+    val (amB, amBase) = timed(pipeline.Multimodal.afpPairsFrom(ids(1), 1, 16))
+    val (amS, amScaled) = timed(pipeline.Multimodal.afpPairsFrom(ids(factor), 1, 16))
+
+    def cross(ps: Seq[(Long, Long, Long)]) = ps.count(p => p._1 / Shift != p._2 / Shift)
+    def leg(n: String, b: Double, s: Double, bp: Seq[(Long, Long, Long)],
+            sp: Seq[(Long, Long, Long)]) =
+      s""""$n":{"base_sec":$b,"scaled_sec":$s,"base_pairs":${bp.size},""" +
+        s""""scaled_pairs":${sp.size},"cross_replica":${cross(sp)}}"""
+    val json =
+      s"""{"metric":"scale_sweep_fingerprint","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
+        leg("phash", phB, phS, phBase, phScaled) + "," +
+        leg("afp", afB, afS, afBase, afScaled) + "," +
+        leg("phash_mih", pmB, pmS, pmBase, pmScaled) + "," +
+        leg("afp_mih", amB, amS, amBase, amScaled) + "}"
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_fingerprint.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+
+    enforceCopy0(phBase.toSet, phScaled.filter(p => p._1 < Shift && p._2 < Shift).toSet)
+    enforceCopy0(afBase.toSet, afScaled.filter(p => p._1 < Shift && p._2 < Shift).toSet)
+    enforceCopy0(pmBase.toSet, pmScaled.filter(p => p._1 < Shift && p._2 < Shift).toSet)
+    enforceCopy0(amBase.toSet, amScaled.filter(p => p._1 < Shift && p._2 < Shift).toSet)
+    enforceReplicaRecall(phScaled, factor)
+    enforceReplicaRecall(afScaled, factor)
+    enforceReplicaRecall(pmScaled, factor)
+    enforceReplicaRecall(amScaled, factor)
+    // radius containment: the scale form may never invent a pair the
+    // high-recall form lacks (mih ⊆ byte-block at the wider radius)
+    if (!pmScaled.map(p => (p._1, p._2)).toSet.subsetOf(phScaled.map(p => (p._1, p._2)).toSet))
+      throw new IllegalStateException("fingerprint sweep invalid: phash_mih ⊄ phash")
+    if (!amScaled.map(p => (p._1, p._2)).toSet.subsetOf(afScaled.map(p => (p._1, p._2)).toSet))
+      throw new IllegalStateException("fingerprint sweep invalid: afp_mih ⊄ afp")
+    // and the scale form must actually be cheaper at 10× — that's its job
+    if (pmS >= phS || amS >= afS)
+      throw new IllegalStateException(
+        s"fingerprint sweep invalid: mih not faster at ${factor}× (phash $pmS vs $phS, afp $amS vs $afS)")
+  }
+}

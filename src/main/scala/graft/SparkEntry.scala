@@ -47,6 +47,8 @@ object SparkEntry {
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "multimodal_phash_pairs" -> ((s, d) => graft.pipeline.Multimodal.phashPairs(s, d)),
     "multimodal_afp_pairs" -> ((s, d) => graft.pipeline.Multimodal.afpPairs(s, d)),
+    "multimodal_phash_mih" -> ((s, d) => graft.pipeline.Multimodal.phashPairsMih(s, d)),
+    "multimodal_afp_mih"   -> ((s, d) => graft.pipeline.Multimodal.afpPairsMih(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "mine_seq_rules"       -> ((s, d) => graft.pipeline.Mining.seqRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
@@ -403,6 +405,57 @@ $OracleKcenterSteps
 SELECT 1::BIGINT AS pick, 0::BIGINT AS vec_id, 0.0::DOUBLE AS min_dist
 UNION ALL $picks"""
   }
+
+  /** Bit table of the image aHash replay (doc_id, p ∈ 0..63, bit), built
+    * closed-form from the synthetic raster + nested floor index maps.
+    */
+  private val OraclePhashBits =
+    """ppx AS (SELECT doc_id, p,
+  8 + doc_id % 5 AS vw, 6 + doc_id % 4 AS vh, doc_id // 5 AS bid
+  FROM documents, (SELECT unnest(range(0, 64)) AS p) t),
+pm AS (SELECT doc_id, p, bid, vw, vh,
+  ((p % 8) * vw) // 8 AS vx, ((p // 8) * vh) // 8 AS vy,
+  8 + bid % 9 AS bw, 6 + bid % 7 AS bh FROM ppx),
+pidx AS (SELECT doc_id, p, bid, bw,
+  ((vy * bh) // vh) * bw + ((vx * bw) // vw) AS idx FROM pm),
+plum AS (SELECT doc_id, p,
+  299 * ((bid*31 + (3*idx)*17 + bid*(3*idx)*13) % 256)
++ 587 * ((bid*31 + (3*idx + 1)*17 + bid*(3*idx + 1)*13) % 256)
++ 114 * ((bid*31 + (3*idx + 2)*17 + bid*(3*idx + 2)*13) % 256) AS luma FROM pidx),
+ptot AS (SELECT doc_id, SUM(luma) AS total FROM plum GROUP BY doc_id),
+pbit AS (SELECT doc_id, p, CASE WHEN luma * 64 >= total THEN 1 ELSE 0 END AS bit
+  FROM plum JOIN ptot USING (doc_id))"""
+
+  /** Bit table of the audio energy-delta fingerprint replay
+    * (doc_id, w ∈ 0..31, bit).
+    */
+  private val OracleAfpBits =
+    """apx AS (SELECT doc_id, i,
+  160 + doc_id % 97 AS nv, doc_id // 5 AS bid, 200 + (doc_id // 5) % 57 AS nb
+  FROM documents, (SELECT unnest(range(0, 256)) AS i) t),
+apm AS (SELECT doc_id, i, bid,
+  ((((i * nv) // 256) * nb) // nv) // 16 AS p FROM apx),
+apv AS (SELECT doc_id, i,
+  abs(((bid*7919 + p*104729 + bid*p*p*13) % 65536) - 32768) AS a FROM apm),
+ape AS (SELECT doc_id, i // 8 AS w, SUM(a) AS e FROM apv GROUP BY doc_id, i // 8),
+apb AS (SELECT x.doc_id, x.w, CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
+  FROM ape x JOIN ape y ON x.doc_id = y.doc_id AND y.w = (x.w + 31) % 32)"""
+
+  /** Substring-LSH tail over a (doc_id, pos, bit) table: blocks of
+    * `blockBits`, shared-block candidates, verified Hamming ≤ maxHam.
+    */
+  private def mihTailSql(bits: String, pos: String, blockBits: Int, maxHam: Int): String =
+    s""",
+fblk AS (SELECT doc_id, $pos // $blockBits AS bi, CAST(SUM(bit << ($pos % $blockBits)) AS INTEGER) AS bv
+  FROM $bits GROUP BY doc_id, $pos // $blockBits),
+fcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM fblk x JOIN fblk y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+fbl AS (SELECT doc_id, list(bv ORDER BY bi) AS bs FROM fblk GROUP BY doc_id),
+fham AS (SELECT doc_a, doc_b,
+  CAST(list_reduce(list_prepend(0, list_transform(list_zip(a.bs, b.bs),
+    z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
+  FROM fcand JOIN fbl a ON doc_a = a.doc_id JOIN fbl b ON doc_b = b.doc_id)
+SELECT doc_a, doc_b, hamming FROM fham WHERE hamming <= $maxHam"""
 
   /** Voronoi coreset weights over the k-center picks: every vector to its
     * nearest center (6dp distance, ties to low center id), per-center
@@ -2553,58 +2606,19 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
     // decorrelates bases), two floor index maps (base->variant->8x8
     // thumbnail), bit = luma*64 >= total, byte-block candidates,
     // verified Hamming <= 7
-    "multimodal_phash_pairs" ->
-      """WITH ppx AS (SELECT doc_id, p,
-  8 + doc_id % 5 AS vw, 6 + doc_id % 4 AS vh, doc_id // 5 AS bid
-  FROM documents, (SELECT unnest(range(0, 64)) AS p) t),
-pm AS (SELECT doc_id, p, bid, vw, vh,
-  ((p % 8) * vw) // 8 AS vx, ((p // 8) * vh) // 8 AS vy,
-  8 + bid % 9 AS bw, 6 + bid % 7 AS bh FROM ppx),
-pidx AS (SELECT doc_id, p, bid, bw,
-  ((vy * bh) // vh) * bw + ((vx * bw) // vw) AS idx FROM pm),
-plum AS (SELECT doc_id, p,
-  299 * ((bid*31 + (3*idx)*17 + bid*(3*idx)*13) % 256)
-+ 587 * ((bid*31 + (3*idx + 1)*17 + bid*(3*idx + 1)*13) % 256)
-+ 114 * ((bid*31 + (3*idx + 2)*17 + bid*(3*idx + 2)*13) % 256) AS luma FROM pidx),
-ptot AS (SELECT doc_id, SUM(luma) AS total FROM plum GROUP BY doc_id),
-pbit AS (SELECT doc_id, p, CASE WHEN luma * 64 >= total THEN 1 ELSE 0 END AS bit
-  FROM plum JOIN ptot USING (doc_id)),
-pblk AS (SELECT doc_id, p // 8 AS bi, CAST(SUM(bit << (p % 8)) AS INTEGER) AS bv
-  FROM pbit GROUP BY doc_id, p // 8),
-pcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM pblk x JOIN pblk y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
-pbl AS (SELECT doc_id, list(bv ORDER BY bi) AS bs FROM pblk GROUP BY doc_id),
-pham AS (SELECT doc_a, doc_b,
-  CAST(list_reduce(list_prepend(0, list_transform(list_zip(a.bs, b.bs),
-    z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
-  FROM pcand JOIN pbl a ON doc_a = a.doc_id JOIN pbl b ON doc_b = b.doc_id)
-SELECT doc_a, doc_b, hamming FROM pham WHERE hamming <= 7""",
+    "multimodal_phash_pairs" -> (s"WITH $OraclePhashBits" + mihTailSql("pbit", "p", 8, 7)),
+
+    // the multi-index scale form: 4x16-bit substrings, radius 3
+    "multimodal_phash_mih" -> (s"WITH $OraclePhashBits" + mihTailSql("pbit", "p", 16, 3)),
 
     // closed-form energy-delta audio fingerprint: plateau raster
     // (bid*7919 + p*104729 + bid*p*p*13) % 65536 - 32768 at p = bk // 16,
     // two nearest-resample floor maps (base->variant->256), 32 window
     // energies, circular delta bits, 4 hash bytes, verified Hamming <= 2
-    "multimodal_afp_pairs" ->
-      """WITH apx AS (SELECT doc_id, i,
-  160 + doc_id % 97 AS nv, doc_id // 5 AS bid, 200 + (doc_id // 5) % 57 AS nb
-  FROM documents, (SELECT unnest(range(0, 256)) AS i) t),
-apm AS (SELECT doc_id, i, bid,
-  ((((i * nv) // 256) * nb) // nv) // 16 AS p FROM apx),
-apv AS (SELECT doc_id, i,
-  abs(((bid*7919 + p*104729 + bid*p*p*13) % 65536) - 32768) AS a FROM apm),
-ape AS (SELECT doc_id, i // 8 AS w, SUM(a) AS e FROM apv GROUP BY doc_id, i // 8),
-apb AS (SELECT x.doc_id, x.w, CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
-  FROM ape x JOIN ape y ON x.doc_id = y.doc_id AND y.w = (x.w + 31) % 32),
-ablk AS (SELECT doc_id, w // 8 AS bi, CAST(SUM(bit << (w % 8)) AS INTEGER) AS bv
-  FROM apb GROUP BY doc_id, w // 8),
-acand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM ablk x JOIN ablk y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
-abl AS (SELECT doc_id, list(bv ORDER BY bi) AS bs FROM ablk GROUP BY doc_id),
-aham AS (SELECT doc_a, doc_b,
-  CAST(list_reduce(list_prepend(0, list_transform(list_zip(a.bs, b.bs),
-    z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
-  FROM acand JOIN abl a ON doc_a = a.doc_id JOIN abl b ON doc_b = b.doc_id)
-SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 2""",
+    "multimodal_afp_pairs" -> (s"WITH $OracleAfpBits" + mihTailSql("apb", "w", 8, 2)),
+
+    // audio multi-index scale form: 2x16-bit substrings, radius 1
+    "multimodal_afp_mih" -> (s"WITH $OracleAfpBits" + mihTailSql("apb", "w", 16, 1)),
     "embedding_fisher" ->
       """WITH ef AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),

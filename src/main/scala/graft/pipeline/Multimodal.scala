@@ -359,9 +359,32 @@ object Multimodal {
     * (the `ppmResizeStats` witnessing trick), so the codec path is
     * hash-gated end to end.
     */
-  def phashPairs(spark: SparkSession, dir: String, maxHam: Int = 7): DataFrame = {
+  def phashPairs(spark: SparkSession, dir: String, maxHam: Int = 7): DataFrame =
+    phashPairsFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
+
+  /** The SCALE operating point: multi-index Hamming search (Norouzi et
+    * al.) — the same 64-bit aHash split into 4×16-bit substrings instead
+    * of 8 bytes, radius 3. Pigeonhole still guarantees full recall at
+    * ham ≤ 3, and per-substring buckets have 65,536 values instead of
+    * 256 — the candidate join is ~256× more selective, which is the
+    * difference between n²/256 and n²/65,536 in the no-structure limit
+    * (measured in `BENCH_SCALE_fingerprint.json`). Trade: planted pairs
+    * at ham 4–7 are out of radius (53% of planted recovered at sf0.01,
+    * ZERO false positives, vs 100%/5 for the byte-block form).
+    */
+  def phashPairsMih(spark: SparkSession, dir: String): DataFrame =
+    phashPairsFrom(Tables.documents(spark, dir).select(col("doc_id")),
+      maxHam = 3, blockBits = 16)
+
+  /** `phashPairs` over an arbitrary doc_id frame — the scale sweep's entry
+    * point (`BenchScaleFingerprint` feeds replicated id ranges through).
+    * `blockBits` selects the substring width (8 = high-recall byte blocks,
+    * 16 = the multi-index scale form).
+    */
+  def phashPairsFrom(idsIn: DataFrame, maxHam: Int = 7, blockBits: Int = 8): DataFrame = {
+    val spark = idsIn.sparkSession
     import spark.implicits._
-    val blocks = Tables.documents(spark, dir)
+    val blocks = idsIn
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -377,11 +400,11 @@ object Multimodal {
             total += lum(p)
             p += 1
           }
-          val bs = Array.tabulate(8) { bi =>
+          val bs = Array.tabulate(64 / blockBits) { bi =>
             var v = 0
             var i = 0
-            while (i < 8) {
-              if (lum(bi * 8 + i) * 64L >= total) v |= (1 << i)
+            while (i < blockBits) {
+              if (lum(bi * blockBits + i) * 64L >= total) v |= (1 << i)
               i += 1
             }
             v
@@ -452,9 +475,22 @@ object Multimodal {
     * the audio twin of `multimodal_phash_pairs`, same closed-form
     * DuckDB replay through the nested floor index maps.
     */
-  def afpPairs(spark: SparkSession, dir: String, maxHam: Int = 2): DataFrame = {
+  def afpPairs(spark: SparkSession, dir: String, maxHam: Int = 2): DataFrame =
+    afpPairsFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
+
+  /** Audio multi-index scale form: 2×16-bit substrings, radius 1 (851 of
+    * 852 pairs same-group at sf0.01 — near-zero false positives at ~256×
+    * candidate selectivity).
+    */
+  def afpPairsMih(spark: SparkSession, dir: String): DataFrame =
+    afpPairsFrom(Tables.documents(spark, dir).select(col("doc_id")),
+      maxHam = 1, blockBits = 16)
+
+  /** `afpPairs` over an arbitrary doc_id frame (scale-sweep entry point). */
+  def afpPairsFrom(idsIn: DataFrame, maxHam: Int = 2, blockBits: Int = 8): DataFrame = {
+    val spark = idsIn.sparkSession
     import spark.implicits._
-    val blocks = Tables.documents(spark, dir)
+    val blocks = idsIn
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -467,8 +503,8 @@ object Multimodal {
             s
           }
           val bits = Array.tabulate(32)(w => if (e(w) > e((w + 31) % 32)) 1 else 0)
-          val bs = Array.tabulate(4) { bi =>
-            (0 until 8).foldLeft(0)((acc, i) => acc | (bits(bi * 8 + i) << i))
+          val bs = Array.tabulate(32 / blockBits) { bi =>
+            (0 until blockBits).foldLeft(0)((acc, i) => acc | (bits(bi * blockBits + i) << i))
           }
           (id, bs)
         }

@@ -409,6 +409,12 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     // scale invariance where the thumbnail maps identically: hamming 0
     // pairs exist (different resolutions of one base collapsing to one hash)
     assert(got.exists(_._3 == 0L))
+    // the multi-index scale form = EXACTLY the radius-3 subset (pigeonhole
+    // over 4x16-bit substrings loses nothing within the radius)
+    val mih = Multimodal.phashPairsMih(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mih == want.filter(_._3 <= 3L),
+      s"mih diverges from the radius-3 truth: extra=${mih -- want}")
   }
 
   test("audio fingerprint pairs: brute-force replay through the codec, planted resamples found") {
@@ -440,5 +446,10 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     val sameGroup = got.count { case (a, b, _) => a / 5 == b / 5 }
     assert(sameGroup * 2 > got.size,
       s"same-group pairs ($sameGroup) don't dominate ${got.size}")
+    // the multi-index scale form = exactly the radius-1 subset
+    val mih = Multimodal.afpPairsMih(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mih == want.filter(_._3 <= 1L),
+      s"afp mih diverges from the radius-1 truth: extra=${mih -- want}")
   }
 }
