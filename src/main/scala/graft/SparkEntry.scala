@@ -227,6 +227,7 @@ object SparkEntry {
     "embedding_fisher"     -> ((s, d) => Similarity.embeddingFisher(s, d)),
     "sample_kcenter"       -> ((s, d) => Similarity.kcenterSample(s, d)),
     "sample_kcenter_weights" -> ((s, d) => Similarity.kcenterWeights(s, d)),
+    "embedding_labelprop"  -> ((s, d) => Similarity.knnLabelProp(s, d)),
     "embedding_outliers"   -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "embedding_jl_project" -> ((s, d) => Similarity.jlProject(s, d)),
     "embedding_jl_audit"   -> ((s, d) => Similarity.jlAudit(s, d)),
@@ -405,6 +406,27 @@ $OracleKcenterSteps
 SELECT 1::BIGINT AS pick, 0::BIGINT AS vec_id, 0.0::DOUBLE AS min_dist
 UNION ALL $picks"""
   }
+
+  /** kNN label propagation over the kmeans cells: same-cell top-3
+    * neighbors, majority vote (ties to low label), per-class accuracy.
+    */
+  private lazy val OracleLabelProp =
+    s"""WITH $OracleKmeansCtes,
+lasg AS (SELECT vec_id, cluster FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rnk FROM s2) WHERE rnk = 1),
+le AS (SELECT n.vec_id, n.label, n.emb, n.nrm, cluster FROM n JOIN lasg USING (vec_id)),
+lnb AS (SELECT a.vec_id, b.vec_id AS nb, b.label AS nb_label,
+  ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} AS ncos
+  FROM le a JOIN le b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+lt AS (SELECT vec_id, nb_label FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ncos DESC, nb ASC) AS rnk FROM lnb) WHERE rnk <= 3),
+lv AS (SELECT vec_id, nb_label, COUNT(*) AS votes FROM lt GROUP BY vec_id, nb_label),
+lp AS (SELECT vec_id, nb_label AS predicted FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, nb_label ASC) AS vrk FROM lv) WHERE vrk = 1)
+SELECT CAST(e2.label AS BIGINT) AS label, COUNT(*) AS n,
+CAST(SUM(CASE WHEN predicted = e2.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+round(CAST(SUM(CASE WHEN predicted = e2.label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS acc
+FROM le e2 JOIN lp USING (vec_id) GROUP BY e2.label"""
 
   /** Bit table of the image aHash replay (doc_id, p ∈ 0..63, bit), built
     * closed-form from the synthetic raster + nested floor index maps.
@@ -2600,6 +2622,7 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
     "embedding_silhouette" -> OracleSilhouette,
     "sample_kcenter" -> OracleKcenter,
     "sample_kcenter_weights" -> OracleKcenterWeights,
+    "embedding_labelprop" -> OracleLabelProp,
 
     // closed-form aHash replay of the codec path: synthetic raster value
     // (bid*31 + j*17 + bid*j*13) % 256 at j = 3*idx + c (the cross term

@@ -298,6 +298,52 @@ object Similarity {
           .otherwise(round(col("between_ss") / col("within_ss"), 6)).as("fisher"))
   }
 
+  /** Semi-supervised kNN label propagation over the IVF-cell graph — the
+    * label-quality / labeling-transfer audit: predict every vector's label
+    * from its 3 nearest SAME-CELL neighbors (majority, ties to the
+    * smaller label) and report per-class accuracy. High accuracy means
+    * the embedding space carries the label structure (so cheap kNN
+    * labeling of unlabeled data is viable); a collapsed class is the
+    * red flag before anyone trains on propagated labels.
+    *
+    * Scale: the neighbor join is CELL-BOUNDED (the SemDeDup posture —
+    * the coarse quantizer caps candidates; never an all-pairs join), the
+    * top-3 window is vec_id-keyed, and the verdict is a k-class
+    * aggregate. Cells come from the shared one-Lloyd `kmeansAssign`
+    * partition, so the oracle reuses the kmeans CTE chain.
+    */
+  def knnLabelProp(spark: SparkSession, dir: String, k: Int = 8,
+                   nNeighbors: Int = 3): DataFrame = {
+    val e = withNorms(spark, dir)
+    val lab = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val asg = kmeansAssign(spark, dir, k).select(col("vec_id"), col("cluster"))
+      .join(lab, "vec_id")
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .localCheckpoint() // one frame feeds both sides of the cell join
+    val nbr = asg.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"))
+      .join(asg.select(col("cluster"), col("vec_id").as("nb"), col("label").as("nb_label"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("nb"), col("nb_label"),
+        cosineRFromNorms(col("embedding"), col("n_emb"), col("nrm"), col("n_nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb").asc)))
+      .filter(col("rnk") <= nNeighbors)
+    val pred = nbr.groupBy(col("vec_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("votes").desc, col("nb_label").asc)))
+      .filter(col("vrk") === 1)
+      .select(col("vec_id"), col("nb_label").as("predicted"))
+    asg.select(col("vec_id"), col("label"))
+      .join(pred, "vec_id")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("acc"))
+  }
+
   /** Greedy k-center (farthest-point traversal, Gonzalez 1985) diversity
     * sample over the embedding corpus: seed = vec_id 0, then k−1 rounds of
     * "take the point farthest (min cosine distance) from everything chosen
