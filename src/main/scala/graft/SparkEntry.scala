@@ -221,6 +221,7 @@ object SparkEntry {
     "retrieval_eval"       -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "index_phrase_match"   -> ((s, d) => Retrieval.phraseMatch(s, d)),
     "sample_mixture_plan"  -> ((s, d) => T.mixturePlan(s, d)),
+    "shard_rebalance"      -> ((s, d) => T.shardRebalance(s, d)),
     "quantize_int8"        -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "kmeans_assign"        -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "embedding_silhouette" -> ((s, d) => Similarity.kmeansSilhouette(s, d)),
@@ -2493,6 +2494,21 @@ pm2 AS (SELECT query_id AS q2, doc_id AS d2, pos - 1 AS pm1 FROM ppp JOIN ppv ON
 SELECT query_id, doc_id, COUNT(*) AS n_occurrences
 FROM pm1 JOIN pm2 ON query_id = q2 AND doc_id = d2 AND pos = pm1
 GROUP BY query_id, doc_id""",
+
+    // reshard-cost audit: moved fraction under mod vs rendezvous hashing
+    // when shards grow 16 -> 17; rendezvous winner = argmax of keyed md5s
+    "shard_rebalance" ->
+      s"""WITH rsh AS (SELECT doc_id, ${MD5P("CAST(doc_id AS VARCHAR)")} AS h,
+  list_transform(range(0, 17), s -> ${MD5P("CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)")}) AS scores
+  FROM documents),
+rsm AS (SELECT doc_id,
+  CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END AS mv_mod,
+  CASE WHEN list_position(scores, list_max(scores)) = 17 THEN 1 ELSE 0 END AS mv_rdv FROM rsh)
+SELECT 'mod' AS method, COUNT(*) AS n_docs, CAST(SUM(mv_mod) AS BIGINT) AS n_moved,
+round(CAST(SUM(mv_mod) AS DOUBLE) / COUNT(*), 6) AS moved_frac FROM rsm
+UNION ALL
+SELECT 'rendezvous' AS method, COUNT(*) AS n_docs, CAST(SUM(mv_rdv) AS BIGINT) AS n_moved,
+round(CAST(SUM(mv_rdv) AS DOUBLE) / COUNT(*), 6) AS moved_frac FROM rsm""",
 
     // mixture waterfill: sqrt-target weights (6dp terms, decimal-summed
     // normalizer), budget = min over sources of floor(n/w)

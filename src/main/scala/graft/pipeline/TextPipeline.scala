@@ -1475,6 +1475,34 @@ object TextPipeline {
         expr(s"((rnk - 1) * $phases) div n").as("phase"))
   }
 
+  /** Reshard-cost audit: what fraction of the corpus MOVES when the shard
+    * count grows k → k+1, under (a) mod-hashing (≈ k/(k+1) of everything
+    * moves — the naive scheme's hidden cost) vs (b) rendezvous/HRW
+    * hashing (≈ 1/(k+1) moves — the consistent-hashing guarantee). At
+    * 100 TB this difference IS the decision: resharding a mod-hashed
+    * store rewrites the whole corpus. Both schemes are pure md5 column
+    * math (the rendezvous winner = argmax of per-shard keyed hashes,
+    * first-occurrence ties), so the audit is one map-side pass + a 2-row
+    * aggregate, and the moved-fraction figures are exact, not modeled.
+    */
+  def shardRebalance(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val sh = spread(spark, documents(spark, dir)).select(col("doc_id"))
+      .withColumn("h", md5Prefix64(col("doc_id").cast("string")))
+      .withColumn("scores", transform(sequence(lit(0), lit(k)),
+        s => md5Prefix64(concat(col("doc_id").cast("string"), lit("_"), s.cast("string")))))
+      .select(
+        when(pmod(col("h"), lit(k.toLong)) =!= pmod(col("h"), lit(k.toLong + 1)), 1L)
+          .otherwise(0L).as("mv_mod"),
+        when(array_position(col("scores"), array_max(col("scores"))) === (k + 1), 1L)
+          .otherwise(0L).as("mv_rdv"))
+      .localCheckpoint() // one scan feeds both method rows
+    def leg(c: String, name: String) = sh.agg(
+        count(lit(1)).as("n_docs"), sum(col(c)).as("n_moved"))
+      .select(lit(name).as("method"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 6).as("moved_frac"))
+    leg("mv_mod", "mod").unionAll(leg("mv_rdv", "rendezvous"))
+  }
+
   /** Mixture plan: given per-source token masses and a √n target mixture
     * (the standard multilingual/multi-domain flattening), compute the
     * LARGEST total token budget B such that no source is over-drawn

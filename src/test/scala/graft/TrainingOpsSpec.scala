@@ -543,6 +543,28 @@ class TrainingOpsSpec extends SparkSpecBase {
     assert(math.abs(weights.values.sum - 1.0) < 1e-4)
   }
 
+  test("shard rebalance: exact move recount; rendezvous beats mod by the consistent-hashing margin") {
+    val got = graft.pipeline.TextPipeline.shardRebalance(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def md5p(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val ids = Tables.documents(spark, dir).select("doc_id").as[Long].collect()
+    val mvMod = ids.count(id => md5p(id.toString) % 16 != md5p(id.toString) % 17)
+    val mvRdv = ids.count { id =>
+      val scores = (0 to 16).map(s => md5p(s"${id}_$s"))
+      scores.indexOf(scores.max) == 16 // first occurrence, like array_position
+    }
+    assert(got("mod")._1 == ids.length && got("rendezvous")._1 == ids.length)
+    assert(got("mod")._2 == mvMod.toLong, s"mod moves ${got("mod")._2} vs $mvMod")
+    assert(got("rendezvous")._2 == mvRdv.toLong)
+    assert(got("mod")._3 == r6(mvMod.toDouble / ids.length))
+    assert(got("rendezvous")._3 == r6(mvRdv.toDouble / ids.length))
+    // the consistent-hashing contract: rendezvous near 1/(k+1), mod near k/(k+1)
+    assert(got("rendezvous")._3 < 0.15, "rendezvous moved too much — HRW broken")
+    assert(got("mod")._3 > 0.8, "mod moved too little — hash not spreading")
+  }
+
   test("duplicate spans: islands match a driver-side seed-merge; spans are verbatim-repeated") {
     val k = 5
     val got = Dedup.duplicateSpans(spark, dir, k)
