@@ -49,6 +49,7 @@ object SparkEntry {
     "multimodal_afp_pairs" -> ((s, d) => graft.pipeline.Multimodal.afpPairs(s, d)),
     "multimodal_phash_mih" -> ((s, d) => graft.pipeline.Multimodal.phashPairsMih(s, d)),
     "multimodal_afp_mih"   -> ((s, d) => graft.pipeline.Multimodal.afpPairsMih(s, d)),
+    "multimodal_phash_clusters" -> ((s, d) => graft.pipeline.Multimodal.phashClusters(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "mine_seq_rules"       -> ((s, d) => graft.pipeline.Mining.seqRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
@@ -464,10 +465,10 @@ ape AS (SELECT doc_id, i // 8 AS w, SUM(a) AS e FROM apv GROUP BY doc_id, i // 8
 apb AS (SELECT x.doc_id, x.w, CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
   FROM ape x JOIN ape y ON x.doc_id = y.doc_id AND y.w = (x.w + 31) % 32)"""
 
-  /** Substring-LSH tail over a (doc_id, pos, bit) table: blocks of
-    * `blockBits`, shared-block candidates, verified Hamming ≤ maxHam.
+  /** Substring-LSH CTE chain over a (doc_id, pos, bit) table: blocks of
+    * `blockBits`, shared-block candidates, Hamming table `fham`.
     */
-  private def mihTailSql(bits: String, pos: String, blockBits: Int, maxHam: Int): String =
+  private def mihPairsCtes(bits: String, pos: String, blockBits: Int): String =
     s""",
 fblk AS (SELECT doc_id, $pos // $blockBits AS bi, CAST(SUM(bit << ($pos % $blockBits)) AS INTEGER) AS bv
   FROM $bits GROUP BY doc_id, $pos // $blockBits),
@@ -477,8 +478,28 @@ fbl AS (SELECT doc_id, list(bv ORDER BY bi) AS bs FROM fblk GROUP BY doc_id),
 fham AS (SELECT doc_a, doc_b,
   CAST(list_reduce(list_prepend(0, list_transform(list_zip(a.bs, b.bs),
     z -> bit_count(xor(z[1], z[2])))), (s, t) -> s + t) AS BIGINT) AS hamming
-  FROM fcand JOIN fbl a ON doc_a = a.doc_id JOIN fbl b ON doc_b = b.doc_id)
-SELECT doc_a, doc_b, hamming FROM fham WHERE hamming <= $maxHam"""
+  FROM fcand JOIN fbl a ON doc_a = a.doc_id JOIN fbl b ON doc_b = b.doc_id)"""
+
+  private def mihTailSql(bits: String, pos: String, blockBits: Int, maxHam: Int): String =
+    mihPairsCtes(bits, pos, blockBits) +
+      s"\nSELECT doc_a, doc_b, hamming FROM fham WHERE hamming <= $maxHam"
+
+  /** Image cluster collapse: transitive closure over the radius-3
+    * multi-index pairs, keep-best = max variant area, ties to low id.
+    */
+  private lazy val OraclePhashClusters =
+    s"WITH RECURSIVE $OraclePhashBits" + mihPairsCtes("pbit", "p", 16) + s""",
+cpr AS (SELECT doc_a, doc_b FROM fham WHERE hamming <= 3),
+cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpr UNION ALL SELECT doc_b, doc_a FROM cpr),
+creach(id, lab) AS (SELECT doc_id, doc_id FROM documents
+UNION SELECT e.dst, r.lab FROM creach r JOIN cedges e ON e.src = r.id),
+ccl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM creach GROUP BY id),
+carea AS (SELECT doc_id, cluster_id, (8 + doc_id % 5) * (6 + doc_id % 4) AS area FROM ccl),
+cr AS (SELECT cluster_id, doc_id, area,
+  row_number() OVER (PARTITION BY cluster_id ORDER BY area DESC, doc_id ASC) AS rk,
+  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members FROM carea)
+SELECT cluster_id, doc_id AS keep_id, CAST(area AS BIGINT) AS area, n_members
+FROM cr WHERE rk = 1"""
 
   /** Voronoi coreset weights over the k-center picks: every vector to its
     * nearest center (6dp distance, ties to low center id), per-center
@@ -2658,6 +2679,10 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
 
     // audio multi-index scale form: 2x16-bit substrings, radius 1
     "multimodal_afp_mih" -> (s"WITH $OracleAfpBits" + mihTailSql("apb", "w", 16, 1)),
+
+    // image cluster collapse: components over mih pairs, keep the
+    // highest-resolution variant per cluster
+    "multimodal_phash_clusters" -> OraclePhashClusters,
     "embedding_fisher" ->
       """WITH ef AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),

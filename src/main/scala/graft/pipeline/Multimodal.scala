@@ -439,6 +439,30 @@ object Multimodal {
       .filter(col("hamming") <= maxHam)
   }
 
+  /** Image dedup COLLAPSE: connected components over the multi-index
+    * fingerprint pairs (shared pointer-jumping labeler), then keep the
+    * highest-RESOLUTION variant per cluster (area desc, ties to low id) —
+    * "of all scaled copies of one picture, keep the sharpest". The image
+    * twin of `dedup_keep_best`: components bound label propagation to the
+    * verified pair graph, singletons keep themselves, and the output is
+    * one keeper row per cluster with its member count.
+    */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = phashPairsMih(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.clusterLabels(pairs, Tables.documents(spark, dir).select(col("doc_id")))
+    val area = (pmod(col("doc_id"), lit(5L)) + lit(8L)) * (pmod(col("doc_id"), lit(4L)) + lit(6L))
+    labels
+      .withColumn("area", area.cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("area").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("area"),
+        col("n_members"))
+  }
+
   /** Base clip for the audio-fingerprint corpus: 16-sample plateaus (a
     * smooth energy envelope — white noise would decorrelate under
     * nearest-sample decimation and no fingerprint could survive a

@@ -457,6 +457,27 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(mih == want.filter(_._3 <= 3L),
       s"mih diverges from the radius-3 truth: extra=${mih -- want}")
+    // cluster collapse: union-find over the mih pairs, keep max-area
+    // variant (ties low id), member counts — full driver replay
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    mih.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = ids.groupBy(find)
+    def area(id: Long) = (8 + id % 5) * (6 + id % 4)
+    val wantClusters = comp.map { case (lab, members) =>
+      val keep = members.minBy(m => (-area(m), m))
+      (lab, keep, area(keep), members.length.toLong)
+    }.toSet
+    val gotClusters = Multimodal.phashClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotClusters == wantClusters,
+      s"clusters diverge: extra=${gotClusters -- wantClusters} missing=${wantClusters -- gotClusters}")
+    // the collapse must actually merge something on the planted corpus
+    assert(gotClusters.size < ids.length)
+    assert(gotClusters.exists(_._4 > 1L))
   }
 
   test("audio fingerprint pairs: brute-force replay through the codec, planted resamples found") {
