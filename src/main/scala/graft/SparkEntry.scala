@@ -43,6 +43,7 @@ object SparkEntry {
     "a28_hourly_acf"       -> ((s, d) => R.a28HourlyAcf(s, d)),
     "a29_winsorized_stats" -> ((s, d) => R.a29WinsorizedStats(s, d)),
     "a30_cusum_change"     -> ((s, d) => R.a30CusumChange(s, d)),
+    "a31_dow_profile"      -> ((s, d) => R.a31DowProfile(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
     "multimodal_phash_pairs" -> ((s, d) => graft.pipeline.Multimodal.phashPairs(s, d)),
@@ -910,6 +911,24 @@ round(CAST(SUM(CASE WHEN d <= cd THEN x END) AS DOUBLE) /
 round(CAST(SUM(CASE WHEN d > cd THEN x END) AS DOUBLE) /
   SUM(CASE WHEN d > cd THEN 1 ELSE 0 END), 6) AS mean_after
 FROM dd, dpick GROUP BY cd, cusum_scaled, n""",
+
+    // weekly seasonal profile on the gap-filled hour grid; integer
+    // calendar (dow = (h//24 + 3) % 7, 0 = Monday), a22 MAD anomaly rule
+    "a31_dow_profile" ->
+      """WITH whc AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x FROM events GROUP BY 1),
+whb AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM whc),
+whd AS (SELECT (t.h // 24 + 3) % 7 AS dow, t.h % 24 AS hod, coalesce(x, 0) AS x
+  FROM (SELECT unnest(range((SELECT h0 FROM whb), (SELECT h1 FROM whb) + 1)) AS h) t
+  LEFT JOIN whc ON t.h = whc.h),
+wp AS (SELECT dow, hod, COUNT(*) AS n_days, round(quantile_cont(x, 0.5), 6) AS med
+  FROM whd GROUP BY dow, hod),
+wdev AS (SELECT whd.dow, whd.hod, n_days, med, abs(CAST(x AS DOUBLE) - med) AS d
+  FROM whd JOIN wp ON whd.dow = wp.dow AND whd.hod = wp.hod),
+wm AS (SELECT dow, hod, round(quantile_cont(d, 0.5), 6) AS mad FROM wdev GROUP BY dow, hod)
+SELECT wdev.dow, wdev.hod, MIN(n_days) AS n_days, MIN(med) AS med, MIN(mad) AS mad,
+CAST(SUM(CASE WHEN d > mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM wdev JOIN wm ON wdev.dow = wm.dow AND wdev.hod = wm.hod
+GROUP BY wdev.dow, wdev.hod""",
 
     // winsorized moments: exact p01/p99 cuts rounded 6dp BEFORE clamping,
     // decimal(28,10) mean folds (values exact 2dp, cuts exact 6dp)

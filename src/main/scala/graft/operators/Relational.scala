@@ -767,6 +767,44 @@ object Relational {
           sum(when(col("d") > col("cd"), 1L).otherwise(0L)), 6).as("mean_after"))
   }
 
+  /** a31 (beyond-reference analytics): the weekly seasonal profile —
+    * median hourly event count per (day-of-week, hour-of-day) cell over
+    * the GAP-FILLED hour grid, with MAD-flagged anomalous hours per cell
+    * (the a22 robust-outlier contract applied to the traffic calendar).
+    * This is the baseline every on-call dashboard draws ("is Tuesday 3am
+    * quiet because it's Tuesday 3am, or because ingest died?"); the CUSUM
+    * scan (a30) finds level shifts, this finds the cells they hide in.
+    *
+    * Calendar math is PURE INTEGER off the epoch-hour index (d = h/24,
+    * hod = h%24, dow = (d+3)%7 with 0 = Monday — 1970-01-01 was a
+    * Thursday), so no timezone/calendar-function surface can diverge
+    * between engines. Scale: one corpus aggregate onto the hour catalog,
+    * then everything is O(hours) with a 168-row output.
+    */
+  def a31DowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hrs = events(spark, dir)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val dense = hrs.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hrs, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+      .select(expr("(h div 24 + 3) % 7").as("dow"), expr("h % 24").as("hod"), col("x"))
+      .localCheckpoint() // O(hours); feeds the profile and the deviation pass
+    val prof = dense.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(x, 0.5D)"), 6).as("med"))
+    val dev = dense.join(broadcast(prof), Seq("dow", "hod"))
+      .withColumn("d", abs(col("x").cast("double") - col("med")))
+    val mad = dev.groupBy(col("dow"), col("hod"))
+      .agg(round(expr("percentile(d, 0.5D)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("dow", "hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(first(col("n_days")).as("n_days"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("d") > col("mad") * lit(4.4478), 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
   /** a29 (beyond-reference analytics): winsorized moments per event type —
     * clamp values to the exact [p01, p99] interpolated percentiles and
     * report raw vs winsorized mean plus the clipped count, the standard

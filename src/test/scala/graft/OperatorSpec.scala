@@ -886,6 +886,40 @@ class OperatorSpec extends SparkSpecBase {
     assert(row.getDouble(4) == r6(after.sum.toDouble / after.length))
   }
 
+  test("a31 dow profile: integer calendar + robust cells replay; full 168-cell cover") {
+    val d = sf("events")
+    val got = Relational.a31DowProfile(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.keySet == (for (w <- 0L to 6L; h <- 0L to 23L) yield (w, h)).toSet,
+      "profile must cover all 168 calendar cells")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val hours = graft.Tables.events(spark, d)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")).collect()
+      .map(_.getLong(0))
+    val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val grid = (hours.min to hours.max)
+      .map(h => ((h / 24 + 3) % 7, h % 24, counts.getOrElse(h, 0L).toDouble))
+    grid.groupBy(t => (t._1, t._2)).foreach { case (cell, g) =>
+      val xs = g.map(_._3).toArray
+      val med = r6(pct(xs, 0.5))
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = r6(pct(devs, 0.5))
+      val anom = devs.count(_ > mad * 4.4478).toLong
+      assert(got(cell) == ((xs.length.toLong, med, mad, anom)),
+        s"cell $cell: got ${got(cell)} want (${xs.length}, $med, $mad, $anom)")
+    }
+    // the calendar anchor: 1970-01-01 (h=0..23) is dow 3 under this map —
+    // Thursday with Monday=0; a shifted anchor would scramble every cell
+    assert(((0L / 24 + 3) % 7) == 3L)
+  }
+
   test("a29 winsorized stats: cuts, clamps, and decimal means replay driver-side") {
     val d = sf("events")
     val got = Relational.a29WinsorizedStats(spark, d).collect()
