@@ -51,6 +51,7 @@ object SparkEntry {
     "multimodal_phash_mih" -> ((s, d) => graft.pipeline.Multimodal.phashPairsMih(s, d)),
     "multimodal_afp_mih"   -> ((s, d) => graft.pipeline.Multimodal.afpPairsMih(s, d)),
     "multimodal_phash_clusters" -> ((s, d) => graft.pipeline.Multimodal.phashClusters(s, d)),
+    "multimodal_afp_clusters" -> ((s, d) => graft.pipeline.Multimodal.afpClusters(s, d)),
     "mine_assoc_rules"     -> ((s, d) => graft.pipeline.Mining.assocRules(s, d)),
     "mine_seq_rules"       -> ((s, d) => graft.pipeline.Mining.seqRules(s, d)),
     "q11_top_value"        -> ((s, d) => R.q11TopValue(s, d)),
@@ -2702,6 +2703,22 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
     // image cluster collapse: components over mih pairs, keep the
     // highest-resolution variant per cluster
     "multimodal_phash_clusters" -> OraclePhashClusters,
+
+    // audio cluster collapse: components over radius-1 mih pairs, keep
+    // the longest clip per cluster
+    "multimodal_afp_clusters" ->
+      (s"WITH RECURSIVE $OracleAfpBits" + mihPairsCtes("apb", "w", 16) + s""",
+cpr AS (SELECT doc_a, doc_b FROM fham WHERE hamming <= 1),
+cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpr UNION ALL SELECT doc_b, doc_a FROM cpr),
+creach(id, lab) AS (SELECT doc_id, doc_id FROM documents
+UNION SELECT e.dst, r.lab FROM creach r JOIN cedges e ON e.src = r.id),
+ccl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM creach GROUP BY id),
+clen AS (SELECT doc_id, cluster_id, 160 + doc_id % 97 AS n_samples FROM ccl),
+cr AS (SELECT cluster_id, doc_id, n_samples,
+  row_number() OVER (PARTITION BY cluster_id ORDER BY n_samples DESC, doc_id ASC) AS rk,
+  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members FROM clen)
+SELECT cluster_id, doc_id AS keep_id, CAST(n_samples AS BIGINT) AS n_samples, n_members
+FROM cr WHERE rk = 1"""),
     "embedding_fisher" ->
       """WITH ef AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),

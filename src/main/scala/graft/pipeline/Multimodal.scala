@@ -463,6 +463,25 @@ object Multimodal {
         col("n_members"))
   }
 
+  /** Audio dedup collapse — the clip twin of [[phashClusters]]: components
+    * over the radius-1 multi-index fingerprint pairs, keep the LONGEST
+    * variant per cluster (sample count desc, ties to low id — "of all
+    * resamples of one recording, keep the highest-rate copy").
+    */
+  def afpClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = afpPairsMih(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.clusterLabels(pairs, Tables.documents(spark, dir).select(col("doc_id")))
+    labels
+      .withColumn("n_samples", (pmod(col("doc_id"), lit(97L)) + lit(160L)).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("n_samples").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_samples"),
+        col("n_members"))
+  }
+
   /** Base clip for the audio-fingerprint corpus: 16-sample plateaus (a
     * smooth energy envelope — white noise would decorrelate under
     * nearest-sample decimation and no fingerprint could survive a

@@ -514,5 +514,23 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(mih == want.filter(_._3 <= 1L),
       s"afp mih diverges from the radius-1 truth: extra=${mih -- want}")
+    // cluster collapse: union-find over the radius-1 pairs, keep the
+    // LONGEST clip (ties low id) — full driver replay
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    mih.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def nSamples(id: Long) = 160 + id % 97
+    val wantClusters = ids.groupBy(find).map { case (lab, members) =>
+      val keep = members.minBy(m => (-nSamples(m), m))
+      (lab, keep, nSamples(keep), members.length.toLong)
+    }.toSet
+    val gotClusters = Multimodal.afpClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotClusters == wantClusters,
+      s"afp clusters diverge: extra=${gotClusters -- wantClusters}")
+    assert(gotClusters.size < ids.length && gotClusters.exists(_._4 > 1L))
   }
 }
