@@ -70,6 +70,53 @@ object BenchScaleAnn {
     System.gc()
   }
 
+  /** The planted-cluster eval corpus: each base vector gets `groups − 1`
+    * near-duplicate variants (ids `base + g·1e7`, ~1% element jitter from
+    * a deterministic (g, position) formula with a g·p cross term so
+    * sibling deltas decorrelate). With groups = k + 1 the brute top-k of
+    * every query (a g = 0 base, also the IVF/PQ seed range — seed ids
+    * stay DISTINCT base vectors under this layout) is exactly its planted
+    * sibling set (sibling cosine ≈ 0.99 vs ≈ 0.1 cross-base), so
+    * recall-vs-brute here measures recovery of GENUINE neighbors — on the
+    * raw synthetic corpus the brute top-k is a noise ranking of near-ties
+    * (memory: adversarial cosine margins) and even a perfect index scores
+    * low. Both operating points matter: the random corpus gates shortlist
+    * robustness at zero margin, the planted corpus gates the production
+    * property (find the real near-duplicates).
+    */
+  def plantedVecsFrom(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                      groups: Int = 6): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    (0 until groups)
+      .map { g =>
+        if (g == 0) e
+        else e.select((col("vec_id") + lit(g.toLong * Shift)).as("vec_id"),
+          transform(col("embedding"),
+            (x, p) => x + lit(0.01f) *
+              (pmod(p * 13 + lit(g * 7) + p * lit(g * 3), lit(5)).cast("float") - lit(2.0f)))
+            .as("embedding"))
+      }
+      .reduce(_ union _)
+  }
+
+  /** HARD floors on the planted corpus: the tuned points must find ≥ 80%
+    * of genuine planted neighbors (round-9 directive — 0.5/0.6 floors on
+    * the adversarial random corpus say nothing about production recall).
+    */
+  def enforcePlanted(recalls: Map[String, Double], sameGroupFrac: Double): Unit = {
+    if (sameGroupFrac < 0.9)
+      throw new IllegalStateException(
+        s"planted ANN eval invalid: only $sameGroupFrac of brute pairs are " +
+          "same-group — the planted structure did not dominate the ranking")
+    Seq("lsh_mt", "pq_t", "ivfpq_t").foreach { k =>
+      if (recalls(k) < 0.8)
+        throw new IllegalStateException(
+          s"planted recall $k = ${recalls(k)} < 0.8: run INVALID")
+    }
+  }
+
+  private val Shift = 10000000L
+
   /** The sweep corpus: `factor` perturbed replicas (shifted ids, per-
     * (replica, position) element offsets large enough that replicas are
     * not each other's nearest neighbors) — shared with `AnnCalibrate`.
@@ -167,15 +214,35 @@ object BenchScaleAnn {
         (n, (brute intersect s).size.toDouble / brute.size, s.size.toLong)
       }
 
+    // planted-cluster eval: same tuned operating points, corpus with
+    // genuine neighbor structure (see plantedVecsFrom) — recall here is
+    // the production number; the random-corpus recalls above are the
+    // zero-margin robustness number
+    val planted = plantedVecsFrom(spark, sfDir)
+    val pBrute = pairSet(pipeline.Similarity.bruteForceTopKFrom(planted))
+    val sameGroupFrac =
+      pBrute.count(p => p._1 % Shift == p._2 % Shift).toDouble / pBrute.size.max(1)
+    val pRecalls = Seq(
+      "lsh_mt" -> pairSet(pipeline.Similarity.lshMultiTableTopKFrom(planted, nTables = 16)),
+      "pq_t" -> pairSet(pipeline.Similarity.pqTopKFrom(planted, m = 32, iters = 2, rerankDepth = 50)),
+      "ivfpq_t" -> pairSet(pipeline.Similarity.ivfPqTopKFrom(planted, m = 32, nProbe = 3, iters = 2, rerankDepth = 50)))
+      .map { case (n, s) => n -> (pBrute intersect s).size.toDouble / pBrute.size.max(1) }
+      .toMap
+    drop(spark)
+
     val json = {
       val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val tl = timesLoaded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val rc = recalls.map { case (k, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+      val pc = pRecalls.toSeq.sortBy(_._1).map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
       s"""{"metric":"scale_sweep_ann","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
         s""""times_sec_q10":$ts,"times_sec_q500":$tl,"recall_vs_brute":$rc,"brute_pairs":${brute.size},""" +
         s""""params":{"lsh_mt":{"nPlanes":8,"nTables":16},"pq_t":{"m":32,"ks":16,"iters":2,"rerankDepth":50},""" +
         s""""ivfpq_t":{"m":32,"ks":16,"iters":2,"nProbe":3,"rerankDepth":50}},""" +
         s""""recall_floors":{"lsh_mt":0.5,"pq_t":0.5,"ivfpq_t":0.5,"quant":0.8,"pq":0.05},""" +
+        s""""planted_recall":$pc,"planted_brute_pairs":${pBrute.size},""" +
+        s""""planted_same_group_frac":$sameGroupFrac,""" +
+        s""""planted_floors":{"lsh_mt":0.8,"pq_t":0.8,"ivfpq_t":0.8},""" +
         s""""jl_depth":$jlDepth,"jl_touch":${jlDepth.toDouble / (baseCount * factor)}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_ann.json"),
@@ -190,6 +257,7 @@ object BenchScaleAnn {
     enforceTuned(recalls.collectFirst { case ("lsh_mt", r, _) => r }.get,
       recalls.collectFirst { case ("pq_t", r, _) => r }.get,
       recalls.collectFirst { case ("ivfpq_t", r, _) => r }.get)
+    enforcePlanted(pRecalls, sameGroupFrac)
     // JL rerank signal gate: recall must clearly beat its candidate-touch
     // fraction (a random depth-sized candidate set scores ~touch)
     val jlRecall = recalls.collectFirst { case ("jl_rr", r, _) => r }.get

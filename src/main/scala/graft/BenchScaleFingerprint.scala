@@ -36,7 +36,11 @@ object BenchScaleFingerprint {
           s"(${base.size}) — replication perturbed the contained work")
 
   def enforceReplicaRecall(pairs: Seq[(Long, Long, Long)], factor: Int): Unit = {
-    val byReplica = pairs.filter(p => p._1 / Shift == p._2 / Shift)
+    // same replica AND same planted variant group (width-5 id blocks,
+    // Shift % 5 == 0 so p/5 identifies the group globally): a
+    // within-replica cross-group false positive must not satisfy the
+    // planted-pair gate
+    val byReplica = pairs.filter(p => p._1 / Shift == p._2 / Shift && p._1 / 5 == p._2 / 5)
       .groupBy(_._1 / Shift).view.mapValues(_.size).toMap
     val empty = (0 until factor).filterNot(i => byReplica.getOrElse(i.toLong, 0) > 0)
     if (empty.nonEmpty)

@@ -1,21 +1,38 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
 /** Whole-registry executed-plan audit: runs EVERY SparkEntry query at the
   * given SF and records per-query plan-health counters into
   * `PLAN_AUDIT.json` — the automated successor of the per-round manual
   * `PlanDump*` spot checks.
   *
   * Counters per query (from the AQE-final executed plan):
-  *  - `exchanges`           shuffle exchanges (corpus reshuffle points)
+  *  - `exchanges`           shuffle exchanges (corpus reshuffle points).
+  *                          Counted with a non-letter boundary so
+  *                          `BroadcastExchange` (not a shuffle) never
+  *                          inflates the number.
   *  - `single_partition`    `Exchange SinglePartition` occurrences — the
   *                          scale smell WHEN its input is corpus-sized.
   *                          Benign occurrences exist by design: group-less
   *                          final aggregates (one row per partial),
   *                          bounded P-row offset windows
   *                          (`Scale.distributedPrefixSum`), TakeOrdered
-  *                          final merges, 1-row scalar attaches — so this
-  *                          column is a RECORD to diff across rounds, not
-  *                          a zero-gate.
+  *                          final merges, 1-row scalar attaches — so the
+  *                          COUNT is a record to diff across rounds, while
+  *                          the VOLUME is gated (below).
+  *  - `sp_max_rows`         the largest `shuffle records written` of any
+  *                          SinglePartition shuffle in the query —
+  *                          HARD-GATED against `SPARK_GRAFT_SP_MAX_ROWS`
+  *                          (default 4000 at the sf0.001 audit grain,
+  *                          where the largest table is 6000 rows): a
+  *                          whole-corpus funnel into one partition (e.g.
+  *                          an unpartitioned `Window`) trips the gate,
+  *                          while per-partial reducers and catalog/fit
+  *                          tables stay orders of magnitude below it.
   *  - `cartesian`           `CartesianProduct` nodes — HARD-GATED to zero
   *                          registry-wide: every intentional small-side
   *                          cross join must plan as a BROADCAST nested
@@ -24,14 +41,42 @@ package graft
   *                          / catalog-row scalar attaches)
   *  - `codegen_spans`       WholeStageCodegen regions
   *
-  * The artifact is written BEFORE the gate throws, so a violating run
+  * The artifact is written BEFORE the gates throw, so a violating run
   * still ships its evidence (the BenchScale convention). Run with the
   * usual Spark-jars + classes classpath: `java -cp &lt;spark jars&gt;
   * graft.PlanAudit`.
   */
 object PlanAudit {
+
+  /** Every node of the AQE-final physical plan, descending into adaptive
+    * roots, materialized query stages, and (scalar/in) subquery plans.
+    */
+  def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val deeper = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: QueryStageExec        => collectAll(q.plan)
+      case _                        => p.children.flatMap(collectAll)
+    }
+    (p +: deeper) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  /** Max `shuffle records written` across the query's SinglePartition
+    * shuffles (0 when there are none) — the post-execution measure of how
+    * much data actually funneled through a parallelism-1 stage.
+    */
+  def maxSinglePartitionRows(root: SparkPlan): Long = {
+    val sps = collectAll(root).collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+    }
+    val counts = sps.flatMap(_.metrics.collectFirst {
+      case (k, m) if k.equalsIgnoreCase("shuffleRecordsWritten") => m.value
+    })
+    if (counts.isEmpty) 0L else counts.max
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spMaxRows = sys.env.getOrElse("SPARK_GRAFT_SP_MAX_ROWS", "4000").toLong
     val spark = GraftSession.get()
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val counts =
@@ -44,47 +89,66 @@ object PlanAudit {
             .split("== Initial Plan ==").head
           def n(marker: String): Int =
             plan.sliding(marker.length).count(_ == marker)
+          // shuffle exchanges print as "Exchange <partitioning>"; anchor on
+          // a preceding non-letter so "BroadcastExchange "/"ReusedExchange "
+          // tails don't count
+          val shuffleExchanges =
+            raw"(?<![A-Za-z])Exchange ".r.findAllMatchIn(plan).size
           // whole-stage regions print as "*(k)" prefixes in tree mode —
           // count DISTINCT region ids, not occurrences
           val codegenIds = raw"\*\((\d+)\)".r.findAllMatchIn(plan)
             .map(_.group(1)).toSet.size
+          val spRows = maxSinglePartitionRows(df.queryExecution.executedPlan)
           Map(
-            "exchanges" -> n("Exchange "),
-            "single_partition" -> n("Exchange SinglePartition"),
-            "cartesian" -> n("CartesianProduct"),
-            "bnlj" -> n("BroadcastNestedLoopJoin"),
-            "codegen_spans" -> codegenIds)
+            "exchanges" -> shuffleExchanges.toLong,
+            "single_partition" -> n("Exchange SinglePartition").toLong,
+            "sp_max_rows" -> spRows,
+            "cartesian" -> n("CartesianProduct").toLong,
+            "bnlj" -> n("BroadcastNestedLoopJoin").toLong,
+            "codegen_spans" -> codegenIds.toLong)
         } catch {
           case e: Throwable =>
             System.err.println(s"[audit] $name failed: ${e.getMessage}")
-            Map("failed" -> 1)
+            Map("failed" -> 1L)
         }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> counts
     }
     val failed = rows.collect { case (n, c) if c.contains("failed") => n }
     val cartesianOffenders = rows.collect {
-      case (n, c) if c.getOrElse("cartesian", 0) > 0 => n
+      case (n, c) if c.getOrElse("cartesian", 0L) > 0 => n
     }
-    val spTotal = rows.map(_._2.getOrElse("single_partition", 0)).sum
-    def js(m: Map[String, Int]) =
+    val spOffenders = rows.collect {
+      case (n, c) if c.getOrElse("sp_max_rows", 0L) > spMaxRows =>
+        n -> c("sp_max_rows")
+    }
+    val spTotal = rows.map(_._2.getOrElse("single_partition", 0L)).sum
+    def js(m: Map[String, Long]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"plan_audit","sf":"$sfDir","queries":${rows.size},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""cartesian_offenders":${cartesianOffenders.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""single_partition_total":$spTotal,""" +
+        s""""sp_max_rows_gate":$spMaxRows,""" +
+        s""""sp_offenders":${spOffenders.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""per_query":${rows.map { case (k, v) => "\"" + k + "\":" + js(v) }.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("PLAN_AUDIT.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(s"""{"metric":"plan_audit","queries":${rows.size},"failed":${failed.size},""" +
-      s""""cartesian_offenders":${cartesianOffenders.size},"single_partition_total":$spTotal}""")
+      s""""cartesian_offenders":${cartesianOffenders.size},"single_partition_total":$spTotal,""" +
+      s""""sp_offenders":${spOffenders.size}}""")
     if (failed.nonEmpty)
       throw new IllegalStateException(s"plan audit: ${failed.size} queries failed: $failed")
     if (cartesianOffenders.nonEmpty)
       throw new IllegalStateException(
         s"plan audit: CartesianProduct in ${cartesianOffenders.mkString(", ")} — " +
           "every cross join must broadcast")
+    if (spOffenders.nonEmpty)
+      throw new IllegalStateException(
+        s"plan audit: corpus-sized SinglePartition stage in " +
+          spOffenders.map { case (n, v) => s"$n ($v rows)" }.mkString(", ") +
+          s" — exceeds $spMaxRows rows; partition the window/sort or pre-aggregate")
   }
 }

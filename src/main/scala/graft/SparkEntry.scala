@@ -121,6 +121,7 @@ object SparkEntry {
     "sql_keyword_native"   -> ((s, d) => Serving.sqlKeywordNative(s, d)),
     // UDTF / text functions (§2.7-2.8 + training-data ops)
     "u1_split_words"       -> ((s, d) => T.u1SplitWords(s, d)),
+    "u1_split_words_cjk"   -> ((s, d) => T.u1SplitWordsCjk(s, d)),
     "text_lang_id"         -> ((s, d) => T.langIdQuery(s, d)),
     "text_langid_eval"     -> ((s, d) => T.langIdEval(s, d)),
     "text_ngram_freq"      -> ((s, d) => T.ngramFrequency(s, d)),
@@ -1534,6 +1535,26 @@ SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM pr GROUP BY pair ORDER BY freq
     "u1_split_words" ->
       s"SELECT doc_id, unnest($TOKS) AS word FROM documents WHERE doc_id < 20",
 
+    // CJK tokenizer leg over the planted fixture: DuckDB rebuilds the same
+    // strings via chr() over the integer code-point formula, then replays
+    // the identical rule — whitespace split, maximal Han/non-Han runs
+    // (explicit URO+ExtA ranges), Han runs ≥ 2 → overlapping bigrams
+    "u1_split_words_cjk" ->
+      raw"""WITH h AS (
+  SELECT i AS fid,
+    array_to_string(list_transform(range(0, 4), j -> chr(CAST(19968 + (i*31 + j*7) % 256 AS INT))), '') AS h0,
+    array_to_string(list_transform(range(0, 5), j -> chr(CAST(19968 + (i*31 + 17 + j*7) % 256 AS INT))), '') AS h1,
+    array_to_string(list_transform(range(0, 1), j -> chr(CAST(19968 + (i*31 + 34 + j*7) % 256 AS INT))), '') AS h2,
+    array_to_string(list_transform(range(0, 3), j -> chr(CAST(19968 + (i*31 + 51 + j*7) % 256 AS INT))), '') AS h3
+  FROM range(30) t(i)),
+base AS (SELECT fid, 'Alpha' || CAST(fid AS VARCHAR) || ' ' || h0 || ' beta' || h1 || 'x ' || h2 || ' mix' || h3 || 'end' AS text FROM h),
+parts AS (SELECT fid, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS part FROM base),
+runs AS (SELECT fid, unnest(regexp_extract_all(part, '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]+|[^\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]+')) AS run FROM parts),
+toks AS (SELECT fid, unnest(CASE WHEN len(run) >= 2 AND regexp_matches(substring(run, 1, 1), '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]')
+  THEN list_transform(range(1, len(run)), j -> substring(run, CAST(j AS INT), 2))
+  ELSE [run] END) AS word FROM runs)
+SELECT fid, word FROM toks""",
+
     "text_lang_id" ->
       s"""$OracleLangPred
 SELECT doc_id, labeled_lang, pred_lang FROM pred""",
@@ -2591,7 +2612,8 @@ FROM rtop t JOIN rsrc d ON d.doc_id = t.doc_id JOIN rq q ON q.query_id = t.query
 GROUP BY t.query_id)
 SELECT h.query_id, hits, CAST(n_rel AS BIGINT) AS n_rel,
 round(hits / 10.0, 6) AS p_at_k,
-round(CAST(hits AS DOUBLE) / least(n_rel, 10), 6) AS recall_at_k
+CASE WHEN n_rel = 0 THEN 0.0
+     ELSE round(CAST(hits AS DOUBLE) / least(n_rel, 10), 6) END AS recall_at_k
 FROM rh h JOIN rq q ON q.query_id = h.query_id""",
 
     // dense leg = brute cosine top-20 (vec_id ≡ doc_id), sparse leg =

@@ -279,7 +279,11 @@ object Retrieval {
       .agg(sum(when(col("source") === col("q_src"), 1L).otherwise(0L)).as("hits"))
       .select(col("query_id"), col("hits"), col("n_rel"),
         round(col("hits") / lit(k.toDouble), 6).as("p_at_k"),
-        round(col("hits").cast("double") / least(col("n_rel"), lit(k.toLong)), 6)
+        // a query that is its source's only member has n_rel = 0: recall
+        // is vacuously perfect-by-absence — render 0.0, never null (the
+        // raw division would be a silent null metric row)
+        when(col("n_rel") === 0, lit(0.0)).otherwise(
+          round(col("hits").cast("double") / least(col("n_rel"), lit(k.toLong)), 6))
           .as("recall_at_k"))
   }
 }

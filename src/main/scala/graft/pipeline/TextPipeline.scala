@@ -23,6 +23,36 @@ object TextPipeline {
       .localCheckpoint() // Generate re-evals its input per output row
       .select(col("doc_id"), explode(col("toks")).as("word"))
 
+  /** The planted CJK fixture for `u1_split_words_cjk`: 30 deterministic
+    * mixed Latin/Han strings built from an integer code-point formula
+    * (`0x4E00 + (i·31 + k·17 + j·7) mod 256` — always inside the URO
+    * block), covering every tokenizer branch: a cased ASCII word, a
+    * standalone Han run (bigrams), a token with ASCII→Han→ASCII run
+    * transitions, and a lone Han character (emitted verbatim). DuckDB
+    * rebuilds the identical strings with `chr()` over the same formula —
+    * the closed-form-fixture discipline of the media codecs (FIXTURES.md).
+    */
+  def cjkFixture(spark: SparkSession): DataFrame = {
+    def hanRun(i: Long, k: Int, n: Int): String =
+      (0 until n).map(j => (0x4E00 + ((i * 31 + k * 17 + j * 7) % 256)).toChar).mkString
+    val rows = (0L until 30L).map { i =>
+      (i, s"Alpha$i ${hanRun(i, 0, 4)} beta${hanRun(i, 1, 5)}x ${hanRun(i, 2, 1)} mix${hanRun(i, 3, 3)}end")
+    }
+    spark.createDataFrame(rows).toDF("fid", "text")
+  }
+
+  /** U1 (CJK leg): the IK-analyzer-parity behavior of `graft_tokenize` on
+    * Chinese text (`app/function/SplitFunction.java:12-29`) — Han runs
+    * inside a whitespace token become overlapping character bigrams, Latin
+    * runs stay whole words. Runs over the planted fixture (the corpus is
+    * ASCII, which would leave this branch oracle-invisible).
+    */
+  def u1SplitWordsCjk(spark: SparkSession, dir: String): DataFrame =
+    cjkFixture(spark)
+      .select(col("fid"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // Generate re-evals its input per output row
+      .select(col("fid"), explode(col("toks")).as("word"))
+
   /** A4: keyword stats (`app/dws/KeywordStatsApp.java:64-75`): tokenize →
     * count per (word, lang-window). The reference groups per 10s tumble; the
     * batch grain here is `lang` (documents are not a time series), with the

@@ -277,11 +277,27 @@ object ArrayNorm {
 /** string → array<string>: lowercase, split on `\s+`, drop empties —
   * identical to `filter(split(lower(text), "\\s+"), w => length(w) > 0)`
   * (Spark's `Lower` is `UTF8String.toLowerCase` and `StringSplit` is
-  * `Pattern.split` on the same string — both reproduced exactly). The
-  * higher-order `filter` it replaces is CodegenFallback, and one such
-  * expression in a projection bars the whole operator from whole-stage
-  * codegen — this kernel keeps the full tokenize→hash→signature pipeline
-  * inside one codegen span.
+  * `Pattern.split` on the same string — both reproduced exactly) — THEN,
+  * inside each whitespace token, Han-script runs fall back to overlapping
+  * character bigrams (run of length 1 → the character itself). This is
+  * the reference's IK-analyzer parity path
+  * (`realtime/src/main/java/app/function/SplitFunction.java:12-29`,
+  * `utils/KeywordUtil.java:13-35`): Chinese search terms carry no
+  * whitespace, so without the fallback a CJK phrase would pass through as
+  * ONE degenerate token and the keyword pipeline
+  * (`app/dws/KeywordStatsApp.java:55-61`) would produce useless stats.
+  * Overlapping bigrams are the standard CJK analyzer fallback (Lucene
+  * CJKAnalyzer); "Han" is the explicit BMP range URO U+4E00–U+9FFF +
+  * Extension A U+3400–U+4DBF so char indexing == code-point indexing and
+  * the DuckDB oracle can replay the identical ranges. Pure-ASCII input is
+  * bit-identical to the pre-fallback kernel (one non-Han run = the whole
+  * token), so every downstream tokenizer consumer (MinHash, TF-IDF, BPE,
+  * keyword stats) is unchanged on Latin corpora.
+  *
+  * The higher-order `filter` this kernel replaces is CodegenFallback, and
+  * one such expression in a projection bars the whole operator from
+  * whole-stage codegen — this kernel keeps the full
+  * tokenize→hash→signature pipeline inside one codegen span.
   */
 case class TokenizeWords(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -306,14 +322,45 @@ case class TokenizeWords(child: Expression) extends UnaryExpression {
 object TokenizeWords {
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
+  /** URO + Extension A only — both BMP blocks, chosen over `\p{IsHan}` so
+    * the Java kernel and the RE2-based DuckDB oracle agree by explicit
+    * construction rather than by Unicode-version luck.
+    */
+  @inline private def isHan(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
+
+  /** Maximal same-script runs of `p`: Han runs of length ≥ 2 emit their
+    * overlapping bigrams, everything else (non-Han runs, lone Han chars)
+    * emits verbatim. Surrogate halves are non-Han by construction, so
+    * astral-plane text rides the non-Han path intact — never throws.
+    */
+  private def emitRuns(p: String, out: java.util.ArrayList[Any]): Unit = {
+    var start = 0
+    val n = p.length
+    while (start < n) {
+      val han = isHan(p.charAt(start))
+      var end = start + 1
+      while (end < n && isHan(p.charAt(end)) == han) end += 1
+      if (han && end - start >= 2) {
+        var j = start
+        while (j < end - 1) {
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromString(p.substring(j, j + 2)))
+          j += 1
+        }
+      } else {
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(p.substring(start, end)))
+      }
+      start = end
+    }
+  }
+
   def compute(a: Any): GenericArrayData = {
     val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString
     val parts = WS.split(s, -1)
     val out = new java.util.ArrayList[Any](parts.length)
     var i = 0
     while (i < parts.length) {
-      if (!parts(i).isEmpty)
-        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(parts(i)))
+      if (!parts(i).isEmpty) emitRuns(parts(i), out)
       i += 1
     }
     new GenericArrayData(out.toArray)

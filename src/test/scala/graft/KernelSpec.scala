@@ -34,12 +34,36 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     "dup dup dup dup dup",
     "Ünïcödé tëxt wíth ßpecial chars 中文 日本語")
 
-  test("graft_tokenize == filter(split(lower)) incl. unicode and empties") {
-    val extra = texts ++ Seq("  leading and\ttrailing  ", "A\nB\r\nC", "İIıi ẞß")
+  test("graft_tokenize == filter(split(lower)) on non-Han text incl. empties") {
+    // the CJK bigram fallback only fires on Han runs, so on every non-Han
+    // input the kernel must stay BIT-IDENTICAL to the fold rendering the
+    // corpus-table DuckDB oracles mirror
+    val extra = texts.filterNot(_.exists(c =>
+      (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF))) ++
+      Seq("  leading and\ttrailing  ", "A\nB\r\nC", "İIıi ẞß")
     val df = extra.toDF("text").select(
       call_function("graft_tokenize", col("text")).as("kernel"),
       filter(split(lower(col("text")), "\\s+"), w => length(w) > 0).as("fold"))
     df.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("graft_tokenize CJK bigram fallback (IK-analyzer parity, U1)") {
+    val cases = Seq(
+      // Han run ≥ 2 → overlapping bigrams; 2-char run = itself
+      "中文 日本語" -> Seq("中文", "日本", "本語"),
+      // run transitions inside one whitespace token: latin→han→latin
+      "abc中华人民xyz" -> Seq("abc", "中华", "华人", "人民", "xyz"),
+      // lone Han char emits verbatim; Extension A (U+3400) is Han
+      "中 㐀㐁㐂" -> Seq("中", "㐀㐁", "㐁㐂"),
+      // non-Han CJK scripts (kana, hangul) stay whole words; digits glue
+      "こんにちは 한국어 中文2024" -> Seq("こんにちは", "한국어", "中文", "2024"),
+      // astral-plane text rides the non-Han path intact — never throws
+      "🙂🙂 中文🙂" -> Seq("🙂🙂", "中文", "🙂"),
+      "" -> Seq())
+    val df = cases.map(_._1).toDF("text")
+      .select(call_function("graft_tokenize", col("text")).as("kernel"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got == cases.map(_._2))
   }
 
   test("graft_hash_tokens == transform(md5 hex prefix conv)") {

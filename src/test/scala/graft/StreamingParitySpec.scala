@@ -773,6 +773,69 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.count(_(1) == null) == 2)
   }
 
+  test("J2 streaming state plateaus under watermark cleanup (long replay)") {
+    // SURVEY §7.2 flags the asymmetric [-15m, +5s] bound inflating join
+    // state: the right side must be retained ~15 minutes past the
+    // watermark, the left only seconds. This replay drives 40 one-minute
+    // micro-batches (5 keys × 1 row per side each) and asserts the state
+    // store row count PLATEAUS at the ~16-batch retention horizon instead
+    // of growing with the replay — the committed evidence that watermark
+    // cleanup bounds J2 state (Flink's interval-join retention contract).
+    val nBatches = 40
+    val rowsPerBatch = 5
+    val base = ts("2024-01-01 00:00:00").getTime
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[LSide]
+    val rIn = MemoryStream[RSide]
+    val joined = StreamOps.j1IntervalJoin(lIn.toDF(), rIn.toDF(),
+      lowerBound = "15 minutes", upperBound = "5 seconds")
+    val name = s"j2state${System.nanoTime()}"
+    val q = joined.select("l_key", "l_ts", "r_ts").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val states = scala.collection.mutable.ArrayBuffer[Long]()
+    val ls = scala.collection.mutable.ArrayBuffer[LSide]()
+    val rs = scala.collection.mutable.ArrayBuffer[RSide]()
+    try {
+      for (b <- 0 until nBatches) {
+        val t0 = base + b * 60000L
+        val lb = (0 until rowsPerBatch).map(i => LSide(i.toLong, new Timestamp(t0 + i * 1000L)))
+        val rb = (0 until rowsPerBatch).map(i => RSide(i.toLong, new Timestamp(t0 + i * 1000L + 2000L)))
+        ls ++= lb; rs ++= rb
+        lIn.addData(lb); rIn.addData(rb)
+        q.processAllAvailable()
+        states += Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      }
+      // flush the watermark so every in-window match emits before parity
+      lIn.addData(LSide(-9, ts("2024-01-02 00:00:00")))
+      rIn.addData(RSide(-9, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      lIn.addData(LSide(-8, ts("2024-01-03 00:00:00")))
+      rIn.addData(RSide(-8, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // parity over the whole replay: every emitted row matches the batch
+    // range join on the identical data
+    val batch = ls.toSeq.toDF().join(rs.toSeq.toDF(),
+        expr("l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL 15 minutes AND l_ts + INTERVAL 5 seconds"))
+      .select("l_key", "l_ts", "r_ts").collect().map(_.toSeq).toSet
+    val got = spark.table(name).filter(col("l_key") >= 0).collect().map(_.toSeq).toSet
+    assert(got == batch, s"stream emitted ${got.size} rows, batch oracle ${batch.size}")
+
+    // retention horizon ≈ (15 min + 10 s delay) / 1-min batches ≈ 16
+    // batches of right rows + ~1 batch of left rows; assert the store (a)
+    // plateaus over the last 10 batches and (b) ends far below total
+    // ingest (an uncleaned store would hold all 2·nBatches·rowsPerBatch)
+    val tail = states.takeRight(10)
+    assert(tail.max - tail.min <= (0.25 * tail.max).ceil.toLong,
+      s"state did not plateau: last-10 counts $tail")
+    val totalIngested = 2L * nBatches * rowsPerBatch
+    assert(states.last <= totalIngested / 2,
+      s"state ${states.last} not bounded vs ingest $totalIngested: $states")
+    assert(states.last > 0, "state probe read nothing — instrumentation broken")
+  }
+
   test("A19 parity: streaming running moments finish at the batch aggregate") {
     val purchases = Seq(
       Event(1, ts("2024-01-01 00:00:01"), 1, "purchase", 10.0),
