@@ -14,7 +14,12 @@ object AnnCalibrate {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val spark = GraftSession.get()
-    val vecs = BenchScaleAnn.scaledVecsFrom(spark, sfDir, factor)
+    // SPARK_GRAFT_ANN_PLANTED=1 calibrates on the planted-cluster corpus
+    // (genuine neighbor structure) instead of the adversarial random one
+    val vecs =
+      if (sys.env.get("SPARK_GRAFT_ANN_PLANTED").contains("1"))
+        BenchScaleAnn.plantedVecsFrom(spark, sfDir)
+      else BenchScaleAnn.scaledVecsFrom(spark, sfDir, factor)
 
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id"))

@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+import graft.functions.VectorFunctions._
+
+/** The end-to-end streaming corpus pipeline: stream ingest → incremental
+  * MinHash dedup → IVF index refresh → retrieval over the live index, as
+  * ONE `foreachBatch` job — the proof that the training-data operators
+  * COMPOSE under streaming, not just individually.
+  *
+  * Reference anchor: this is the streaming twin of the batch curation
+  * chain (`Dedup.incrementalDedup` → `Similarity.ivfTopK`), wired the way
+  * the reference wires its warehouse layers (`app/dwd → dwm → dws`,
+  * micro-batch materialization between layers).
+  *
+  * Semantics (batch-size INVARIANT, the property the parity spec gates):
+  * documents are processed in doc_id order within each micro-batch; a
+  * document survives iff it does not near-duplicate (signature-estimated
+  * Jaccard ≥ threshold) any earlier SURVIVOR — the greedy prefix rule.
+  * Because the state store holds survivors only, the surviving set after
+  * N micro-batches equals the one-batch run over the concatenated input,
+  * regardless of how the stream was chopped.
+  *
+  * Index refresh: the coarse quantizer's cells are seeded by the first
+  * `nCells` survivors (the `vec_id < nCells` convention of
+  * `Similarity.ivfTopK`). New survivors are assigned to their nearest
+  * cell INCREMENTALLY against the frozen centroids; only when the seed
+  * set itself changes (bootstrap batches, while fewer than `nCells`
+  * survivors exist) is the whole assignment rebuilt — the
+  * rare-coarse-rebuild / frequent-append shape of production IVF serving.
+  *
+  * Ingest contract: doc_ids arrive in NONDECREASING order across
+  * micro-batches (a streaming ingest's monotone id assignment) — both the
+  * greedy prefix rule and the frozen-seed refresh depend on it.
+  *
+  * Scale posture: the corpus side of the dedup join shuffles band keys
+  * only (at 100 TB it is served by a persisted band index, here the
+  * survivor store's `sig` column); per-batch cost is O(batch × bucket),
+  * independent of corpus size. The driver-side sequential resolution
+  * touches ONLY the micro-batch's ids and its candidate pairs — bounded
+  * by the ingest-batch contract (same bounded-collect discipline as the
+  * config table and BPE merges), never corpus-sized.
+  */
+object CorpusJob {
+
+  case class CorpusDoc(doc_id: Long, text: String, embedding: Seq[Float])
+
+  private def corpusPath(stateDir: String) = s"$stateDir/corpus"
+
+  /** Survivor store if it exists: (doc_id, sig, emb, nrm, cell). */
+  private def loadCorpus(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    if (new java.io.File(corpusPath(stateDir)).exists())
+      Some(spark.read.parquet(corpusPath(stateDir)))
+    else None
+
+  private def bandRows(df: DataFrame): DataFrame = df
+    .select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(Dedup.Bands - 1)),
+        b => concat_ws("_", transform(
+          slice(col("sig"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand)),
+          x => x.cast("string"))))))
+    .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+  private def estJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round(call_function("graft_eq_count", a, b).cast("double") /
+      lit(Dedup.NumHashes.toDouble), 6)
+
+  /** One micro-batch: dedup the arrivals against the survivor store and
+    * each other (greedy prefix rule), append survivors, refresh the IVF
+    * assignment. Idempotent per unique doc_id set; call from
+    * `foreachBatch` or directly (the one-batch call IS the batch oracle).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+                   threshold: Double = 0.5, nCells: Int = 4): Unit = {
+    if (batch.isEmpty) return
+    val sigs = batch
+      .select(col("doc_id"), col("text"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .select(col("doc_id"),
+        Dedup.minhashSignatureFrom(Dedup.shingleHashesFrom(Dedup.tokenHashes(col("text")))).as("sig"),
+        col("emb"), norm(col("emb")).as("nrm"))
+      .localCheckpoint()
+    val existing = loadCorpus(spark, stateDir)
+
+    // arrivals that near-duplicate an already-ingested survivor
+    val dupOfCorpus: Set[Long] = existing match {
+      case None => Set.empty
+      case Some(corpus) =>
+        bandRows(corpus.select(col("doc_id"), col("sig")))
+          .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+          .join(broadcast(bandRows(sigs).select(col("doc_id").as("batch_id"),
+            col("band"), col("band_key"))), Seq("band", "band_key"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+          .join(sigs.select(col("doc_id").as("batch_id"), col("sig").as("sig_a")), "batch_id")
+          .join(corpus.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+          .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
+          .select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+    }
+    // within-batch near-dup pairs (doc_a < doc_b), then the sequential
+    // greedy resolution over the batch's ids — bounded driver work
+    val inBatchPairs = Dedup.lshPairsFromSigs(
+        sigs.select(col("doc_id"), col("sig")), threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val batchIds = sigs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val kept = scala.collection.mutable.LinkedHashSet[Long]()
+    batchIds.foreach { id =>
+      val dupsEarlierKept = inBatchPairs.getOrElse(id, Set.empty).exists(kept.contains)
+      if (!dupOfCorpus.contains(id) && !dupsEarlierKept) kept += id
+    }
+    if (kept.isEmpty) return
+    val keptDf = sigs.filter(col("doc_id").isInCollection(kept))
+
+    // IVF refresh: seeds = first nCells survivors globally; rebuild the
+    // whole assignment only while the seed set is still forming
+    val priorCount = existing.map(_.count()).getOrElse(0L)
+    val seedsChanged = priorCount < nCells
+    val allSurvivors = existing match {
+      case Some(c) if !seedsChanged =>
+        val cents = c.orderBy(col("doc_id")).limit(nCells)
+          .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+        val assigned = assignCells(keptDf, cents)
+        assigned.write.mode("append").parquet(corpusPath(stateDir))
+        return
+      case Some(c) => c.select(col("doc_id"), col("sig"), col("emb"), col("nrm"))
+        .unionByName(keptDf)
+      case None => keptDf
+    }
+    val allChk = allSurvivors.localCheckpoint()
+    val cents = allChk.orderBy(col("doc_id")).limit(nCells)
+      .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val rebuilt = assignCells(allChk, cents).localCheckpoint()
+    rebuilt.write.mode("overwrite").parquet(corpusPath(stateDir))
+  }
+
+  /** Nearest-centroid assignment (cosine, ties to low seed id) — the
+    * `ivfTopK` coarse-quantizer contract.
+    */
+  private def assignCells(docs: DataFrame, cents: DataFrame): DataFrame =
+    docs.join(broadcast(cents))
+      .select(col("doc_id"), col("sig"), col("emb"), col("nrm"), col("cell_seed"),
+        cosineRFromNorms(col("emb"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c_cos").desc, col("cell_seed").asc)))
+      .filter(col("crk") === 1)
+      .select(col("doc_id"), col("sig"), col("emb"), col("nrm"),
+        col("cell_seed").as("cell"))
+
+  /** Retrieval over the live index: probe the `nProbe` nearest cells per
+    * query, exact cosine inside the probed cells, deterministic top-k.
+    * `queries` = (query_id, q_emb double array).
+    */
+  def retrieve(spark: SparkSession, stateDir: String, queries: DataFrame,
+               k: Int = 3, nProbe: Int = 2, nCells: Int = 4): DataFrame = {
+    val corpus = loadCorpus(spark, stateDir)
+      .getOrElse(return spark.emptyDataFrame)
+    val q = queries.select(col("query_id"), col("q_emb"), norm(col("q_emb")).as("q_nrm"))
+    val cents = corpus.orderBy(col("doc_id")).limit(nCells)
+      .select(col("doc_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val probes = q.join(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        cosineRFromNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cell").asc)))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    corpus
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        cosineRFromNorms(col("q_emb"), col("emb"), col("q_nrm"), col("nrm")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
+  /** The streaming wrapper: one `foreachBatch` query running the full
+    * ingest → dedup → index-refresh chain per micro-batch. Checkpointed;
+    * sinks are idempotent per unique doc_id set (replayed batches re-drop
+    * the same duplicates and re-append nothing new only if ids repeat —
+    * exactly-once corpus contents under Spark's at-least-once replay,
+    * the `WarehouseJob` discipline).
+    */
+  def start(stream: DataFrame, stateDir: String, checkpointDir: String,
+            threshold: Double = 0.5, nCells: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        processBatch(df.sparkSession, df, stateDir, threshold, nCells)
+      }
+      .start()
+}

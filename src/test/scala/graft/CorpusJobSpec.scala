@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusJob
+import graft.streaming.CorpusJob.CorpusDoc
+
+/** The e2e streaming-composition proof (round-9 stretch): stream ingest →
+  * incremental MinHash dedup → IVF index refresh → retrieval, run once as
+  * a single batch (the oracle) and once chopped into micro-batches
+  * through the real `foreachBatch` query — identical survivors, identical
+  * index, identical retrieval top-k. Plus a planted bite: injected
+  * near-duplicates (same text + one token, across AND within batches)
+  * must be dropped.
+  */
+class CorpusJobSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def loadDocs(n: Int): Seq[CorpusDoc] = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+    docs.join(embs, "doc_id").orderBy("doc_id").limit(n)
+      .as[(Long, String, Seq[Float])].collect().toSeq
+      .map { case (id, t, e) => CorpusDoc(id, t, e) }
+  }
+
+  private def survivors(stateDir: String): Set[Long] =
+    spark.read.parquet(s"$stateDir/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  private def queriesDf = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+  }
+
+  test("streaming corpus pipeline == one-batch run (dedup + IVF + retrieval)") {
+    val base = loadDocs(100)
+    val maxId = base.map(_.doc_id).max
+    // planted near-dups: one duplicating a doc from an EARLIER chunk
+    // (cross-batch, must hit the corpus store) and one duplicating a doc
+    // of its OWN chunk (in-batch, must hit the greedy prefix rule)
+    val crossDup = CorpusDoc(maxId + 1, base(10).text + " extratok",
+      base(10).embedding.map(_ + 0.001f))
+    val inBatchDup = CorpusDoc(maxId + 2, base(95).text + " othertok",
+      base(95).embedding.map(_ + 0.001f))
+    val all = base ++ Seq(crossDup, inBatchDup)
+
+    val oneDir = java.nio.file.Files.createTempDirectory("corpus_one").toString
+    CorpusJob.processBatch(spark, all.toDF(), oneDir)
+    val oneSurv = survivors(oneDir)
+    val oneTop = CorpusJob.retrieve(spark, oneDir, queriesDf)
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("corpus_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("corpus_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[CorpusDoc]
+    val q = CorpusJob.start(in.toDF(), streamDir, ckpt)
+    try {
+      // 4 chunks in id order; the last carries both planted dups
+      all.grouped(30).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val streamSurv = survivors(streamDir)
+    val streamTop = CorpusJob.retrieve(spark, streamDir, queriesDf)
+      .collect().map(_.toSeq).toSet
+
+    assert(streamSurv == oneSurv,
+      s"survivor drift: stream-only=${streamSurv -- oneSurv} one-only=${oneSurv -- streamSurv}")
+    assert(oneSurv.nonEmpty && oneSurv.size < all.size)
+    // planted bites: both injected near-duplicates dropped, originals kept
+    assert(!streamSurv.contains(crossDup.doc_id) && !streamSurv.contains(inBatchDup.doc_id))
+    assert(streamSurv.contains(base(10).doc_id) && streamSurv.contains(base(95).doc_id))
+    // identical live index → identical retrieval
+    assert(streamTop == oneTop)
+    assert(streamTop.map(_.head).map(_.asInstanceOf[Long]).toSet == Set(0L, 1L, 2L),
+      "every query returned rows")
+    assert(streamTop.size == 9, s"expected 3 queries x k=3, got ${streamTop.size}")
+  }
+
+  test("replayed micro-batch leaves the corpus unchanged (idempotent ingest)") {
+    val docs = loadDocs(40)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_idem").toString
+    CorpusJob.processBatch(spark, docs.toDF(), dir)
+    val first = survivors(dir)
+    CorpusJob.processBatch(spark, docs.toDF(), dir) // at-least-once replay
+    assert(survivors(dir) == first,
+      "replaying the same batch must re-drop every document as a corpus duplicate")
+  }
+}
