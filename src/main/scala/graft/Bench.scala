@@ -175,7 +175,9 @@ object Bench {
     spark.stop()
     // nothing after this print: it must be the last stdout line, and it must
     // fit the driver's 2000-char tail capture whole
-    val driverLine = line(headlineResults, fmt, "")
+    // ONLY-mode profiles arbitrary queries, most outside the headline set —
+    // print the actual isolated results, or the run is silent about them
+    val driverLine = line(if (only.isDefined) results else headlineResults, fmt, "")
     require(driverLine.length < 1950,
       s"driver line ${driverLine.length} chars would be tail-truncated")
     println(driverLine)

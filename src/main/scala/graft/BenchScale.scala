@@ -76,6 +76,9 @@ object BenchScale {
     val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "ngram_prefix"        -> (() => pipeline.Dedup.ngramJaccardPrefixFrom(scaledDocs)),
       "ngram_exhaustive"    -> (() => pipeline.Dedup.ngramJaccardExhaustiveFrom(scaledDocs)),
+      // the dispatcher should pick prefix under linear blocks and
+      // exhaustive under quadratic blowup — gated below, not assumed
+      "ngram_adaptive"      -> (() => pipeline.Dedup.ngramJaccardAdaptiveFrom(scaledDocs)),
       "containment_prefix"  -> (() => pipeline.Dedup.bagOverlapPrefixFrom(scaledDocs)),
       "containment_exhaustive" -> (() => pipeline.Dedup.bagOverlapFrom(scaledDocs)))
 
@@ -129,11 +132,29 @@ object BenchScale {
       pipeline.Dedup.bagOverlapPrefixFrom(scaledDocs),
       pipeline.Dedup.bagOverlapFrom(scaledDocs))
 
+    val adaptiveRoute = pipeline.Dedup.lastAdaptiveRoute
+    val (adExh, adPre) = pipeline.Dedup.lastAdaptiveEstimates
+    // dispatcher tripwire: the route was chosen from candidate-volume
+    // estimates BEFORE timing — fail only when the choice measured ≥2×
+    // slower than the alternative (reps=1 same-plan noise alone reaches
+    // ~1.5×, so a tighter bound would gate on rig weather; a cost model
+    // whose verdict inverts a 2× reality is broken, not unlucky).
+    // History note: the round-5 "quadratic regime → exhaustive wins"
+    // crossover no longer exists — the in-row vocab prefix slice and the
+    // skinny candidate join have made prefix the measured winner in BOTH
+    // regimes — so the gate checks the measurement, not a remembered map.
+    val tPrefix = times.toMap.apply("ngram_prefix")
+    val tExhaustive = times.toMap.apply("ngram_exhaustive")
+    val (tChosen, tOther) =
+      if (adaptiveRoute == "prefix") (tPrefix, tExhaustive) else (tExhaustive, tPrefix)
+    val routeOk = tChosen <= 2.0 * tOther
     val json = {
       val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"scale_sweep","regime":"$regime","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
         s""""times_sec":$ts,"jaccard_pairs":$jaccardPairs,"containment_pairs":$containPairs,""" +
-        s""""jaccard_pairs_equal":$jaccardEqual,"containment_pairs_equal":$containEqual}"""
+        s""""jaccard_pairs_equal":$jaccardEqual,"containment_pairs_equal":$containEqual,""" +
+        s""""adaptive_route":"$adaptiveRoute","adaptive_est_pairs":{"exhaustive":$adExh,"prefix":$adPre},""" +
+        s""""adaptive_route_within_2x":$routeOk}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_SCALE_$regime.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -142,5 +163,10 @@ object BenchScale {
     // after the print (driver tail-capture still sees the record): an
     // uncaught throw here exits the JVM nonzero
     enforcePairEquality(jaccardEqual, containEqual)
+    if (!routeOk)
+      throw new IllegalStateException(
+        s"adaptive dispatcher routed '$adaptiveRoute' ($tChosen s) against a ≥2× " +
+          s"faster alternative ($tOther s) in the $regime regime: the candidate " +
+          "estimates are mis-modeling the corpus — artifact written but INVALID")
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep for the triangle/clustering-coefficient operator — the
+  * registry's single most expensive query (`graph_triangles`, ~13 s at
+  * sf0.1) and the one whose cost model (degree-oriented wedge join,
+  * O(√|E|) fan-out bound) most needs 10× evidence: a wedge join that
+  * silently went quadratic would still pass the sf0.01 oracle.
+  *
+  * Construction: f disjoint key-shifted replicas of `lineitem` (orderkey
+  * and partkey both shifted, so replica graphs share no vertices and no
+  * orders). A uniform id shift preserves the (degree, id) orientation
+  * order within each replica, so every replica's triangle structure is
+  * bit-identical to the base — the output MUST satisfy exact ×factor
+  * relations: result rows (parts), total triangle count, and the whole
+  * per-(degree, tri_ct, clust_coeff) histogram all scale by the factor.
+  * The histogram gate subsumes the scalar ones but the scalars are
+  * recorded for the artifact's readability.
+  *
+  * The scaled input is WRITTEN AS PARQUET and read through the same
+  * dir-based entry point as production (full scan-to-result timing).
+  * Artifact first, nonzero exit on any gate violation (the `BenchScale`
+  * contract), so timings from an invalid run cannot be cited.
+  *
+  * Writes `BENCH_SCALE_graph.json`; prints the JSON as the last line.
+  */
+object BenchScaleGraph {
+
+  private def exec(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
+  private def drop(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val spark = GraftSession.get()
+    val SHIFT = 1000000000L
+
+    val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_graph").toString
+    val base = Tables.table(spark, sfDir, "lineitem")
+    (0 until factor).map { i =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(i * SHIFT))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * SHIFT))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
+
+    val mk = SparkEntry.queries("graph_triangles")
+
+    // warm codegen/JIT off the clock
+    try { exec(mk(spark, sfDir).limit(1)); () } catch { case _: Throwable => }
+    drop(spark)
+
+    def timed(dir: String): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        exec(mk(spark, dir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        drop(spark)
+        dt
+      }.min
+
+    val baseSec = timed(sfDir)
+    val scaledSec = timed(scaledDir)
+
+    // ---- exact ×factor gates, off the timed path ------------------------
+    // per-(degree, tri_ct, clust_coeff) histogram: each cell's part count
+    // must scale exactly; clust_coeff is derived from (d, tri) so including
+    // it gates the coefficient arithmetic too
+    def hist(dir: String): Map[(Long, Long, Double), Long] =
+      mk(spark, dir).groupBy(col("degree"), col("tri_ct"), col("clust_coeff"))
+        .agg(count(lit(1)).as("ct")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> r.getLong(3)).toMap
+    val hb = hist(sfDir)
+    val hs = hist(scaledDir)
+    val histExact = hb.nonEmpty && hs.keySet == hb.keySet &&
+      hb.forall { case (k, v) => hs(k) == factor * v }
+    val rowsB = hb.values.sum
+    val rowsS = hs.values.sum
+    val trisB = hb.map { case ((_, t, _), ct) => t * ct }.sum / 3
+    val trisS = hs.map { case ((_, t, _), ct) => t * ct }.sum / 3
+
+    val json =
+      s"""{"metric":"scale_sweep_graph","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
+        s""""times":{"graph_triangles":{"base_sec":$baseSec,"scaled_sec":$scaledSec}},""" +
+        s""""rows":{"base":$rowsB,"scaled":$rowsS},""" +
+        s""""triangles":{"base":$trisB,"scaled":$trisS},""" +
+        s""""hist_cells":${hb.size},"hist_exact_multiple":$histExact}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
+    if (!histExact) throw new IllegalStateException(
+      s"graph sweep invalid: (degree, tri_ct, coeff) histogram not an exact ×$factor" +
+        s" multiple (base ${hb.size} cells / $rowsB rows, scaled ${hs.size} / $rowsS)" +
+        " — artifact written but timings must not be cited")
+  }
+}

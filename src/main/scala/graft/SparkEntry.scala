@@ -183,6 +183,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_prefix"   -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
+    "dedup_ngram_adaptive" -> ((s, d) => Dedup.ngramJaccardAdaptive(s, d)),
     "dedup_passage_strip"  -> ((s, d) => Dedup.passageDedupStrip(s, d)),
     "dedup_jaccard_knn"    -> ((s, d) => Dedup.jaccardKnn(s, d)),
     "dedup_threshold_hist" -> ((s, d) => Dedup.thresholdHist(s, d)),
@@ -2291,6 +2292,10 @@ FROM pairs WHERE len(list_filter(range(0, 32), i -> ((xor(sa, sb) >> i) & 1) = 1
     // the prefix-filtered join must produce the IDENTICAL pair set — same
     // oracle, independently gated
     "dedup_ngram_prefix" -> OracleNgramJaccard,
+
+    // the cost-based dispatcher returns one of the two gated renderings —
+    // same oracle again, so whichever route the data picks is verified
+    "dedup_ngram_adaptive" -> OracleNgramJaccard,
 
     "dedup_passage_strip" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -121,6 +121,21 @@ object Scale {
   val PrefixCrossoverConf = "spark.graft.prefixCrossoverBytes"
   val PrefixCrossoverDefault: Long = 2L << 20
 
+  /** Pruning-power bound for the adaptive Jaccard dispatcher
+    * (`Dedup.ngramJaccardAdaptiveFrom`): when the prefix rendering's
+    * estimated candidate-pair volume is at least this fraction of the
+    * exhaustive rendering's, prefix filtering cannot pay for its extra
+    * stages and the dispatcher routes to the exhaustive token join.
+    * A fully unprunable corpus keeps ~all candidates (ratio → 1); the
+    * recorded corpora keep well under half even in the quadratic
+    * block-blowup regime (where prefix now measures faster too — see
+    * `BENCH_SCALE_quadratic.json`), so 0.5 routes exhaustive only when
+    * pruning has genuinely collapsed. The sweep trips nonzero if the
+    * chosen route measures ≥2× slower than the alternative.
+    */
+  val AdaptivePruneRatioConf = "spark.graft.dedup.adaptivePruneRatio"
+  val AdaptivePruneRatioDefault: Double = 0.5
+
   /** The 100 TB configuration as ONE switch (README "Scale mode"):
     * `spark.graft.scaleMode=true` — settable here, per session, or via
     * `spark-submit --conf` — turns on every sketch rewrite at once

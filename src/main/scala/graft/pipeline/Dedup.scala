@@ -788,6 +788,79 @@ object Dedup {
     // no spread: bagTable hash-partitions by doc_id itself
     ngramJaccardPrefixFrom(documents(spark, dir), threshold)
 
+  /** Route taken by the last `ngramJaccardAdaptiveFrom` call ("prefix",
+    * "exhaustive", or "exhaustive_toy") — decision observability for
+    * specs and the scale sweep, the `lastClusterIterations` convention.
+    */
+  @volatile var lastAdaptiveRoute: String = ""
+
+  /** (exhaustive, prefix) candidate-pair estimates behind the last route
+    * decision — recorded into the sweep artifact so the cost model is
+    * auditable, not just its verdict.
+    */
+  @volatile var lastAdaptiveEstimates: (Double, Double) = (0.0, 0.0)
+
+  def ngramJaccardAdaptive(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame =
+    ngramJaccardAdaptiveFrom(documents(spark, dir), threshold)
+
+  /** Cost-based dispatch between the two proven-identical Jaccard pair
+    * renderings. A corpus where every block grows with the corpus (an
+    * all-near-dup ingest, a uniform tiny vocabulary) leaves the prefix
+    * filter little to prune, and its extra stages stop paying — the
+    * round-5 quadratic sweep measured exhaustive winning 2× there. The
+    * prefix improvements since (in-row vocab df slice, skinny candidate
+    * join) have made prefix the measured winner in BOTH recorded regimes
+    * (quadratic is now prefix 53 s vs exhaustive 100 s), but the
+    * structural regime is real — pruning power is a property of the
+    * INGEST, and input BYTES cannot see it. So the dispatcher decides
+    * from the candidate-pair volume each plan would shuffle: exact
+    * block-count sums (Σ n·(n−1)/2 over (source, token) blocks, the
+    * pre-length-band candidate counts — the band prunes both plans
+    * alike, so it cancels in the ratio), one cheap aggregate each — the
+    * exhaustive estimate over the full bag, the prefix estimate over the
+    * PPJoin prefix rows the prefix plan would actually join. If the
+    * prefix keeps ≥ `Scale.AdaptivePruneRatio` (default 0.5) of the
+    * exhaustive candidates, route exhaustive; otherwise prefix. Decision
+    * cost is two scalar aggregates over the checkpointed bag table the
+    * prefix route then reuses — noise next to either candidate join at
+    * corpus scale, and the plan is chosen by the data instead of by a
+    * configuration guess. `BenchScale` trips nonzero if the chosen route
+    * ever measures ≥2× slower than the alternative.
+    */
+  def ngramJaccardAdaptiveFrom(docsIn: DataFrame, threshold: Double = 0.5): DataFrame = {
+    if (belowPrefixCrossover(docsIn)) {
+      lastAdaptiveRoute = "exhaustive_toy"
+      return ngramJaccardExhaustiveFrom(spread(docsIn.sparkSession, docsIn), threshold)
+    }
+    val pruneT = threshold - 1e-6 // see prefixPairsFromBase: round(J,6) slack
+    val base = bagTable(docsIn)
+    // Σ C(n,2) over (source, tok) blocks as double: the ratio is what
+    // decides, and a double sum cannot overflow where a corpus-scale
+    // block count could push a long past 2⁶³
+    def candPairs(rows: DataFrame): Double =
+      rows.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum((col("n") * (col("n") - lit(1L)) / lit(2.0))
+          .cast("double")), lit(0.0)).as("c"))
+        .collect()(0).getDouble(0)
+    val exhaustiveEst = candPairs(
+      base.select(col("source"), explode(col("bag")).as("b"))
+        .select(col("source"), col("b.tok").as("tok")))
+    val prefixEst = candPairs(
+      prefixProbe(base, pruneT).select(col("source"), col("tok")))
+    val ratio = docsIn.sparkSession.conf
+      .get(graft.operators.Scale.AdaptivePruneRatioConf,
+        graft.operators.Scale.AdaptivePruneRatioDefault.toString).toDouble
+    lastAdaptiveEstimates = (exhaustiveEst, prefixEst)
+    if (prefixEst >= ratio * exhaustiveEst) {
+      lastAdaptiveRoute = "exhaustive"
+      ngramJaccardExhaustiveFrom(spread(docsIn.sparkSession, docsIn), threshold)
+    } else {
+      lastAdaptiveRoute = "prefix"
+      prefixPairsFromBase(base, threshold)
+    }
+  }
+
   /** Exact threshold-kNN over token-bag Jaccard: for every document, its
     * top-`k` most similar neighbors among pairs with similarity ≥
     * `threshold` — the "find me this document's near-duplicates, ranked"
@@ -931,13 +1004,20 @@ object Dedup {
     // exhaustive tokenize stage must still run on all cores)
     if (belowPrefixCrossover(docsIn))
       return ngramJaccardExhaustiveFrom(spread(docsIn.sparkSession, docsIn), threshold)
-    val spark = docsIn.sparkSession
+    prefixPairsFromBase(bagTable(docsIn), threshold)
+  }
+
+  /** The prefix rendering's body after bag construction — split out so the
+    * adaptive dispatcher can reuse ITS bag table instead of building a
+    * second one.
+    */
+  private def prefixPairsFromBase(base: DataFrame, threshold: Double): DataFrame = {
+    val spark = base.sparkSession
     // The final filter (and the oracle) gate on round(J, 6), which admits
     // J down to threshold - 5e-7 — every PRUNING bound must therefore use
     // the slackened threshold or boundary pairs the oracle kept would be
     // dropped before verification.
     val pruneT = threshold - 1e-6
-    val base = bagTable(docsIn)
     val probe = prefixProbe(base, pruneT)
     // skinny candidate join → map-side-collapsed pair dedup (a doc's
     // candidate rows are physically clustered by bagTable's partitioning,
