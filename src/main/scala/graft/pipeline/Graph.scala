@@ -131,12 +131,24 @@ object Graph {
     val wedges = o1.as("w1").join(o1.as("w2"),
         col("w1.src") === col("w2.src") && col("w1.rkd") < col("w2.rkd"))
       .select(col("w1.src").as("u"), col("w1.dst").as("v"), col("w2.dst").as("w"))
-    val tris = wedges.join(oriented,
+    // closing-edge probe: the build side is the ORIENTED EDGE SET (|E|
+    // rows of two longs — 19 MB at sf0.1), the stream side the wedge
+    // fan-out (34× larger here; only ~4.6% close). Measured-broadcast the
+    // edges so the wedge table is NEVER exchanged or sorted — checkpointed
+    // frames keep their inflated origin estimates (SPARK-39748), so the
+    // byte gate must measure, not trust stats; past the gate this degrades
+    // to the SMJ it must be at 100 TB
+    val tris = wedges.join(
+        graft.operators.Scale.maybeBroadcastMeasured(oriented),
         col("v") === col("src") && col("w") === col("dst"))
       .select(col("u"), col("v"), col("w"))
-    val triPerV = tris.select(col("u").as("x"))
-      .unionAll(tris.select(col("v").as("x")))
-      .unionAll(tris.select(col("w").as("x")))
+    // ONE corner-exploding pass: a unionAll of three projections plans
+    // three INDEPENDENT branches — the whole wedge+closing enumeration
+    // executed 3× (read in the round-9 plan dump; ReusedExchange shares
+    // only the exchanges, not the join work). explode(array(...)) fans
+    // the materialized join output in-row instead
+    val triPerV = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("tri_ct"))
     deg.join(triPerV, col("v") === col("x"), "left_outer")
       .select(col("v").as("part_id"), col("d").as("degree"),

@@ -285,6 +285,8 @@ object Mining {
       .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
       .agg(count(lit(1)).as("pair_ct"))
       .filter(col("pair_ct") >= minSupport)
+      .localCheckpoint() // the a→b / b→a union projects this twice — without
+                         // materialization each branch re-runs the pair join
     val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("pair_ct"))
       .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("pair_ct")))
     rules
