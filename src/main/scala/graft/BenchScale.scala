@@ -88,6 +88,12 @@ object BenchScale {
     }
     drop(spark)
 
+    // snapshot the dispatcher's decision IMMEDIATELY after its timed run:
+    // the equality phase below re-runs the prefix/exhaustive builders, and
+    // reading the @volatile vars at gate time would record whatever the
+    // LAST builder call left there, not what the timed adaptive run chose
+    var adaptiveRoute = ""
+    var adaptiveEst = (0.0, 0.0)
     val times = variants.map { case (name, fn) =>
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -96,6 +102,10 @@ object BenchScale {
         drop(spark)
         dt
       }.min
+      if (name == "ngram_adaptive") {
+        adaptiveRoute = pipeline.Dedup.lastAdaptiveRoute
+        adaptiveEst = pipeline.Dedup.lastAdaptiveEstimates
+      }
       name -> t
     }
 
@@ -132,8 +142,7 @@ object BenchScale {
       pipeline.Dedup.bagOverlapPrefixFrom(scaledDocs),
       pipeline.Dedup.bagOverlapFrom(scaledDocs))
 
-    val adaptiveRoute = pipeline.Dedup.lastAdaptiveRoute
-    val (adExh, adPre) = pipeline.Dedup.lastAdaptiveEstimates
+    val (adExh, adPre) = adaptiveEst
     // dispatcher tripwire: the route was chosen from candidate-volume
     // estimates BEFORE timing — fail only when the choice measured ≥2×
     // slower than the alternative (reps=1 same-plan noise alone reaches
@@ -143,11 +152,18 @@ object BenchScale {
     // crossover no longer exists — the in-row vocab prefix slice and the
     // skinny candidate join have made prefix the measured winner in BOTH
     // regimes — so the gate checks the measurement, not a remembered map.
+    // "exhaustive_toy" (corpus below the prefix crossover, estimates never
+    // computed) has no alternative measurement to compare against: record
+    // the route verbatim, skip the gate.
     val tPrefix = times.toMap.apply("ngram_prefix")
     val tExhaustive = times.toMap.apply("ngram_exhaustive")
+    val routeOk = adaptiveRoute match {
+      case "exhaustive_toy" => true
+      case "prefix"         => tPrefix <= 2.0 * tExhaustive
+      case _                => tExhaustive <= 2.0 * tPrefix
+    }
     val (tChosen, tOther) =
       if (adaptiveRoute == "prefix") (tPrefix, tExhaustive) else (tExhaustive, tPrefix)
-    val routeOk = tChosen <= 2.0 * tOther
     val json = {
       val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"scale_sweep","regime":"$regime","sf":"$sfDir","factor":$factor,"reps":$reps,""" +

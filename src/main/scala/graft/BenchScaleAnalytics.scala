@@ -41,9 +41,35 @@ object BenchScaleAnalytics {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // a 10× leg AND a 100× leg by default: 10× can hide a log factor the
+    // brief's "survive a 100× scale-up" bar cares about; 100× of the sf0.1
+    // events table (~10M rows) is trivially in-RAM, so the only cost is
+    // wall-clock. SPARK_GRAFT_SCALE_FACTOR still pins a single leg.
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
+    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
+    val json =
+      s"""{"metric":"scale_sweep_analytics","sf":"$sfDir","reps":$reps,""" +
+        s""""factors":[${factors.mkString(",")}],""" +
+        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_analytics.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // after the print (driver tail-capture still sees the record): an
+    // uncaught throw here exits the JVM nonzero
+    legs.foreach(_._2.apply())
+  }
+
+  /** One factor leg: timings + exact ×factor gates. Returns the leg's JSON
+    * fragment and a deferred enforcement thunk (run after the artifact is
+    * written so an invalid run still leaves its flagged record).
+    */
+  private def runLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     factor: Int, reps: Int): (String, () => Unit) = {
 
     def replica(i: Int) =
       Tables.events(spark, sfDir).select(
@@ -106,23 +132,22 @@ object BenchScaleAnalytics {
     val timesJson = times.map { case (n, b, s) =>
       s""""$n":{"base_sec":$b,"scaled_sec":$s}"""
     }.mkString(",")
-    val json =
-      s"""{"metric":"scale_sweep_analytics","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
-        s""""times":{$timesJson},""" +
+    val legJson =
+      s""""x$factor":{"factor":$factor,"times":{$timesJson},""" +
         s""""base_hist_rows":$baseHist,"scaled_hist_rows":$scaledHist,""" +
-        s""""hist_exact_multiple":${scaledHist == factor * baseHist},""" +
+        s""""hist_exact_multiple":${scaledHist == factor.toLong * baseHist},""" +
         s""""funnel_exact_multiple":$funnelExact,""" +
         s""""cohort_cells_exact_multiple":$cohortExact,""" +
         s""""active_days_exact_multiple":$activeExact}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_analytics.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
-    println(json)
-    // after the print (driver tail-capture still sees the record): an
-    // uncaught throw here exits the JVM nonzero
-    enforce("scd2_history", baseHist, scaledHist, factor)
-    if (!funnelExact) throw new IllegalStateException("analytics sweep invalid: funnel counts not exact multiples")
-    if (!cohortExact) throw new IllegalStateException("analytics sweep invalid: cohort cells not exact multiples")
-    if (!activeExact) throw new IllegalStateException("analytics sweep invalid: per-day actives not exact multiples")
+    val enforceLeg = () => {
+      enforce("scd2_history", baseHist, scaledHist, factor)
+      if (!funnelExact) throw new IllegalStateException(
+        s"analytics sweep invalid at x$factor: funnel counts not exact multiples")
+      if (!cohortExact) throw new IllegalStateException(
+        s"analytics sweep invalid at x$factor: cohort cells not exact multiples")
+      if (!activeExact) throw new IllegalStateException(
+        s"analytics sweep invalid at x$factor: per-day actives not exact multiples")
+    }
+    (legJson, enforceLeg)
   }
 }

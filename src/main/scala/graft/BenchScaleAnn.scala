@@ -230,6 +230,21 @@ object BenchScaleAnn {
       .toMap
     drop(spark)
 
+    // adversarial-ceiling probe (round-10 stretch): the tuned points sit
+    // at 0.58–0.62 recall on this near-random corpus (planted = 1.0). Does
+    // codebook CAPACITY move that — ks=64/256 with 6 Lloyd rounds instead
+    // of 16/2 — or is the ceiling the corpus's zero-margin geometry?
+    // Recorded, not gated: whichever way it lands, the grid closes the
+    // question so nobody re-chases it (COVERAGE.md cites this artifact).
+    val ceilingGrid = Seq(("ks64_i6", 64, 6), ("ks256_i6", 256, 6))
+      .map { case (lbl, ks, it) =>
+        val r = (brute intersect pairSet(pipeline.Similarity.pqTopKFrom(
+          scaledVecs, m = 32, ks = ks, iters = it, rerankDepth = 50))).size.toDouble /
+          brute.size.max(1)
+        drop(spark)
+        lbl -> r
+      }
+
     val json = {
       val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val tl = timesLoaded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -243,6 +258,7 @@ object BenchScaleAnn {
         s""""planted_recall":$pc,"planted_brute_pairs":${pBrute.size},""" +
         s""""planted_same_group_frac":$sameGroupFrac,""" +
         s""""planted_floors":{"lsh_mt":0.8,"pq_t":0.8,"ivfpq_t":0.8},""" +
+        s""""pq_ceiling_grid":${ceilingGrid.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")},""" +
         s""""jl_depth":$jlDepth,"jl_touch":${jlDepth.toDouble / (baseCount * factor)}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_ann.json"),

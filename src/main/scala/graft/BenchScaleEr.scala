@@ -43,7 +43,7 @@ object BenchScaleEr {
     val spark = GraftSession.get()
     val SHIFT = 1000000000L
 
-    val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_er").toString
+    val scaledDir = SweepTmp.dir("graft_sweep_er")
     val base = Tables.table(spark, sfDir, "customer")
     (0 until factor).map { i =>
       base.withColumn("c_custkey", col("c_custkey") + lit(i * SHIFT))

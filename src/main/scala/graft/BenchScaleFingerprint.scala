@@ -91,6 +91,20 @@ object BenchScaleFingerprint {
     val (pmS, pmScaled) = timed(pipeline.Multimodal.phashPairsFrom(ids(factor), 3, 16))
     val (amB, amBase) = timed(pipeline.Multimodal.afpPairsFrom(ids(1), 1, 16))
     val (amS, amScaled) = timed(pipeline.Multimodal.afpPairsFrom(ids(factor), 1, 16))
+    // probed-MIH: SAME radius as the byte-block forms (1-bit probe
+    // expansion keeps pigeonhole recall exact) — the scale-path twin the
+    // adaptive dispatcher routes to, gated pair-set EQUAL below
+    val (ppS, ppScaled) = timed(pipeline.Multimodal.phashPairsProbedFrom(ids(factor)))
+    val (apS, apScaled) = timed(pipeline.Multimodal.afpPairsProbedFrom(ids(factor)))
+    // the dispatcher itself at the scaled operating point: estimates are
+    // snapshotted IMMEDIATELY after the timed run (any later builder call
+    // could overwrite the @volatile observability vars)
+    val (padS, _) = timed(pipeline.Multimodal.phashPairsAdaptiveFrom(ids(factor)))
+    val phRoute = pipeline.Multimodal.lastFingerprintRoute
+    val (phByteCost, phMihCost) = pipeline.Multimodal.lastFingerprintEstimates
+    val (aadS, _) = timed(pipeline.Multimodal.afpPairsAdaptiveFrom(ids(factor)))
+    val afRoute = pipeline.Multimodal.lastFingerprintRoute
+    val (afByteCost, afMihCost) = pipeline.Multimodal.lastFingerprintEstimates
 
     def cross(ps: Seq[(Long, Long, Long)]) = ps.count(p => p._1 / Shift != p._2 / Shift)
     def leg(n: String, b: Double, s: Double, bp: Seq[(Long, Long, Long)],
@@ -102,7 +116,13 @@ object BenchScaleFingerprint {
         leg("phash", phB, phS, phBase, phScaled) + "," +
         leg("afp", afB, afS, afBase, afScaled) + "," +
         leg("phash_mih", pmB, pmS, pmBase, pmScaled) + "," +
-        leg("afp_mih", amB, amS, amBase, amScaled) + "}"
+        leg("afp_mih", amB, amS, amBase, amScaled) + "," +
+        s""""phash_probed":{"scaled_sec":$ppS,"scaled_pairs":${ppScaled.size}},""" +
+        s""""afp_probed":{"scaled_sec":$apS,"scaled_pairs":${apScaled.size}},""" +
+        s""""phash_adaptive":{"scaled_sec":$padS,"route":"$phRoute",""" +
+        s""""est_cost":{"byte_block":$phByteCost,"mih_probed":$phMihCost}},""" +
+        s""""afp_adaptive":{"scaled_sec":$aadS,"route":"$afRoute",""" +
+        s""""est_cost":{"byte_block":$afByteCost,"mih_probed":$afMihCost}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_fingerprint.json"),
       json.getBytes("UTF-8"))
     println(json)
@@ -125,5 +145,27 @@ object BenchScaleFingerprint {
     if (pmS >= phS || amS >= afS)
       throw new IllegalStateException(
         s"fingerprint sweep invalid: mih not faster at ${factor}× (phash $pmS vs $phS, afp $amS vs $afS)")
+    // probed-MIH is a same-radius rendering: its pair set must EQUAL the
+    // byte-block one (not just ⊆ like the tighter-radius mih forms)
+    if (ppScaled.map(p => (p._1, p._2)).toSet != phScaled.map(p => (p._1, p._2)).toSet)
+      throw new IllegalStateException("fingerprint sweep invalid: phash_probed != phash")
+    if (apScaled.map(p => (p._1, p._2)).toSet != afScaled.map(p => (p._1, p._2)).toSet)
+      throw new IllegalStateException("fingerprint sweep invalid: afp_probed != afp")
+    // dispatcher tripwire (the ngram_adaptive discipline): the chosen route
+    // must not measure ≥2× slower than the alternative at this operating
+    // point — reps=1 same-plan noise reaches ~1.5×, so 2× is the bound
+    // that flags a broken cost model rather than rig weather
+    def routeGate(name: String, route: String, tByte: Double, tProbed: Double): Unit = {
+      val ok = route match {
+        case "mih_probed" => tProbed <= 2.0 * tByte
+        case _            => tByte <= 2.0 * tProbed
+      }
+      if (!ok)
+        throw new IllegalStateException(
+          s"fingerprint sweep invalid: $name adaptive routed '$route' against a ≥2× " +
+            s"faster alternative (byte_block $tByte s, mih_probed $tProbed s)")
+    }
+    routeGate("phash", phRoute, phS, ppS)
+    routeGate("afp", afRoute, afS, apS)
   }
 }

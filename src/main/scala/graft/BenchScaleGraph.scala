@@ -42,7 +42,7 @@ object BenchScaleGraph {
     val spark = GraftSession.get()
     val SHIFT = 1000000000L
 
-    val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_graph").toString
+    val scaledDir = SweepTmp.dir("graft_sweep_graph")
     val base = Tables.table(spark, sfDir, "lineitem")
     (0 until factor).map { i =>
       base.withColumn("l_orderkey", col("l_orderkey") + lit(i * SHIFT))

@@ -46,7 +46,7 @@ object BenchScaleRelational {
     val SHIFT = 1000000000L
 
     // ---- build the scaled dir: f disjoint key-shifted replicas ----------
-    val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_rel").toString
+    val scaledDir = SweepTmp.dir("graft_sweep_rel")
     def shifted(name: String, keyCols: Seq[String]): Unit = {
       val t = Tables.table(spark, sfDir, name)
       val reps = (0 until factor).map { i =>

@@ -52,7 +52,7 @@ object BenchScaleSketch {
     val spark = GraftSession.get()
     val SHIFT = 1000000000L
 
-    val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_sketch").toString
+    val scaledDir = SweepTmp.dir("graft_sweep_sketch")
     try {
       def shifted(name: String, keyCols: Seq[String]): Unit = {
         val t = Tables.table(spark, sfDir, name)

@@ -43,9 +43,33 @@ object BenchScaleSubstr {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // 10× AND 100× legs by default (see BenchScaleAnalytics): the 100× leg
+    // catches log factors a 10× sweep can hide. SPARK_GRAFT_SCALE_FACTOR
+    // still pins a single leg.
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
+    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
+    val json =
+      s"""{"metric":"scale_sweep_substr","sf":"$sfDir","reps":$reps,""" +
+        s""""factors":[${factors.mkString(",")}],""" +
+        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_substr.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // after the print (driver tail-capture still sees the record): an
+    // uncaught throw here exits the JVM nonzero
+    legs.foreach(_._2.apply())
+  }
+
+  /** One factor leg: span + passage timings and exact ×factor gates; the
+    * enforcement is deferred so the artifact lands before any throw.
+    */
+  private def runLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     factor: Int, reps: Int): (String, () => Unit) = {
 
     // replica i: ids shifted past any real id; every token salted with
     // "ri" so gram hashes never collide across replicas
@@ -100,25 +124,22 @@ object BenchScaleSubstr {
     val passageExact = psDocs == factor * pbDocs && psPass == factor * pbPass &&
       psKept == factor * pbKept && pbKept > 0
 
-    val json =
-      s"""{"metric":"scale_sweep_substr","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
+    val legJson =
+      s""""x$factor":{"factor":$factor,""" +
         s""""base_sec":$baseSec,"scaled_sec":$scaledSec,""" +
         s""""base_spans":$baseSpans,"scaled_spans":$scaledSpans,""" +
-        s""""spans_exact_multiple":${scaledSpans == factor * baseSpans},""" +
+        s""""spans_exact_multiple":${scaledSpans == factor.toLong * baseSpans},""" +
         s""""passage":{"base_sec":$pBaseSec,"scaled_sec":$pScaledSec,""" +
         s""""base_docs":$pbDocs,"base_passages":$pbPass,"base_kept":$pbKept,""" +
         s""""scaled_docs":$psDocs,"scaled_passages":$psPass,"scaled_kept":$psKept,""" +
         s""""exact_multiple":$passageExact}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_substr.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
-    println(json)
-    // after the print (driver tail-capture still sees the record): an
-    // uncaught throw here exits the JVM nonzero
-    enforce(baseSpans, scaledSpans, factor)
-    if (!passageExact)
-      throw new IllegalStateException(
-        s"passage sweep invalid: docs $pbDocs→$psDocs passages $pbPass→$psPass " +
-          s"kept $pbKept→$psKept factor=$factor — timings must not be cited")
+    val enforceLeg = () => {
+      enforce(baseSpans, scaledSpans, factor)
+      if (!passageExact)
+        throw new IllegalStateException(
+          s"passage sweep invalid: docs $pbDocs→$psDocs passages $pbPass→$psPass " +
+            s"kept $pbKept→$psKept factor=$factor — timings must not be cited")
+    }
+    (legJson, enforceLeg)
   }
 }

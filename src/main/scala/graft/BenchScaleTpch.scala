@@ -42,7 +42,7 @@ object BenchScaleTpch {
     val spark = GraftSession.get()
     val SHIFT = 1000000000L
 
-    val scaledDir = java.nio.file.Files.createTempDirectory("graft_sweep_tpch").toString
+    val scaledDir = SweepTmp.dir("graft_sweep_tpch")
     try {
     def shifted(name: String, keyCols: Seq[String]): Unit = {
       val t = Tables.table(spark, sfDir, name)

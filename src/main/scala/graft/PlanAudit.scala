@@ -60,6 +60,32 @@ object PlanAudit {
     (p +: deeper) ++ p.subqueries.flatMap(collectAll)
   }
 
+  /** Number of SUBSTANTIVE predicates pushed into file scans: entries
+    * inside non-empty `PushedFilters: [...]` metadata lists, excluding
+    * `IsNotNull(...)` — Catalyst infers and pushes IsNotNull for every
+    * null-intolerant predicate even when the predicate itself stopped
+    * pushing (e.g. a cast on the column), so counting it would mask
+    * exactly the regression this gate exists to trip. The scan metadata
+    * line TRUNCATES past ~100 chars (trailing "..."), so the count is a
+    * lower bound — the gate below only needs ≥ 1. Exposed for the
+    * PlanAuditSpec probe that breaks pushdown on purpose.
+    */
+  def pushedFilterCount(plan: String): Int =
+    raw"PushedFilters: \[([^\]\n]+)".r.findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim)
+        .count(s => s.nonEmpty && s != "..." && !s.startsWith("IsNotNull(")))
+      .sum
+
+  /** Queries whose plan is a scan-bound filter — if their predicates ever
+    * stop reaching the parquet scan (e.g. a cast silently defeating
+    * pushdown), the 100 TB cost model breaks without any result changing.
+    * HARD-GATED to pushed_filters ≥ 1.
+    */
+  val MustPushFilters: Seq[String] = Seq(
+    "q6_forecast_revenue", "q19_disjunctive_rev", "q14_promo_share")
+  // q12_ship_lag is NOT in the list: this engine's q12 rendering buckets the
+  // whole join output (no source predicate), so it has nothing to push.
+
   /** Max `shuffle records written` across the query's SinglePartition
     * shuffles (0 when there are none) — the post-execution measure of how
     * much data actually funneled through a parallelism-1 stage.
@@ -105,7 +131,8 @@ object PlanAudit {
             "sp_max_rows" -> spRows,
             "cartesian" -> n("CartesianProduct").toLong,
             "bnlj" -> n("BroadcastNestedLoopJoin").toLong,
-            "codegen_spans" -> codegenIds.toLong)
+            "codegen_spans" -> codegenIds.toLong,
+            "pushed_filters" -> pushedFilterCount(plan).toLong)
         } catch {
           case e: Throwable =>
             System.err.println(s"[audit] $name failed: ${e.getMessage}")
@@ -123,6 +150,9 @@ object PlanAudit {
         n -> c("sp_max_rows")
     }
     val spTotal = rows.map(_._2.getOrElse("single_partition", 0L)).sum
+    val byName = rows.toMap
+    val pushdownOffenders = MustPushFilters.filter(n =>
+      byName.get(n).exists(c => !c.contains("failed") && c.getOrElse("pushed_filters", 0L) == 0L))
     def js(m: Map[String, Long]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
@@ -132,6 +162,8 @@ object PlanAudit {
         s""""single_partition_total":$spTotal,""" +
         s""""sp_max_rows_gate":$spMaxRows,""" +
         s""""sp_offenders":${spOffenders.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")},""" +
+        s""""pushdown_gate":${MustPushFilters.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""pushdown_offenders":${pushdownOffenders.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""per_query":${rows.map { case (k, v) => "\"" + k + "\":" + js(v) }.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("PLAN_AUDIT.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -150,5 +182,10 @@ object PlanAudit {
         s"plan audit: corpus-sized SinglePartition stage in " +
           spOffenders.map { case (n, v) => s"$n ($v rows)" }.mkString(", ") +
           s" — exceeds $spMaxRows rows; partition the window/sort or pre-aggregate")
+    if (pushdownOffenders.nonEmpty)
+      throw new IllegalStateException(
+        s"plan audit: scan-bound queries with ZERO pushed filters: " +
+          s"${pushdownOffenders.mkString(", ")} — a filter stopped reaching the " +
+          "parquet scan (check for casts/wrappers on the filter column)")
   }
 }

@@ -46,8 +46,12 @@ object SparkEntry {
     "a31_dow_profile"      -> ((s, d) => R.a31DowProfile(s, d)),
     "a23_value_bins"       -> ((s, d) => R.a23ValueBins(s, d)),
     "multimodal_frames"    -> ((s, d) => graft.pipeline.Multimodal.documentFrames(s, d)),
-    "multimodal_phash_pairs" -> ((s, d) => graft.pipeline.Multimodal.phashPairs(s, d)),
-    "multimodal_afp_pairs" -> ((s, d) => graft.pipeline.Multimodal.afpPairs(s, d)),
+    // cost-routed: byte-block vs probed-MIH, same radius-7/radius-2 answer
+    // either way (BenchScaleFingerprint trips if the route mis-measures)
+    "multimodal_phash_pairs" -> ((s, d) => graft.pipeline.Multimodal.phashPairsAdaptive(s, d)),
+    "multimodal_afp_pairs" -> ((s, d) => graft.pipeline.Multimodal.afpPairsAdaptive(s, d)),
+    "multimodal_phash_probed" -> ((s, d) => graft.pipeline.Multimodal.phashPairsProbed(s, d)),
+    "multimodal_afp_probed" -> ((s, d) => graft.pipeline.Multimodal.afpPairsProbed(s, d)),
     "multimodal_phash_mih" -> ((s, d) => graft.pipeline.Multimodal.phashPairsMih(s, d)),
     "multimodal_afp_mih"   -> ((s, d) => graft.pipeline.Multimodal.afpPairsMih(s, d)),
     "multimodal_phash_clusters" -> ((s, d) => graft.pipeline.Multimodal.phashClusters(s, d)),
@@ -2715,6 +2719,10 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
     // verified Hamming <= 7
     "multimodal_phash_pairs" -> (s"WITH $OraclePhashBits" + mihTailSql("pbit", "p", 8, 7)),
 
+    // probed-MIH rendering: 16-bit substrings + 1-bit probe expansion is
+    // EXACT at radius 7 (pigeonhole), so the oracle is the byte-block one
+    "multimodal_phash_probed" -> (s"WITH $OraclePhashBits" + mihTailSql("pbit", "p", 8, 7)),
+
     // the multi-index scale form: 4x16-bit substrings, radius 3
     "multimodal_phash_mih" -> (s"WITH $OraclePhashBits" + mihTailSql("pbit", "p", 16, 3)),
 
@@ -2723,6 +2731,9 @@ WHERE ${cosSql("a.emb", "b.emb", "a.nrm", "b.nrm")} >= 0.4""",
     // two nearest-resample floor maps (base->variant->256), 32 window
     // energies, circular delta bits, 4 hash bytes, verified Hamming <= 2
     "multimodal_afp_pairs" -> (s"WITH $OracleAfpBits" + mihTailSql("apb", "w", 8, 2)),
+
+    // probed-MIH rendering, exact at radius 2 — byte-block oracle again
+    "multimodal_afp_probed" -> (s"WITH $OracleAfpBits" + mihTailSql("apb", "w", 8, 2)),
 
     // audio multi-index scale form: 2x16-bit substrings, radius 1
     "multimodal_afp_mih" -> (s"WITH $OracleAfpBits" + mihTailSql("apb", "w", 16, 1)),

@@ -8,6 +8,17 @@ object Verify {
     val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     val spark = GraftSession.get() // one tuned session config for all mains
     new java.io.File(outDir).mkdirs()
+    // Corpus gate (ADVICE r9): graft_tokenize emits overlapping CJK bigrams
+    // for Han runs, but every DuckDB oracle tokenizes with the plain
+    // whitespace fold — the 200+ corpus oracles are only valid while
+    // documents.text carries no URO/ExtA characters. Assert that here, at
+    // gate time, over the gate's own corpus, instead of assuming it.
+    val hanDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text")
+        .rlike("[\\u3400-\\u4DBF\\u4E00-\\u9FFF]")).count()
+    require(hanDocs == 0L,
+      s"corpus gate: $hanDocs documents contain Han characters — the whitespace " +
+        "$TOKS oracle macro no longer matches graft_tokenize on this corpus")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -381,10 +381,17 @@ object Multimodal {
     * `blockBits` selects the substring width (8 = high-recall byte blocks,
     * 16 = the multi-index scale form).
     */
-  def phashPairsFrom(idsIn: DataFrame, maxHam: Int = 7, blockBits: Int = 8): DataFrame = {
+  def phashPairsFrom(idsIn: DataFrame, maxHam: Int = 7, blockBits: Int = 8): DataFrame =
+    blockHammingPairs(phashBlocksFrom(idsIn, blockBits), maxHam)
+
+  /** The aHash stage alone: (doc_id, bs) with the 64-bit hash split into
+    * `blockBits`-wide substrings — shared by the exact, probed, and
+    * adaptive pair forms so hashing happens once per plan.
+    */
+  private def phashBlocksFrom(idsIn: DataFrame, blockBits: Int): DataFrame = {
     val spark = idsIn.sparkSession
     import spark.implicits._
-    val blocks = idsIn
+    idsIn
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -413,7 +420,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "bs")
-    blockHammingPairs(blocks, maxHam)
   }
 
   /** Shared byte-block LSH tail for the perceptual fingerprints: pairs
@@ -423,13 +429,25 @@ object Multimodal {
     */
   private def blockHammingPairs(raw: DataFrame, maxHam: Int): DataFrame = {
     val blocks = raw.localCheckpoint() // hash once; candidate + verify reuse it
+    verifyHamming(blocks, exactCandidates(blocks), maxHam)
+  }
+
+  /** Exact-key candidate stage: pairs sharing ≥1 aligned block value. */
+  private def exactCandidates(blocks: DataFrame): DataFrame = {
     val ex = blocks.select(col("doc_id"), posexplode(col("bs")))
       .select(col("doc_id"), col("pos").as("bi"), col("col").as("bv"))
-    val cand = ex.as("x").join(ex.as("y"),
+    ex.as("x").join(ex.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Verification tail: exact Hamming over the full fingerprint, candidates
+    * only. `blocks` carries the hash in ANY block granularity — XOR popcount
+    * over aligned sub-blocks equals the whole-hash distance.
+    */
+  private def verifyHamming(blocks: DataFrame, cand: DataFrame, maxHam: Int): DataFrame =
     cand
       .join(blocks.select(col("doc_id").as("doc_a"), col("bs").as("bsa")), Seq("doc_a"))
       .join(blocks.select(col("doc_id").as("doc_b"), col("bs").as("bsb")), Seq("doc_b"))
@@ -437,6 +455,113 @@ object Multimodal {
         expr("aggregate(zip_with(bsa, bsb, (a, b) -> bit_count(a ^ b)), 0L, (s, x) -> s + x)")
           .as("hamming"))
       .filter(col("hamming") <= maxHam)
+
+  /** Widen an 8-bit block frame to aligned 16-bit substrings: block `k`
+    * covers hash bits [16k, 16k+16) with bit `i` at weight `1 << i`, so
+    * `bs16(k) = bs8(2k) + 256·bs8(2k+1)` reproduces EXACTLY the substrings
+    * a 16-bit hasher would emit — one hashing pass serves both splits.
+    */
+  private def widen16(blocks8: DataFrame): DataFrame =
+    blocks8.select(col("doc_id"),
+      expr("transform(sequence(0, size(bs) div 2 - 1), k -> bs[2*k] + 256 * bs[2*k+1])")
+        .as("bs"))
+
+  /** Probe-expanded multi-index candidates (Norouzi's MIH search form): the
+    * probe side emits, per 16-bit substring, the value itself plus its
+    * `perBlockRadius`-bit perturbations (radius 1 → 17 keys); the build
+    * side keeps exact values. Pigeonhole at the SAME radius as the
+    * byte-block form: ham(a,b) ≤ maxHam over `nb` substrings ⟹ some
+    * substring pair is within ⌊maxHam/nb⌋, and that substring of b is one
+    * of a's probes — so recall at maxHam is exact, not a tighter-radius
+    * approximation like [[phashPairsMih]]. Selectivity: 17 probe keys over
+    * a 65,536-value space ≈ n²·17/65,536 random-limit candidates per
+    * substring vs the byte split's n²/256 — ~55× fewer, bought with a 17×
+    * wider (but skinny) probe explode.
+    */
+  private def probedCandidates(b16: DataFrame, perBlockRadius: Int): DataFrame = {
+    val ex = b16.select(col("doc_id"), posexplode(col("bs")))
+      .select(col("doc_id"), col("pos").as("bi"), col("col").as("bv"))
+    val probeCols = Seq(col("bv")) ++
+      (if (perBlockRadius >= 1) (0 until 16).map(i => col("bv").bitwiseXOR(lit(1 << i)))
+       else Seq.empty)
+    val probed = ex.select(col("doc_id"), col("bi"),
+      explode(array(probeCols: _*)).as("bv"))
+    probed.as("x").join(ex.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Route taken by the last adaptive fingerprint call ("byte_block" or
+    * "mih_probed") and the candidate-volume estimates that decided it
+    * ((byteCost, mihCost), candidate rows + explode rows each) — decision
+    * observability for `BenchScaleFingerprint`'s tripwire.
+    */
+  @volatile var lastFingerprintRoute: String = ""
+  @volatile var lastFingerprintEstimates: (Double, Double) = (0.0, 0.0)
+
+  /** Cost-based dispatch between the byte-block and probed-MIH renderings
+    * of the SAME radius-`maxHam` pair query (both exact by pigeonhole, so
+    * the answer is route-independent — unlike the tighter-radius
+    * `*_mih` scale forms). The round-9 sweep measured the byte-block
+    * candidate join at 21–25× wall under 10× data (the n²/256 regime)
+    * while the 16-bit forms stayed 3–6×; this dispatcher makes that
+    * choice self-correcting the way `Dedup.ngramJaccardAdaptiveFrom`
+    * does for Jaccard: estimate each plan's shuffled row volume with
+    * cheap aggregates over per-key count tables (hashing runs ONCE — the
+    * 16-bit substrings are derived from the checkpointed 8-bit blocks),
+    * then run the cheaper plan. Costs: candidate rows the verify join
+    * would receive (Σ C(n,2) over exact-key blocks; Σ nProbe·nExact over
+    * probed keys, self-hits removed, halved for the id< direction) plus
+    * each plan's explode volume (n·blocks vs n·blocks·17). Driver work is
+    * two scalar collects over tiny aggregated tables.
+    * `BenchScaleFingerprint` trips nonzero if the chosen route measures
+    * ≥2× slower than the alternative.
+    */
+  private def blockHammingPairsAdaptive(raw8: DataFrame, maxHam: Int,
+                                        totalBits: Int): DataFrame = {
+    val nb16 = totalBits / 16
+    val nb8 = totalBits / 8
+    require(maxHam < 2 * nb16,
+      s"probed MIH at per-block radius 1 covers ham < ${2 * nb16}, got $maxHam")
+    val rb = maxHam / nb16
+    val blocks8 = raw8.localCheckpoint()
+    // per-key count tables: distinct (pos, value) is bounded by min(n·blocks,
+    // blocks·2^bits) — scalar aggregates over them are noise next to either
+    // candidate join
+    val c8 = blocks8.select(posexplode(col("bs")))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
+    val r8 = c8.agg(
+        coalesce(sum((col("n") * (col("n") - lit(1L)) / lit(2.0)).cast("double")), lit(0.0)),
+        coalesce(sum(when(col("pos") === 0, col("n"))), lit(0L)))
+      .collect()(0)
+    val byteCand = r8.getDouble(0)
+    val nDocs = r8.getLong(1).toDouble
+    val c16 = widen16(blocks8).select(posexplode(col("bs")))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val probeKeys = Seq(col("col")) ++
+      (if (rb >= 1) (0 until 16).map(i => col("col").bitwiseXOR(lit(1 << i))) else Seq.empty)
+    val landed = c16.select(col("pos"), explode(array(probeKeys: _*)).as("col"),
+        col("n").as("np"))
+      .groupBy(col("pos"), col("col")).agg(sum(col("np")).as("np"))
+      .join(c16, Seq("pos", "col"))
+      .agg(coalesce(sum((col("np") * col("n")).cast("double")), lit(0.0)))
+      .collect()(0).getDouble(0)
+    // landed counts ordered (probe-doc, build-doc) hits incl. each doc's
+    // identity self-hit (one per substring); the id< join keeps half the rest
+    val mihCand = (landed - nDocs * nb16) / 2.0
+    val byteCost = byteCand + nDocs * nb8
+    val mihCost = mihCand + nDocs * nb16 * (1 + (if (rb >= 1) 16 else 0))
+    lastFingerprintEstimates = (byteCost, mihCost)
+    if (mihCost < byteCost) {
+      lastFingerprintRoute = "mih_probed"
+      verifyHamming(blocks8, probedCandidates(widen16(blocks8), rb), maxHam)
+    } else {
+      lastFingerprintRoute = "byte_block"
+      verifyHamming(blocks8, exactCandidates(blocks8), maxHam)
+    }
   }
 
   /** Image dedup COLLAPSE: connected components over the multi-index
@@ -530,10 +655,16 @@ object Multimodal {
       maxHam = 1, blockBits = 16)
 
   /** `afpPairs` over an arbitrary doc_id frame (scale-sweep entry point). */
-  def afpPairsFrom(idsIn: DataFrame, maxHam: Int = 2, blockBits: Int = 8): DataFrame = {
+  def afpPairsFrom(idsIn: DataFrame, maxHam: Int = 2, blockBits: Int = 8): DataFrame =
+    blockHammingPairs(afpBlocksFrom(idsIn, blockBits), maxHam)
+
+  /** The audio-fingerprint stage alone (32-bit hash in `blockBits`-wide
+    * substrings) — shared by the exact, probed, and adaptive pair forms.
+    */
+  private def afpBlocksFrom(idsIn: DataFrame, blockBits: Int): DataFrame = {
     val spark = idsIn.sparkSession
     import spark.implicits._
-    val blocks = idsIn
+    idsIn
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -553,8 +684,45 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "bs")
-    blockHammingPairs(blocks, maxHam)
   }
+
+  /** Probed-MIH rendering of [[phashPairs]] — SAME radius-7 answer (see
+    * [[probedCandidates]]), ~55× more selective candidate keys: the plan
+    * the adaptive dispatcher picks once the byte-block n²/256 regime
+    * bites (21–25× wall at 10× data in `BENCH_SCALE_fingerprint.json`).
+    */
+  def phashPairsProbed(spark: SparkSession, dir: String, maxHam: Int = 7): DataFrame =
+    phashPairsProbedFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
+
+  def phashPairsProbedFrom(idsIn: DataFrame, maxHam: Int = 7): DataFrame = {
+    val blocks8 = phashBlocksFrom(idsIn, 8).localCheckpoint()
+    verifyHamming(blocks8, probedCandidates(widen16(blocks8), maxHam / 4), maxHam)
+  }
+
+  /** Probed-MIH rendering of [[afpPairs]] — same radius-2 answer. */
+  def afpPairsProbed(spark: SparkSession, dir: String, maxHam: Int = 2): DataFrame =
+    afpPairsProbedFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
+
+  def afpPairsProbedFrom(idsIn: DataFrame, maxHam: Int = 2): DataFrame = {
+    val blocks8 = afpBlocksFrom(idsIn, 8).localCheckpoint()
+    verifyHamming(blocks8, probedCandidates(widen16(blocks8), maxHam / 2), maxHam)
+  }
+
+  /** Cost-routed [[phashPairs]]: byte-block vs probed-MIH, chosen from
+    * exact candidate-volume estimates (see [[blockHammingPairsAdaptive]]).
+    */
+  def phashPairsAdaptive(spark: SparkSession, dir: String, maxHam: Int = 7): DataFrame =
+    phashPairsAdaptiveFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
+
+  def phashPairsAdaptiveFrom(idsIn: DataFrame, maxHam: Int = 7): DataFrame =
+    blockHammingPairsAdaptive(phashBlocksFrom(idsIn, 8), maxHam, 64)
+
+  /** Cost-routed [[afpPairs]]: byte-block vs probed-MIH. */
+  def afpPairsAdaptive(spark: SparkSession, dir: String, maxHam: Int = 2): DataFrame =
+    afpPairsAdaptiveFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
+
+  def afpPairsAdaptiveFrom(idsIn: DataFrame, maxHam: Int = 2): DataFrame =
+    blockHammingPairsAdaptive(afpBlocksFrom(idsIn, 8), maxHam, 32)
 
   /** One sampled frame: position, time offset, decoded features. */
   case class FrameRow(id: Long, media_type: String, n_frames: Long,

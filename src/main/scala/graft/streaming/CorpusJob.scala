@@ -49,12 +49,36 @@ object CorpusJob {
   case class CorpusDoc(doc_id: Long, text: String, embedding: Seq[Float])
 
   private def corpusPath(stateDir: String) = s"$stateDir/corpus"
+  private def countPath(stateDir: String) = s"$stateDir/corpus_rows"
 
   /** Survivor store if it exists: (doc_id, sig, emb, nrm, cell). */
   private def loadCorpus(spark: SparkSession, stateDir: String): Option[DataFrame] =
     if (new java.io.File(corpusPath(stateDir)).exists())
       Some(spark.read.parquet(corpusPath(stateDir)))
     else None
+
+  private def writeCount(stateDir: String, n: Long): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(countPath(stateDir)),
+      n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Survivor count from the sidecar, so no micro-batch runs a corpus-wide
+    * action just to pick the append-vs-rebuild branch. The count only
+    * DECIDES anything while the seed set is forming (`< nCells`), and every
+    * rebuild rewrites the sidecar from the materialized store, so a stale
+    * value (crash between parquet write and sidecar write) costs at most
+    * one extra rebuild, never a wrong survivor set. A legacy store with no
+    * sidecar is counted once and the sidecar backfilled.
+    */
+  private def loadCount(existing: Option[DataFrame], stateDir: String): Long =
+    existing match {
+      case None => 0L
+      case Some(c) =>
+        val p = java.nio.file.Paths.get(countPath(stateDir))
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else { val n = c.count(); writeCount(stateDir, n); n }
+    }
 
   private def bandRows(df: DataFrame): DataFrame = df
     .select(col("doc_id"),
@@ -119,7 +143,7 @@ object CorpusJob {
 
     // IVF refresh: seeds = first nCells survivors globally; rebuild the
     // whole assignment only while the seed set is still forming
-    val priorCount = existing.map(_.count()).getOrElse(0L)
+    val priorCount = loadCount(existing, stateDir)
     val seedsChanged = priorCount < nCells
     val allSurvivors = existing match {
       case Some(c) if !seedsChanged =>
@@ -127,6 +151,7 @@ object CorpusJob {
           .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
         val assigned = assignCells(keptDf, cents)
         assigned.write.mode("append").parquet(corpusPath(stateDir))
+        writeCount(stateDir, priorCount + kept.size)
         return
       case Some(c) => c.select(col("doc_id"), col("sig"), col("emb"), col("nrm"))
         .unionByName(keptDf)
@@ -137,6 +162,9 @@ object CorpusJob {
       .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val rebuilt = assignCells(allChk, cents).localCheckpoint()
     rebuilt.write.mode("overwrite").parquet(corpusPath(stateDir))
+    // rebuilds are rare (seed bootstrap) and the frame is checkpointed, so
+    // the exact recount is cheap here — and it self-heals any sidecar drift
+    writeCount(stateDir, rebuilt.count())
   }
 
   /** Nearest-centroid assignment (cosine, ties to low seed id) — the
@@ -158,8 +186,21 @@ object CorpusJob {
     */
   def retrieve(spark: SparkSession, stateDir: String, queries: DataFrame,
                k: Int = 3, nProbe: Int = 2, nCells: Int = 4): DataFrame = {
-    val corpus = loadCorpus(spark, stateDir)
-      .getOrElse(return spark.emptyDataFrame)
+    val corpus = loadCorpus(spark, stateDir).getOrElse {
+      // no survivor store yet: zero rows, but with the contract schema so
+      // callers selecting (query_id, neighbor_id, cos, rnk) get an empty
+      // result instead of an AnalysisException
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        queries.schema("query_id"),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.IntegerType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val q = queries.select(col("query_id"), col("q_emb"), norm(col("q_emb")).as("q_nrm"))
     val cents = corpus.orderBy(col("doc_id")).limit(nCells)
       .select(col("doc_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))

@@ -80,6 +80,69 @@ class CorpusJobSpec extends SparkSpecBase {
     assert(streamTop.size == 9, s"expected 3 queries x k=3, got ${streamTop.size}")
   }
 
+  test("ST8 crash-restart: survivor store recovers from checkpoint and equals the uninterrupted run") {
+    // Recovery evidence for the composition job: crash (stop) after ≥1
+    // committed batch, restart from the SAME checkpoint over a file
+    // source, then force a replay of the last batch by deleting its
+    // checkpoint commit marker — the recovered store must equal the
+    // uninterrupted one-batch run ROW-FOR-ROW (doc_id, sig, emb, nrm,
+    // cell), and retrieval over it must match.
+    val docs = loadDocs(80)
+    def storeRows(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/corpus").collect().map(_.toSeq).toSet
+
+    val oneDir = java.nio.file.Files.createTempDirectory("corpus_cr_one").toString
+    CorpusJob.processBatch(spark, docs.toDF(), oneDir)
+
+    val inDir = java.nio.file.Files.createTempDirectory("corpus_cr_in").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("corpus_cr_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("corpus_cr_ckpt").toString
+    val chunks = docs.grouped(20).toSeq
+    val schema = docs.toDF().schema
+    def start() = CorpusJob.start(
+      spark.readStream.schema(schema).parquet(inDir), stateDir, ckpt)
+
+    chunks(0).toDF().write.mode("append").parquet(inDir)
+    val qa = start()
+    qa.processAllAvailable()
+    chunks(1).toDF().write.mode("append").parquet(inDir)
+    qa.processAllAvailable()
+    qa.stop() // the crash, after ≥1 committed batch
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    assert(commitsDir.listFiles().exists(_.getName.forall(_.isDigit)))
+
+    // two more chunks land while the job is down; restart resumes mid-stream
+    chunks(2).toDF().write.mode("append").parquet(inDir)
+    chunks(3).toDF().write.mode("append").parquet(inDir)
+    val qb = start()
+    qb.processAllAvailable(); qb.stop()
+    assert(storeRows(stateDir) == storeRows(oneDir), "store diverges after recovery")
+
+    // forced replay: delete the newest commit marker — the restart
+    // re-executes that batch; every replayed doc must re-drop as a
+    // corpus self-duplicate, leaving the store (and sidecar) unchanged
+    val lastBatch = commitsDir.listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(s"$ckpt/commits/$lastBatch").delete())
+    // the local checksum FS keeps a hidden .N.crc sidecar; left behind it
+    // makes the replayed commit's rename fail as a phantom concurrent query
+    new java.io.File(s"$ckpt/commits/.$lastBatch.crc").delete()
+    val qc = start()
+    qc.processAllAvailable(); qc.stop()
+    assert(storeRows(stateDir) == storeRows(oneDir), "store diverges after forced replay")
+
+    val oneTop = CorpusJob.retrieve(spark, oneDir, queriesDf).collect().map(_.toSeq).toSet
+    val recTop = CorpusJob.retrieve(spark, stateDir, queriesDf).collect().map(_.toSeq).toSet
+    assert(recTop == oneTop && recTop.nonEmpty, "retrieval diverges after recovery")
+  }
+
+  test("retrieve over a missing store returns zero rows with the contract schema") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("corpus_cr_empty").toString
+    val res = CorpusJob.retrieve(spark, emptyDir, queriesDf)
+      .select("query_id", "neighbor_id", "cos", "rnk") // must not throw
+    assert(res.count() == 0)
+  }
+
   test("replayed micro-batch leaves the corpus unchanged (idempotent ingest)") {
     val docs = loadDocs(40)
     val dir = java.nio.file.Files.createTempDirectory("corpus_idem").toString

@@ -533,4 +533,29 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
       s"afp clusters diverge: extra=${gotClusters -- wantClusters}")
     assert(gotClusters.size < ids.length && gotClusters.exists(_._4 > 1L))
   }
+
+  test("probed-MIH fingerprint pairs: exact same-radius answer; adaptive route invariant") {
+    // The probe-expanded 16-bit form claims EXACT recall at the byte-block
+    // radius (pigeonhole: ham ≤ 7 over 4 substrings ⟹ one substring within
+    // 1 bit). Gate it row-for-row against the byte-block form on the real
+    // corpus, both families, and pin the adaptive entry to the same rows
+    // (the dispatcher may pick either plan — the answer must not move).
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val phByte = rows(Multimodal.phashPairs(spark, dir))
+    assert(phByte.nonEmpty)
+    assert(rows(Multimodal.phashPairsProbed(spark, dir)) == phByte)
+    assert(rows(Multimodal.phashPairsAdaptive(spark, dir)) == phByte)
+    val phRoute = Multimodal.lastFingerprintRoute
+    val (phB, phM) = Multimodal.lastFingerprintEstimates
+    assert(Set("byte_block", "mih_probed")(phRoute) && phB > 0 && phM > 0,
+      s"dispatcher observability broken: route=$phRoute est=($phB,$phM)")
+
+    val afByte = rows(Multimodal.afpPairs(spark, dir))
+    assert(afByte.nonEmpty)
+    assert(rows(Multimodal.afpPairsProbed(spark, dir)) == afByte)
+    assert(rows(Multimodal.afpPairsAdaptive(spark, dir)) == afByte)
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit gates for the PlanAudit counters — in particular the pushdown
+  * detector: it must see the predicates a healthy scan-bound plan pushes,
+  * and it must report ZERO for a deliberately-broken probe (a cast on the
+  * filter column silently defeats parquet pushdown without changing the
+  * result — exactly the regression the registry-wide gate exists to trip).
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count() // finalize AQE like the audit does
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("pushed-filter counter: q6-style scan-bound filters reach the scan") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- PlanAudit.MustPushFilters) {
+      val plan = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(PlanAudit.pushedFilterCount(plan) >= 1,
+        s"$name plan pushed no filters into the scan:\n$plan")
+    }
+  }
+
+  test("pushed-filter counter: a cast on the filter column trips the gate (0 pushed)") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    // healthy probe: a plain comparison pushes
+    val healthy = planOf(li.filter(col("l_quantity") < 10).select(col("l_orderkey")))
+    assert(PlanAudit.pushedFilterCount(healthy) >= 1, s"healthy probe pushed nothing:\n$healthy")
+    // broken probe: casting the DECIMAL column to string before comparing
+    // defeats parquet pushdown — the detector must report 0 so the
+    // registry gate fails loud instead of silently scanning everything
+    val broken = planOf(li.filter(col("l_quantity").cast("string") === "7.00")
+      .select(col("l_orderkey")))
+    assert(PlanAudit.pushedFilterCount(broken) == 0,
+      s"broken probe still counted pushed filters:\n$broken")
+  }
+}

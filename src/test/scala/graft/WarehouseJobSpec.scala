@@ -128,6 +128,93 @@ class WarehouseJobSpec extends SparkSpecBase {
       "event_id pk keeps one row per event, not per user")
   }
 
+  test("ST8 crash-restart: checkpoint recovery + forced batch replay equals the uninterrupted run") {
+    // The reference DESIGNS 5s exactly-once checkpointing
+    // (app/dwd/BaseLogApp.java:38-45); the engine claims it via
+    // checkpointed foreachBatch + idempotent staged publish. This spec is
+    // the recovery EVIDENCE: kill the query mid-stream after ≥1 committed
+    // batch, restart from the SAME checkpoint, then force a replay of the
+    // last batch (delete its checkpoint commit marker AND the sink's own
+    // fast-path marker so the batch fully re-executes through publish),
+    // and assert every layer equals an uninterrupted run over the same
+    // events. Stats are compared RE-AGGREGATED by window key — the sink's
+    // documented per-batch-partial contract — because batch boundaries
+    // (and so the partial rows) legitimately differ between the runs.
+    val events = Tables.events(spark, "/root/testdata/sf0.001").localCheckpoint()
+    val chunks = (0 until 4).map(i => events.filter(pmod(col("event_id"), lit(4)) === i))
+
+    def factsSet(out: String) = spark.read.parquet(s"$out/facts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
+      .collect().map(_.toSeq).toSet
+    def statsAgg(out: String) = spark.read.parquet(s"$out/stats")
+      .groupBy("stt", "edt", "event_type")
+      .agg(sum("pv_ct").as("pv"), sum("click_ct").as("ck"), sum("order_ct").as("oc"),
+        sum("sv_ct").as("sv"), sum("total_ct").as("tc"))
+      .collect().map(_.toSeq).toSet
+    def dimSet(out: String, t: String) =
+      new graft.sources.DimStore(spark, s"$out/dim").read(t).get
+        .collect().map(_.toSeq).toSet
+
+    // oracle: uninterrupted run, all four chunks visible up front
+    val oracleOut = Files.createTempDirectory("wh_cr_oracle").toString
+    val oracleSrc = Files.createTempDirectory("wh_cr_osrc").toString
+    chunks.foreach(_.write.mode("append").parquet(oracleSrc))
+    val oq = new WarehouseJob(spark, oracleOut)
+      .start(oracleSrc, Files.createTempDirectory("wh_cr_ockpt").toString)
+    oq.processAllAvailable(); oq.stop()
+
+    // interrupted run: two chunks, crash (stop), two more land while down,
+    // restart from the SAME checkpoint
+    val out = Files.createTempDirectory("wh_cr_out").toString
+    val src = Files.createTempDirectory("wh_cr_src").toString
+    val ckpt = Files.createTempDirectory("wh_cr_ckpt").toString
+    val job = new WarehouseJob(spark, out)
+    chunks(0).write.mode("append").parquet(src)
+    val qa = job.start(src, ckpt)
+    qa.processAllAvailable()
+    chunks(1).write.mode("append").parquet(src)
+    qa.processAllAvailable()
+    qa.stop() // the crash, after ≥1 committed batch
+
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val committedBeforeRestart = commitsDir.listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    assert(committedBeforeRestart.nonEmpty, "crash must land after ≥1 committed batch")
+
+    chunks(2).write.mode("append").parquet(src)
+    chunks(3).write.mode("append").parquet(src)
+    val qb = job.start(src, ckpt)
+    qb.processAllAvailable(); qb.stop()
+    // the restart resumed MID-stream: it processed only the post-crash files
+    val lastBatch = commitsDir.listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(lastBatch > committedBeforeRestart.max,
+      "restart must append new batches to the same checkpoint lineage")
+    assert(factsSet(out) == factsSet(oracleOut), "facts diverge after recovery")
+
+    // forced replay: crash "between execution and checkpoint commit" — the
+    // last batch's commit marker is gone, so restart re-executes it; the
+    // sink marker is deleted too so the re-execution runs the FULL publish
+    // path, not the fast-path skip
+    assert(new java.io.File(s"$ckpt/commits/$lastBatch").delete())
+    // the local checksum FS keeps a hidden .N.crc sidecar; left behind it
+    // makes the replayed commit's rename fail as a phantom concurrent query
+    new java.io.File(s"$ckpt/commits/.$lastBatch.crc").delete()
+    new java.io.File(s"$out/_committed_$lastBatch").delete()
+    val qc = job.start(src, ckpt)
+    qc.processAllAvailable(); qc.stop()
+    assert(new java.io.File(s"$out/_committed_$lastBatch").exists(),
+      "replayed batch must republish and rewrite its marker")
+
+    assert(factsSet(out) == factsSet(oracleOut), "facts diverge after forced replay")
+    assert(statsAgg(out) == statsAgg(oracleOut), "re-aggregated stats diverge")
+    for (t <- Seq("dim_order", "dim_user"))
+      assert(dimSet(out, t) == dimSet(oracleOut, t), s"dim $t diverges")
+    val dirtyCount = (o: String) =>
+      if (new java.io.File(s"$o/dirty").exists()) spark.read.parquet(s"$o/dirty").count() else 0L
+    assert(dirtyCount(out) == dirtyCount(oracleOut))
+  }
+
   test("dim-batch guard: a fact-sized stream misrouted to the dim side fails loud") {
     import spark.implicits._
     val out = Files.createTempDirectory("whg_out").toString

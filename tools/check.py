@@ -5,6 +5,12 @@ from OUTDIR/oracle_sql.json in DuckDB over the parquet tables in SFDIR,
 sort columns by name + rows by all columns, and compare values.
 
 Usage: python3 tools/check.py <sfdir> <outdir> [query ...]
+
+If the env var CHECK_ARTIFACT is set to a path, a machine-readable artifact in
+the driver's exact per-query schema is written there:
+  {"<name>": {"rows_match": bool, "schema_match": bool, "hash_match": bool,
+              "spark_rows": int, "oracle_rows": int, "err": str|null}, ...}
+(rows-only queries get rows_match/spark_rows and err="rows-only".)
 """
 import sys, os, json, glob
 import duckdb
@@ -34,32 +40,48 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    artifact = {}
+
+    def rec(name, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=0, oracle_rows=0, err=None):
+        artifact[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                          "hash_match": hash_match, "spark_rows": int(spark_rows),
+                          "oracle_rows": int(oracle_rows), "err": err}
+
     for name in sorted(oracle):
         if only and name not in only:
             continue
         pq = f"{outdir}/{name}"
         if not glob.glob(f"{pq}/*.parquet"):
             print(f"MISSING  {name}: no spark output")
+            rec(name, err="no spark output")
             n_bad += 1
             continue
         try:
             exp = normalize(con.execute(oracle[name]).df())
         except Exception as e:
             print(f"ORAFAIL  {name}: {e}")
+            rec(name, err=f"oracle sql failed: {e}")
             n_bad += 1
             continue
         got = normalize(con.execute(f"SELECT * FROM '{pq}/*.parquet'").df())
         if list(got.columns) != list(exp.columns):
             print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(exp.columns)}")
+            rec(name, rows_match=len(got) == len(exp), spark_rows=len(got),
+                oracle_rows=len(exp), err="schema mismatch")
             n_bad += 1
             continue
         if len(got) != len(exp):
             print(f"ROWCOUNT {name}: spark={len(got)} oracle={len(exp)}")
+            rec(name, schema_match=True, spark_rows=len(got), oracle_rows=len(exp),
+                err="rowcount mismatch")
             n_bad += 1
             continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
             print(f"OK       {name} ({len(got)} rows)")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(got), oracle_rows=len(exp))
             n_ok += 1
         except AssertionError as e:
             msg = str(e).split("\n")
@@ -70,6 +92,8 @@ def main():
                 idx = neq[c].idxmax()
                 print(f"  col={c} row={idx} spark={got[c][idx]!r} oracle={exp[c][idx]!r} "
                       f"dtypes {got[c].dtype}/{exp[c].dtype}")
+            rec(name, rows_match=True, schema_match=True, spark_rows=len(got),
+                oracle_rows=len(exp), err="value hash mismatch")
             n_bad += 1
     # rows-only queries (no oracle)
     for pq in sorted(glob.glob(f"{outdir}/*/")):
@@ -77,6 +101,13 @@ def main():
         if name not in oracle and glob.glob(f"{pq}/*.parquet"):
             n = con.execute(f"SELECT count(*) FROM '{pq}/*.parquet'").fetchone()[0]
             print(f"ROWSONLY {name}: {n} rows")
+            if not only or name in only:
+                rec(name, rows_match=n > 0, spark_rows=n, err="rows-only")
+    art_path = os.environ.get("CHECK_ARTIFACT")
+    if art_path:
+        with open(art_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"artifact -> {art_path} ({len(artifact)} queries)")
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
