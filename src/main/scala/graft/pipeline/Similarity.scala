@@ -883,20 +883,33 @@ object Similarity {
       .select(col("s").as("cs"), col("vec_id").as("cell"),
         col("sub").as("c_sub"), col("snrm").as("c_snrm"))
     // Lloyd iterations per subspace: decimal-exact element sums so the
-    // trained codebook is deterministic under any partitioning
-    def lloydStep(cents: DataFrame): DataFrame = assign(cents)
-      .select(col("s"), col("cell"), posexplode(col("sub")))
-      .select(col("s"), col("cell"), col("pos"),
-        col("col").cast("decimal(28,12)").as("v"))
-      .groupBy(col("s"), col("cell"), col("pos"))
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      .select(col("s"), col("cell"), col("pos"),
-        round(col("sv").cast("double") / col("cnt"), 6).as("mv"))
-      .groupBy(col("s"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("dm"))
-      .select(col("s").as("cs"), col("cell"),
-        transform(col("dm"), x => x.getField("mv")).as("c_sub"))
-      .select(col("cs"), col("cell"), col("c_sub"), norm(col("c_sub")).as("c_snrm"))
+    // trained codebook is deterministic under any partitioning. A cell
+    // that attracts no vectors keeps its PREVIOUS centroid (the GROUP BY
+    // would silently drop it, and a ragged codebook breaks the dense
+    // m·ks ADC-table contract downstream — observed first at ks=256 on
+    // the 10×-scaled sweep corpus, 39/8192 cells empty). At every
+    // oracle-gated operating point no cell is empty (the ADC kernel's
+    // m·ks requirement would have tripped), so this is a no-op there and
+    // DuckDB parity is untouched.
+    def lloydStep(cents: DataFrame): DataFrame = {
+      val updated = assign(cents)
+        .select(col("s"), col("cell"), posexplode(col("sub")))
+        .select(col("s"), col("cell"), col("pos"),
+          col("col").cast("decimal(28,12)").as("v"))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("s"), col("cell"), col("pos"),
+          round(col("sv").cast("double") / col("cnt"), 6).as("mv"))
+        .groupBy(col("s"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("dm"))
+        .select(col("s").as("cs"), col("cell"),
+          transform(col("dm"), x => x.getField("mv")).as("u_sub"))
+      cents.select(col("cs"), col("cell"), col("c_sub").as("p_sub"))
+        .join(updated, Seq("cs", "cell"), "left")
+        .select(col("cs"), col("cell"),
+          coalesce(col("u_sub"), col("p_sub")).as("c_sub"))
+        .select(col("cs"), col("cell"), col("c_sub"), norm(col("c_sub")).as("c_snrm"))
+    }
     // checkpoint each round: the codebook is m·ks tiny rows but its lineage
     // is a corpus-wide aggregation — and the final codebook feeds BOTH the
     // encode assignment and the ADC table below
