@@ -47,11 +47,45 @@ object BenchScaleSketch {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // 10× AND 100× legs by default (the BenchScaleAnalytics convention):
+    // the 100× leg catches log factors and sketch-merge drift a 10× sweep
+    // can hide. SPARK_GRAFT_SCALE_FACTOR still pins a single leg.
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
-    val SHIFT = 1000000000L
+    try {
+      val legs = factors.map { f =>
+        // a leg that trips a gate still contributes its JSON (with the
+        // violation recorded) — the artifact lands before any throw
+        val (json, err) =
+          try { val j = runLeg(spark, sfDir, f, reps); (j, None) }
+          catch { case e: IllegalStateException =>
+            (s""""x$f":{"factor":$f,"gate_error":${"\"" + e.getMessage.replace("\"", "'") + "\""}}""",
+              Some(e))
+          }
+        (json, err)
+      }
+      val json =
+        s"""{"metric":"scale_sweep_sketch","sf":"$sfDir","reps":$reps,""" +
+          s""""factors":[${factors.mkString(",")}],""" +
+          s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_sketch.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(json)
+      legs.flatMap(_._2).headOption.foreach(throw _)
+    } finally spark.stop()
+  }
 
+  /** One factor leg: exact-mode ×factor validity gates, sketch error
+    * bounds at both scales, timings. Throws IllegalStateException on any
+    * gate violation (caught by main, recorded in the artifact, re-thrown
+    * after the write).
+    */
+  private def runLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     factor: Int, reps: Int): String = {
+    val SHIFT = 1000000000L
     val scaledDir = SweepTmp.dir("graft_sweep_sketch")
     try {
       def shifted(name: String, keyCols: Seq[String]): Unit = {
@@ -190,19 +224,15 @@ object BenchScaleSketch {
       val rankErrBase = rankErr(sfDir)
       val rankErrScaled = rankErr(scaledDir)
 
+      gate(rankErrBase <= 0.05, s"t-digest base rank error $rankErrBase > 0.05")
+      gate(rankErrScaled <= 0.05, s"t-digest scaled rank error $rankErrScaled > 0.05")
+
       val timesJson = times.map { case (n, eb, es, sb, ss) =>
         s""""$n":{"exact_base_sec":$eb,"exact_scaled_sec":$es,"sketch_base_sec":$sb,"sketch_scaled_sec":$ss}"""
       }.mkString(",")
-      val json =
-        s"""{"metric":"scale_sweep_sketch","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
-          s""""times":{$timesJson},""" +
-          s""""hll_max_rel_err":{"base":$hllErrBase,"scaled":$hllErrScaled,"bound":0.15},""" +
-          s""""tdigest_max_rank_err":{"base":$rankErrBase,"scaled":$rankErrScaled,"bound":0.05}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_sketch.json"),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(json)
-      gate(rankErrBase <= 0.05, s"t-digest base rank error $rankErrBase > 0.05")
-      gate(rankErrScaled <= 0.05, s"t-digest scaled rank error $rankErrScaled > 0.05")
+      s""""x$factor":{"factor":$factor,"times":{$timesJson},""" +
+        s""""hll_max_rel_err":{"base":$hllErrBase,"scaled":$hllErrScaled,"bound":0.15},""" +
+        s""""tdigest_max_rank_err":{"base":$rankErrBase,"scaled":$rankErrScaled,"bound":0.05}}"""
     } finally {
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p)) {
@@ -212,7 +242,6 @@ object BenchScaleSketch {
         java.nio.file.Files.deleteIfExists(p)
       }
       rm(java.nio.file.Paths.get(scaledDir))
-      spark.stop()
     }
   }
 }
