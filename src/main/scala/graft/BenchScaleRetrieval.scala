@@ -47,7 +47,11 @@ object BenchScaleRetrieval {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // 10× AND 100× legs by default (the BenchScaleAnalytics convention);
+    // SPARK_GRAFT_SCALE_FACTOR pins a single leg
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
 
@@ -93,7 +97,7 @@ object BenchScaleRetrieval {
       name -> t
     }
     val base = timeAll(1)
-    val scaled = timeAll(factor)
+    val legs = factors.map(f => f -> timeAll(f))
 
     // validity counts + score sign (off the clock)
     def shape(df: org.apache.spark.sql.DataFrame, score: String): (Long, Long) = {
@@ -102,28 +106,40 @@ object BenchScaleRetrieval {
       (rows, nonPos)
     }
     val (bmB, bmBadB) = shape(pipeline.Retrieval.bm25MoreLikeThisFrom(scaledDocs(1), nBase), "bm25")
-    val (bmS, bmBadS) = shape(
-      pipeline.Retrieval.bm25MoreLikeThisFrom(scaledDocs(factor), nBase * factor), "bm25")
     val (hyB, hyBadB) = shape(
       pipeline.Retrieval.hybridRrfFrom(scaledDocs(1), nBase, scaledVecs(1)), "rrf")
-    val (hyS, hyBadS) = shape(
-      pipeline.Retrieval.hybridRrfFrom(scaledDocs(factor), nBase * factor, scaledVecs(factor)), "rrf")
+    val legShapes = factors.map { f =>
+      val (bmS, bmBadS) = shape(
+        pipeline.Retrieval.bm25MoreLikeThisFrom(scaledDocs(f), nBase * f), "bm25")
+      val (hyS, hyBadS) = shape(
+        pipeline.Retrieval.hybridRrfFrom(scaledDocs(f), nBase * f, scaledVecs(f)), "rrf")
+      (f, bmS, bmBadS, hyS, hyBadS)
+    }
 
-    val t = (base ++ scaled).toMap
+    val t = (base ++ legs.flatMap(_._2)).toMap
+    val ratios = factors.map { f =>
+      s""""x$f":{"bm25":${t(s"bm25_${f}x") / t("bm25_1x")},""" +
+        s""""hybrid":${t(s"hybrid_${f}x") / t("hybrid_1x")},""" +
+        s""""hybrid_ivf":${t(s"hybrid_ivf_${f}x") / t("hybrid_ivf_1x")}}"""
+    }.mkString(",")
+    val rows = legShapes.map { case (f, bmS, _, hyS, _) =>
+      s""""x$f":{"bm25":$bmS,"hybrid":$hyS}"""
+    }.mkString(",")
+    val nonPos = bmBadB + hyBadB + legShapes.map(s => s._3 + s._5).sum
     val json =
-      s"""{"metric":"scale_sweep_retrieval","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
-        s""""times_sec":{${(base ++ scaled).map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}},""" +
-        s""""ratio_bm25":${t(s"bm25_${factor}x") / t("bm25_1x")},""" +
-        s""""ratio_hybrid":${t(s"hybrid_${factor}x") / t("hybrid_1x")},""" +
-        s""""ratio_hybrid_ivf":${t(s"hybrid_ivf_${factor}x") / t("hybrid_ivf_1x")},""" +
-        s""""rows":{"bm25_base":$bmB,"bm25_scaled":$bmS,"hybrid_base":$hyB,"hybrid_scaled":$hyS},""" +
-        s""""nonpositive_scores":${bmBadB + bmBadS + hyBadB + hyBadS}}"""
+      s"""{"metric":"scale_sweep_retrieval","sf":"$sfDir","factors":[${factors.mkString(",")}],"reps":$reps,""" +
+        s""""times_sec":{${t.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}},""" +
+        s""""ratios":{$ratios},""" +
+        s""""rows":{"bm25_base":$bmB,"hybrid_base":$hyB,$rows},""" +
+        s""""nonpositive_scores":$nonPos}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_retrieval.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(json)
-    if (bmBadB + bmBadS + hyBadB + hyBadS > 0)
+    if (nonPos > 0)
       throw new IllegalStateException("non-positive retrieval scores: run INVALID")
-    enforce(bmB, bmS, hyB, hyS, nQueries = 10, k = 10)
+    legShapes.foreach { case (f, bmS, _, hyS, _) =>
+      enforce(bmB, bmS, hyB, hyS, nQueries = 10, k = 10)
+    }
   }
 }
