@@ -4,21 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
-    val spark = GraftSession.get() // one tuned session config for all mains
-    new java.io.File(outDir).mkdirs()
-    // Corpus gate (ADVICE r9): graft_tokenize emits overlapping CJK bigrams
-    // for Han runs, but every DuckDB oracle tokenizes with the plain
-    // whitespace fold — the 200+ corpus oracles are only valid while
-    // documents.text carries no URO/ExtA characters. Assert that here, at
-    // gate time, over the gate's own corpus, instead of assuming it.
+
+  /** Corpus gate (ADVICE r9): graft_tokenize emits overlapping CJK
+    * bigrams for Han runs, but every DuckDB oracle tokenizes with the
+    * plain whitespace fold — the 200+ corpus oracles are only valid
+    * while documents.text carries no URO/ExtA characters. Asserted at
+    * gate time over the gate's own corpus, instead of assumed.
+    */
+  def assertHanFree(spark: SparkSession, sfDir: String): Unit = {
     val hanDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(org.apache.spark.sql.functions.col("text")
         .rlike("[\\u3400-\\u4DBF\\u4E00-\\u9FFF]")).count()
     require(hanDocs == 0L,
       s"corpus gate: $hanDocs documents contain Han characters — the whitespace " +
         "$TOKS oracle macro no longer matches graft_tokenize on this corpus")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
+    val spark = GraftSession.get() // one tuned session config for all mains
+    new java.io.File(outDir).mkdirs()
+    assertHanFree(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -152,4 +152,23 @@ class CorpusJobSpec extends SparkSpecBase {
     assert(survivors(dir) == first,
       "replaying the same batch must re-drop every document as a corpus duplicate")
   }
+
+  test("survivor-count sidecar: kept in lockstep; a legacy store without one is backfilled") {
+    val docs = loadDocs(60)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_sidecar").toString
+    val sidecar = java.nio.file.Paths.get(s"$dir/corpus_rows")
+    def sidecarCount: Long =
+      new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8").trim.toLong
+
+    CorpusJob.processBatch(spark, docs.take(30).toDF(), dir)
+    assert(java.nio.file.Files.exists(sidecar), "first batch must write the sidecar")
+    assert(sidecarCount == survivors(dir).size.toLong)
+
+    // legacy / lost-sidecar store: the next batch must count once,
+    // backfill, and land on the correct total afterwards
+    java.nio.file.Files.delete(sidecar)
+    CorpusJob.processBatch(spark, docs.drop(30).toDF(), dir)
+    assert(sidecarCount == survivors(dir).size.toLong,
+      "sidecar must be backfilled from the store and updated by the append")
+  }
 }

@@ -24,6 +24,16 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus Han gate: clean corpora pass, a planted URO/ExtA doc trips it") {
+    Verify.assertHanFree(spark, "/root/testdata/sf0.001") // the real corpus is clean
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("han_gate").toString
+    Seq((1L, "plain ascii text"), (2L, "mixed 你好 han run"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] { Verify.assertHanFree(spark, dir) }
+    assert(e.getMessage.contains("Han characters"))
+  }
+
   test("pushed-filter counter: a cast on the filter column trips the gate (0 pushed)") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)
