@@ -93,15 +93,27 @@ object BenchScaleFingerprint {
     val (amS, amScaled) = timed(pipeline.Multimodal.afpPairsFrom(ids(factor), 1, 16))
     // probed-MIH: SAME radius as the byte-block forms (1-bit probe
     // expansion keeps pigeonhole recall exact) — the scale-path twin the
-    // adaptive dispatcher routes to, gated pair-set EQUAL below
+    // adaptive dispatcher routes to, gated pair-set EQUAL below.
+    // 1× probed legs feed the toy-scale tripwire (the round-10 verdict's
+    // dispatcher-overhead finding).
+    val (ppB, _) = timed(pipeline.Multimodal.phashPairsProbedFrom(ids(1)))
     val (ppS, ppScaled) = timed(pipeline.Multimodal.phashPairsProbedFrom(ids(factor)))
+    val (apB, _) = timed(pipeline.Multimodal.afpPairsProbedFrom(ids(1)))
     val (apS, apScaled) = timed(pipeline.Multimodal.afpPairsProbedFrom(ids(factor)))
-    // the dispatcher itself at the scaled operating point: estimates are
-    // snapshotted IMMEDIATELY after the timed run (any later builder call
-    // could overwrite the @volatile observability vars)
+    // the dispatcher at BOTH operating points: estimates/routes are
+    // snapshotted IMMEDIATELY after each timed run (any later builder call
+    // could overwrite the @volatile observability vars). At 1× (5k docs at
+    // sf0.1, below dispatchMinDocs) the dispatcher must short-circuit —
+    // its whole-query wall is gated against the fixed probed route below.
+    val (padB, _) = timed(pipeline.Multimodal.phashPairsAdaptiveFrom(ids(1)))
+    val phRouteB = pipeline.Multimodal.lastFingerprintRoute
+    val phShortB = pipeline.Multimodal.lastFingerprintShortCircuit
     val (padS, _) = timed(pipeline.Multimodal.phashPairsAdaptiveFrom(ids(factor)))
     val phRoute = pipeline.Multimodal.lastFingerprintRoute
     val (phByteCost, phMihCost) = pipeline.Multimodal.lastFingerprintEstimates
+    val (aadB, _) = timed(pipeline.Multimodal.afpPairsAdaptiveFrom(ids(1)))
+    val afRouteB = pipeline.Multimodal.lastFingerprintRoute
+    val afShortB = pipeline.Multimodal.lastFingerprintShortCircuit
     val (aadS, _) = timed(pipeline.Multimodal.afpPairsAdaptiveFrom(ids(factor)))
     val afRoute = pipeline.Multimodal.lastFingerprintRoute
     val (afByteCost, afMihCost) = pipeline.Multimodal.lastFingerprintEstimates
@@ -117,11 +129,13 @@ object BenchScaleFingerprint {
         leg("afp", afB, afS, afBase, afScaled) + "," +
         leg("phash_mih", pmB, pmS, pmBase, pmScaled) + "," +
         leg("afp_mih", amB, amS, amBase, amScaled) + "," +
-        s""""phash_probed":{"scaled_sec":$ppS,"scaled_pairs":${ppScaled.size}},""" +
-        s""""afp_probed":{"scaled_sec":$apS,"scaled_pairs":${apScaled.size}},""" +
-        s""""phash_adaptive":{"scaled_sec":$padS,"route":"$phRoute",""" +
+        s""""phash_probed":{"base_sec":$ppB,"scaled_sec":$ppS,"scaled_pairs":${ppScaled.size}},""" +
+        s""""afp_probed":{"base_sec":$apB,"scaled_sec":$apS,"scaled_pairs":${apScaled.size}},""" +
+        s""""phash_adaptive":{"base_sec":$padB,"base_route":"$phRouteB","base_short_circuit":$phShortB,""" +
+        s""""scaled_sec":$padS,"route":"$phRoute",""" +
         s""""est_cost":{"byte_block":$phByteCost,"mih_probed":$phMihCost}},""" +
-        s""""afp_adaptive":{"scaled_sec":$aadS,"route":"$afRoute",""" +
+        s""""afp_adaptive":{"base_sec":$aadB,"base_route":"$afRouteB","base_short_circuit":$afShortB,""" +
+        s""""scaled_sec":$aadS,"route":"$afRoute",""" +
         s""""est_cost":{"byte_block":$afByteCost,"mih_probed":$afMihCost}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_fingerprint.json"),
       json.getBytes("UTF-8"))
@@ -167,5 +181,24 @@ object BenchScaleFingerprint {
     }
     routeGate("phash", phRoute, phS, ppS)
     routeGate("afp", afRoute, afS, apS)
+    // toy-scale tripwire (round-10 verdict): at 1× (below dispatchMinDocs)
+    // the dispatcher must short-circuit — no estimation aggregates — and
+    // its whole-query wall must stay within 2× of the BETTER fixed route
+    // (same-plan noise bound; the pre-fix overhead measured 1.6–2×, the
+    // short-circuit targets ≤1.2×)
+    def overheadGate(name: String, short: Boolean, tAdaptive: Double,
+                     tByte: Double, tProbed: Double): Unit = {
+      if (!short)
+        throw new IllegalStateException(
+          s"fingerprint sweep invalid: $name adaptive did not short-circuit at 1× " +
+            "(corpus below dispatchMinDocs must skip estimation)")
+      val best = math.min(tByte, tProbed)
+      if (tAdaptive > 2.0 * best)
+        throw new IllegalStateException(
+          s"fingerprint sweep invalid: $name adaptive 1× wall $tAdaptive s > 2× the " +
+            s"better fixed route ($best s) — dispatcher overhead regressed")
+    }
+    overheadGate("phash", phShortB, padB, phB, ppB)
+    overheadGate("afp", afShortB, aadB, afB, apB)
   }
 }

@@ -227,8 +227,19 @@ object BenchScaleSketch {
       gate(rankErrBase <= 0.05, s"t-digest base rank error $rankErrBase > 0.05")
       gate(rankErrScaled <= 0.05, s"t-digest scaled rank error $rankErrScaled > 0.05")
 
+      // Per-op MEASURED verdict (round-10 verdict item 5): the swap rule is
+      // measurement-backed like the dedup/fingerprint dispatchers, not an
+      // assumed "sketches always win". "sketch" only when the sketch run is
+      // >1.2× faster at the scaled point (outside same-plan noise);
+      // "either" inside the band; "exact" when exact wins — the x100
+      // recording showed a8's t-digest ~1.8× SLOWER than exact and a3's
+      // HLL tying it, so the honest verdict is per-op and per-scale.
+      def verdictOf(es: Double, ss: Double): String =
+        if (ss * 1.2 < es) "sketch" else if (es * 1.2 < ss) "exact" else "either"
       val timesJson = times.map { case (n, eb, es, sb, ss) =>
-        s""""$n":{"exact_base_sec":$eb,"exact_scaled_sec":$es,"sketch_base_sec":$sb,"sketch_scaled_sec":$ss}"""
+        s""""$n":{"exact_base_sec":$eb,"exact_scaled_sec":$es,""" +
+          s""""sketch_base_sec":$sb,"sketch_scaled_sec":$ss,""" +
+          s""""recommended_mode":"${verdictOf(es, ss)}"}"""
       }.mkString(",")
       s""""x$factor":{"factor":$factor,"times":{$timesJson},""" +
         s""""hll_max_rel_err":{"base":$hllErrBase,"scaled":$hllErrScaled,"bound":0.15},""" +

@@ -73,7 +73,10 @@ object PlanAudit {
   def pushedFilterCount(plan: String): Int =
     raw"PushedFilters: \[([^\]\n]+)".r.findAllMatchIn(plan)
       .map(_.group(1).split(",").map(_.trim)
-        .count(s => s.nonEmpty && s != "..." && !s.startsWith("IsNotNull(")))
+        // a trailing truncation fragment ("...", "IsNotN...", "GreaterTh...")
+        // is never counted — it could be the tail of an IsNotNull entry, and
+        // counting it would let an all-IsNotNull-but-truncated list pass
+        .count(s => s.nonEmpty && !s.endsWith("...") && !s.startsWith("IsNotNull(")))
       .sum
 
   /** Queries whose plan is a scan-bound filter — if their predicates ever

@@ -479,6 +479,11 @@ object Multimodal {
     * wider (but skinny) probe explode.
     */
   private def probedCandidates(b16: DataFrame, perBlockRadius: Int): DataFrame = {
+    // probe generation only covers radius ≤ 1 (identity + 16 single-bit
+    // flips) — a wider radius would silently LOSE recall (missing pairs),
+    // so unsupported radii must fail loud, not return incomplete results
+    require(perBlockRadius <= 1,
+      s"probedCandidates generates radius-≤1 probes only, got perBlockRadius=$perBlockRadius")
     val ex = b16.select(col("doc_id"), posexplode(col("bs")))
       .select(col("doc_id"), col("pos").as("bi"), col("col").as("bv"))
     val probeCols = Seq(col("bv")) ++
@@ -500,6 +505,9 @@ object Multimodal {
     */
   @volatile var lastFingerprintRoute: String = ""
   @volatile var lastFingerprintEstimates: (Double, Double) = (0.0, 0.0)
+  /** True when the last adaptive call skipped cost estimation entirely
+    * (corpus below `spark.graft.fingerprint.dispatchMinDocs`). */
+  @volatile var lastFingerprintShortCircuit: Boolean = false
 
   /** Cost-based dispatch between the byte-block and probed-MIH renderings
     * of the SAME radius-`maxHam` pair query (both exact by pigeonhole, so
@@ -515,7 +523,10 @@ object Multimodal {
     * would receive (Σ C(n,2) over exact-key blocks; Σ nProbe·nExact over
     * probed keys, self-hits removed, halved for the id< direction) plus
     * each plan's explode volume (n·blocks vs n·blocks·17). Driver work is
-    * two scalar collects over tiny aggregated tables.
+    * two scalar collects over tiny aggregated tables — SKIPPED entirely
+    * below `spark.graft.fingerprint.dispatchMinDocs` (default 20k) docs,
+    * where estimation overhead exceeds either route's whole cost and the
+    * probed route is taken directly (`lastFingerprintShortCircuit`).
     * `BenchScaleFingerprint` trips nonzero if the chosen route measures
     * ≥2× slower than the alternative.
     */
@@ -527,17 +538,35 @@ object Multimodal {
       s"probed MIH at per-block radius 1 covers ham < ${2 * nb16}, got $maxHam")
     val rb = maxHam / nb16
     val blocks8 = raw8.localCheckpoint()
+    // Short-circuit below a corpus-size threshold: the two estimation
+    // aggregates cost ~0.4–0.6 s of fixed overhead, which is 1.6–2× the
+    // ENTIRE query where either route is sub-second (measured at sf0.1,
+    // 5k docs: adaptive 1.04/1.28 s vs 0.65/0.65 s fixed). Below the
+    // threshold the probed route is taken directly — both routes are
+    // same-answer and sub-second there, and probed's 17-key selectivity
+    // never loses by more than the noise band at small n, while byte-block
+    // is the one with a quadratic tail if the corpus was mis-estimated.
+    // The blocks frame is checkpointed, so the count() is one cheap scan
+    // reused as nDocs by the estimation path when it does run.
+    val nDocsL = blocks8.count()
+    val minDocs = raw8.sparkSession.conf
+      .getOption("spark.graft.fingerprint.dispatchMinDocs").map(_.toLong).getOrElse(20000L)
+    if (nDocsL < minDocs) {
+      lastFingerprintShortCircuit = true
+      lastFingerprintEstimates = (0.0, 0.0)
+      lastFingerprintRoute = "mih_probed"
+      return verifyHamming(blocks8, probedCandidates(widen16(blocks8), rb), maxHam)
+    }
+    lastFingerprintShortCircuit = false
     // per-key count tables: distinct (pos, value) is bounded by min(n·blocks,
     // blocks·2^bits) — scalar aggregates over them are noise next to either
     // candidate join
     val c8 = blocks8.select(posexplode(col("bs")))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
-    val r8 = c8.agg(
-        coalesce(sum((col("n") * (col("n") - lit(1L)) / lit(2.0)).cast("double")), lit(0.0)),
-        coalesce(sum(when(col("pos") === 0, col("n"))), lit(0L)))
-      .collect()(0)
-    val byteCand = r8.getDouble(0)
-    val nDocs = r8.getLong(1).toDouble
+    val byteCand = c8.agg(
+        coalesce(sum((col("n") * (col("n") - lit(1L)) / lit(2.0)).cast("double")), lit(0.0)))
+      .collect()(0).getDouble(0)
+    val nDocs = nDocsL.toDouble
     val c16 = widen16(blocks8).select(posexplode(col("bs")))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -695,6 +724,8 @@ object Multimodal {
     phashPairsProbedFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
 
   def phashPairsProbedFrom(idsIn: DataFrame, maxHam: Int = 7): DataFrame = {
+    // 4 16-bit substrings at 1-bit probes cover ham ≤ 2·4−1 by pigeonhole
+    require(maxHam < 8, s"phash probed-MIH at 1-bit probes covers maxHam < 8, got $maxHam")
     val blocks8 = phashBlocksFrom(idsIn, 8).localCheckpoint()
     verifyHamming(blocks8, probedCandidates(widen16(blocks8), maxHam / 4), maxHam)
   }
@@ -704,6 +735,8 @@ object Multimodal {
     afpPairsProbedFrom(Tables.documents(spark, dir).select(col("doc_id")), maxHam)
 
   def afpPairsProbedFrom(idsIn: DataFrame, maxHam: Int = 2): DataFrame = {
+    // 2 16-bit substrings at 1-bit probes cover ham ≤ 2·2−1 by pigeonhole
+    require(maxHam < 4, s"afp probed-MIH at 1-bit probes covers maxHam < 4, got $maxHam")
     val blocks8 = afpBlocksFrom(idsIn, 8).localCheckpoint()
     verifyHamming(blocks8, probedCandidates(widen16(blocks8), maxHam / 2), maxHam)
   }

@@ -547,11 +547,23 @@ class MultimodalSimilaritySpec extends SparkSpecBase {
     val phByte = rows(Multimodal.phashPairs(spark, dir))
     assert(phByte.nonEmpty)
     assert(rows(Multimodal.phashPairsProbed(spark, dir)) == phByte)
+    // default threshold: this corpus (500 docs < 20k) must SHORT-CIRCUIT —
+    // no estimation aggregates, probed route, estimates deliberately (0,0)
     assert(rows(Multimodal.phashPairsAdaptive(spark, dir)) == phByte)
-    val phRoute = Multimodal.lastFingerprintRoute
-    val (phB, phM) = Multimodal.lastFingerprintEstimates
-    assert(Set("byte_block", "mih_probed")(phRoute) && phB > 0 && phM > 0,
-      s"dispatcher observability broken: route=$phRoute est=($phB,$phM)")
+    assert(Multimodal.lastFingerprintShortCircuit &&
+      Multimodal.lastFingerprintRoute == "mih_probed",
+      s"small corpus must short-circuit to probed: route=${Multimodal.lastFingerprintRoute}")
+    // threshold forced to 1: the estimation path must run, record positive
+    // cost estimates, and STILL return the same rows whichever way it routes
+    spark.conf.set("spark.graft.fingerprint.dispatchMinDocs", "1")
+    try {
+      assert(rows(Multimodal.phashPairsAdaptive(spark, dir)) == phByte)
+      val phRoute = Multimodal.lastFingerprintRoute
+      val (phB, phM) = Multimodal.lastFingerprintEstimates
+      assert(!Multimodal.lastFingerprintShortCircuit &&
+        Set("byte_block", "mih_probed")(phRoute) && phB > 0 && phM > 0,
+        s"dispatcher observability broken: route=$phRoute est=($phB,$phM)")
+    } finally spark.conf.unset("spark.graft.fingerprint.dispatchMinDocs")
 
     val afByte = rows(Multimodal.afpPairs(spark, dir))
     assert(afByte.nonEmpty)

@@ -48,4 +48,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(PlanAudit.pushedFilterCount(broken) == 0,
       s"broken probe still counted pushed filters:\n$broken")
   }
+
+  test("pushed-filter counter: truncation fragments never count (ADVICE r10)") {
+    // Spark truncates scan metadata around ~100 chars, which can leave a
+    // trailing fragment like "IsNotN..." — the tail of an IsNotNull entry.
+    // Counting it would let an all-IsNotNull-but-truncated list pass the
+    // >=1 gate; the counter must treat any "..."-terminated token as
+    // unknowable and keep the count a true lower bound.
+    val allTruncated = "PushedFilters: [IsNotNull(a), IsNotNull(b), IsNotN..."
+    assert(PlanAudit.pushedFilterCount(allTruncated) == 0,
+      "a truncated all-IsNotNull list must count zero substantive filters")
+    // (the comma-split sees multi-arg predicates as several tokens — fine
+    // for a >=1 gate, so assert presence, not an exact count)
+    val substantive = "PushedFilters: [IsNotNull(a), GreaterThan(b,7), IsNotN..."
+    assert(PlanAudit.pushedFilterCount(substantive) >= 1)
+    val bareEllipsis = "PushedFilters: [IsNotNull(a), ..."
+    assert(PlanAudit.pushedFilterCount(bareEllipsis) == 0)
+  }
 }
