@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
   * `er_entities` → `er_golden_records`) — after the triangles fix this is
   * the registry's heaviest family, and its cost model (within-block
   * Levenshtein fan-out + iterative label propagation + one survivorship
-  * aggregate) deserves the same 10× evidence as the dedup joins: a
+  * aggregate) deserves the same scaled evidence as the dedup joins: a
   * blocking key that silently stopped blocking would still pass the
   * sf0.01 oracle.
   *
@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * all scale by the factor. Entity IDS shift with the keys (min member
   * key), so gates compare replica-invariant histograms, never raw ids.
   *
-  * The scaled input is WRITTEN AS PARQUET and read through the same
+  * Default legs are 10× and 100× (the brief's "survive a 100× scale-up"
+  * bar): 100× of sf0.1 `customer` is 1.5M rows — in-RAM, so the only cost
+  * is wall-clock.
+  *
+  * Each scaled input is WRITTEN AS PARQUET and read through the same
   * dir-based entry points as production. Artifact first, nonzero exit on
   * any gate violation (the `BenchScale` contract).
   *
@@ -38,12 +42,29 @@ object BenchScaleEr {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
-    val SHIFT = 1000000000L
 
-    val scaledDir = SweepTmp.dir("graft_sweep_er")
+    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
+    val json =
+      s"""{"metric":"scale_sweep_er","sf":"$sfDir","reps":$reps,""" +
+        s""""factors":[${factors.mkString(",")}],""" +
+        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_er.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
+    legs.foreach(_._2.apply())
+  }
+
+  private def runLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     factor: Int, reps: Int): (String, () => Unit) = {
+    val SHIFT = 1000000000L
+    val scaledDir = SweepTmp.dir(s"graft_sweep_er_x$factor")
     val base = Tables.table(spark, sfDir, "customer")
     (0 until factor).map { i =>
       base.withColumn("c_custkey", col("c_custkey") + lit(i * SHIFT))
@@ -103,21 +124,19 @@ object BenchScaleEr {
     val timesJson = times.map { case (n, b, s) =>
       s""""$n":{"base_sec":$b,"scaled_sec":$s}"""
     }.mkString(",")
-    val json =
-      s"""{"metric":"scale_sweep_er","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
-        s""""times":{$timesJson},""" +
+    val legJson =
+      s""""x$factor":{"factor":$factor,"times":{$timesJson},""" +
         s""""pairs_exact_multiple":$pairsExact,"entities_exact_multiple":$entitiesExact,""" +
         s""""golden_exact_multiple":$goldenExact}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_er.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
-    println(json)
-    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
-    def gate(ok: Boolean, what: String): Unit =
-      if (!ok) throw new IllegalStateException(
-        s"ER sweep invalid: $what — artifact written but timings must not be cited")
-    gate(pairsExact, "pair distance histogram not an exact multiple")
-    gate(entitiesExact, "entity-size histogram not an exact multiple")
-    gate(goldenExact, "golden-record histogram not an exact multiple")
+    val enforce = () => {
+      def gate(ok: Boolean, what: String): Unit =
+        if (!ok) throw new IllegalStateException(
+          s"ER sweep invalid at x$factor: $what — artifact written but timings " +
+            "must not be cited")
+      gate(pairsExact, "pair distance histogram not an exact multiple")
+      gate(entitiesExact, "entity-size histogram not an exact multiple")
+      gate(goldenExact, "golden-record histogram not an exact multiple")
+    }
+    (legJson, enforce)
   }
 }

@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 /** Scale-sweep for the TPC-H-shape completion family (q6 scan aggregate,
   * q8 market share, q9 product profit, q12 ship-lag counts, q16
   * distinct+anti, q19 disjunctive predicates, q20 nested share threshold,
-  * q21 existence self-joins): the 10× evidence that these plan shapes
-  * scale linearly in fact volume when per-entity structure is held fixed.
+  * q21 existence self-joins): scaled evidence that these plan shapes
+  * scale near-linearly in fact volume when per-entity structure is held
+  * fixed. Default legs are 10× AND 100× (the brief's "survive a 100×
+  * scale-up" bar) — q21's triple self-join was the honest worst at
+  * 3.8× wall for 10× facts, and 100× facts is the test of whether its
+  * id-pair shuffles stay near-linear.
   *
   * Construction mirrors `BenchScaleRelational`: replica i shifts every
   * entity key past any real id; nation/region stay fixed. Each replica is
@@ -19,9 +23,10 @@ import org.apache.spark.sql.functions._
   * share is REPLICATION-INVARIANT (both sums scale ×f in exact decimal),
   * so the per-year share must agree to 1e-9 after the 6dp round.
   *
-  * The scaled input is WRITTEN AS PARQUET and read through the same
+  * Each scaled input is WRITTEN AS PARQUET and read through the same
   * `SparkEntry.queries` dir-based entry points as production. Artifact
   * first, nonzero exit on any gate violation (the `BenchScale` contract).
+  * Scaled trees are deleted per leg (a 100× lineitem copy is tens of GB).
   *
   * Writes `BENCH_SCALE_tpch.json`; prints the JSON as the last line.
   */
@@ -35,14 +40,40 @@ object BenchScaleTpch {
     System.gc()
   }
 
+  private def rm(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(rm(_)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
-    val SHIFT = 1000000000L
 
-    val scaledDir = SweepTmp.dir("graft_sweep_tpch")
+    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
+    val json =
+      s"""{"metric":"scale_sweep_tpch","sf":"$sfDir","reps":$reps,""" +
+        s""""factors":[${factors.mkString(",")}],""" +
+        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_tpch.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
+    legs.foreach(_._2.apply())
+  }
+
+  private def runLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     factor: Int, reps: Int): (String, () => Unit) = {
+    val SHIFT = 1000000000L
+    val scaledDir = SweepTmp.dir(s"graft_sweep_tpch_x$factor")
     try {
     def shifted(name: String, keyCols: Seq[String]): Unit = {
       val t = Tables.table(spark, sfDir, name)
@@ -145,9 +176,8 @@ object BenchScaleTpch {
     val timesJson = times.map { case (n, b, s) =>
       s""""$n":{"base_sec":$b,"scaled_sec":$s}"""
     }.mkString(",")
-    val json =
-      s"""{"metric":"scale_sweep_tpch","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
-        s""""times":{$timesJson},""" +
+    val legJson =
+      s""""x$factor":{"factor":$factor,"times":{$timesJson},""" +
         s""""q6_line_ct":{"base":$q6b,"scaled":$q6s},"q6_exact_multiple":$q6Exact,""" +
         s""""q8_share_invariant":$q8Invariant,""" +
         s""""q9_exact_multiple":$q9Exact,"q12_exact_multiple":$q12Exact,""" +
@@ -155,31 +185,24 @@ object BenchScaleTpch {
         s""""q19_line_ct":{"base":$q19b,"scaled":$q19s},"q19_exact_multiple":$q19Exact,""" +
         s""""q20_suppliers":{"base":$q20b,"scaled":$q20s},"q20_exact_multiple":$q20Exact,""" +
         s""""q21_sole_late":{"base":$q21b,"scaled":$q21s},"q21_exact_multiple":$q21Exact}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_tpch.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
-    println(json)
-    def gate(ok: Boolean, what: String): Unit =
-      if (!ok) throw new IllegalStateException(
-        s"tpch sweep invalid: $what — artifact written but timings must not be cited")
-    gate(q6Exact, s"q6 line count $q6b -> $q6s")
-    gate(q8Invariant, "q8 per-year shares not replication-invariant")
-    gate(q9Exact, "q9 per-(nation, year) counts not exact multiples")
-    gate(q12Exact, "q12 per-bucket counts not exact multiples")
-    gate(q16Exact, "q16 per-group distinct-supplier counts not exact multiples")
-    gate(q19Exact, s"q19 line count $q19b -> $q19s")
-    gate(q20Exact, s"q20 dominant suppliers $q20b -> $q20s")
-    gate(q21Exact, s"q21 sole-late population $q21b -> $q21s")
+    val enforce = () => {
+      def gate(ok: Boolean, what: String): Unit =
+        if (!ok) throw new IllegalStateException(
+          s"tpch sweep invalid at x$factor: $what — artifact written but timings " +
+            "must not be cited")
+      gate(q6Exact, s"q6 line count $q6b -> $q6s")
+      gate(q8Invariant, "q8 per-year shares not replication-invariant")
+      gate(q9Exact, "q9 per-(nation, year) counts not exact multiples")
+      gate(q12Exact, "q12 per-bucket counts not exact multiples")
+      gate(q16Exact, "q16 per-group distinct-supplier counts not exact multiples")
+      gate(q19Exact, s"q19 line count $q19b -> $q19s")
+      gate(q20Exact, s"q20 dominant suppliers $q20b -> $q20s")
+      gate(q21Exact, s"q21 sole-late population $q21b -> $q21s")
+    }
+    (legJson, enforce)
     } finally {
-      // the ~10× scaled parquet copy is multi-GB at sweep SF; leaking one
-      // tree per run fills /tmp (round-7 advice)
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          try s.forEach(rm(_)) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
+      // delete eagerly per leg, not just at JVM exit: a 100× scaled copy is
+      // tens of GB and two legs would coexist under /tmp otherwise
       rm(java.nio.file.Paths.get(scaledDir))
     }
   }

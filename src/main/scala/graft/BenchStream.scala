@@ -1,0 +1,326 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Memory-stream row shapes for the J2 interval-join leg (top-level so the
+  * product encoders derive; the StreamingParitySpec convention).
+  */
+case class BsL(l_key: Long, l_ts: Timestamp)
+case class BsR(r_key: Long, r_ts: Timestamp)
+case class BsDoc(doc_id: Long, text: String)
+
+/** Streaming performance evidence — the one engine surface the batch bench
+  * rows never touch (round-10 verdict item 2). Every streaming twin carries
+  * parity + crash-recovery SPECS; this main records what they COST: per-batch
+  * trigger wall, sustained rows/sec, and the state-store trajectory
+  * (rows/bytes per batch) over a fixed replay, at 1× and 10× input.
+  *
+  * The reference's posture on this surface is parallelism-1 Flink jobs
+  * (`app/dwd/BaseLogApp.java:35` and siblings); the engine claims micro-batch
+  * scale, so the claims that need numbers are:
+  *
+  *  - `WarehouseJob` (ODS→DWD→DWS `foreachBatch` fan-out) is STATELESS
+  *    across batches — per-batch wall must not trend upward over a replay
+  *    (a leaked persisted frame or accumulating store would);
+  *  - `CorpusJob` (ingest → incremental dedup → IVF refresh) keeps state
+  *    that grows with SURVIVORS only — store rows after every batch must be
+  *    monotone, ≤ cumulative ingest, and finish at the one-shot oracle's
+  *    survivor count (batch-size invariance at bench scale). Its per-batch
+  *    wall DOES grow with the store in this rendering (the corpus side's
+  *    band rows are recomputed from the survivor store each batch — the
+  *    100 TB deployment serves them from a persisted band index, per the
+  *    class doc); the artifact records that trajectory rather than hiding it;
+  *  - J2 (`j1IntervalJoin` [-15m, +5s]) holds the right side ~15 minutes
+  *    past the watermark — state must PLATEAU at the retention horizon,
+  *    not grow with the replay (Flink's interval-join retention contract);
+  *  - `streamingNearDupPairs` holds Bands band-rows per admitted doc —
+  *    state keys are bounded by docs × Bands and the trajectory is O(corpus)
+  *    by design (the batch signature table's posture), recorded per batch.
+  *
+  * Artifact first (`BENCH_STREAM.json`), nonzero exit on any gate violation
+  * (the BenchScale contract), so timings from an invalid run cannot be cited.
+  */
+object BenchStream {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0 else s(s.size / 2)
+  }
+
+  /** Per-batch (inputRows, triggerExecution sec, stateRows, stateBytes) from
+    * the query's progress ring, data-carrying triggers only.
+    */
+  private def progress(q: StreamingQuery): Seq[(Long, Double, Long, Long)] =
+    q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+      (p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000.0).getOrElse(0.0),
+        p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.memoryUsedBytes).sum)
+    }
+
+  private def legJson(name: String, factor: Int, rows: Long, batches: Int,
+                      walls: Seq[Double], extra: String): String = {
+    val wall = walls.sum
+    val rps = if (wall > 0) rows / wall else 0.0
+    s""""x$factor":{"factor":$factor,"input_rows":$rows,"batches":$batches,""" +
+      s""""trigger_wall_sec":${"%.3f".format(wall)},"rows_per_sec":${"%.0f".format(rps)},""" +
+      s""""batch_sec":[${walls.map(w => "%.3f".format(w)).mkString(",")}]$extra}"""
+  }
+
+  // ---- leg 1: WarehouseJob over an incremental file-topic replay ---------
+
+  private def warehouseLeg(spark: SparkSession, sfDir: String, factor: Int,
+                           nBatches: Int): (String, () => Unit) = {
+    val src = SweepTmp.dir("bstream_wh_src")
+    val out = SweepTmp.dir("bstream_wh_out")
+    val ckpt = SweepTmp.dir("bstream_wh_ckpt")
+    val events = Tables.events(spark, sfDir)
+    val job = new graft.streaming.WarehouseJob(spark, out)
+    val q = job.start(src, ckpt)
+    var total = 0L
+    try {
+      (0 until nBatches).foreach { b =>
+        // batch b = slice b of every replica, landed as new files in the
+        // topic dir (the file source picks up arrivals per trigger)
+        val slice = (0 until factor).map { r =>
+          events.filter(col("event_id") % nBatches === b)
+            .withColumn("event_id", col("event_id") + lit(r.toLong * 1000000000L))
+            .withColumn("user_id", col("user_id") + lit(r.toLong * 1000000000L))
+        }.reduce(_ unionByName _)
+        val tmp = SweepTmp.dir(s"bstream_wh_b$b")
+        slice.coalesce(4).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(src, s"b${b}_${f.getName}"))
+          }
+        q.processAllAvailable()
+      }
+      total = spark.read.parquet(src).count()
+    } finally q.stop()
+    val prog = progress(q)
+    val walls = prog.map(_._2)
+    // measure-conservation: the DWS stats partials must re-aggregate to the
+    // full ingest (every routed-or-dirty row counted exactly once upstream)
+    val statsSum = spark.read.parquet(s"$out/stats").agg(sum("total_ct"))
+      .first().getLong(0)
+    val cleanRows = total // this dataset has no dirty rows (all props parse)
+    // stateless-job gate: wall median of the last 5 batches vs batches 1–5
+    // (batch 0 pays codegen warmup) — an accumulating leak trends upward
+    val warm = walls.drop(1).take(5)
+    val tail = walls.takeRight(5)
+    // under 12 batches warm and tail windows overlap — too short to assess a
+    // trend, so the gate passes vacuously (the batch count is in the artifact)
+    val trendOk = walls.size < 12 || median(tail) <= 2.5 * median(warm)
+    val json = legJson("warehouse", factor, total, prog.size, walls,
+      s""","stats_total_ct":$statsSum,"trend_ok":$trendOk""")
+    val enforce = () => {
+      if (statsSum != cleanRows) throw new IllegalStateException(
+        s"stream bench invalid: warehouse x$factor stats partials sum $statsSum != ingest $cleanRows")
+      if (!trendOk) throw new IllegalStateException(
+        s"stream bench invalid: warehouse x$factor per-batch wall trends upward " +
+          s"(first-5 median ${median(warm)} s, last-5 median ${median(tail)} s) — " +
+          "the foreachBatch fan-out must stay stateless across batches")
+    }
+    (json, enforce)
+  }
+
+  // ---- leg 2: CorpusJob ingest→dedup→IVF over a MemoryStream replay ------
+
+  private def corpusDocs(spark: SparkSession, sfDir: String, factor: Int): Seq[graft.streaming.CorpusJob.CorpusDoc] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val base = docs.join(embs, "doc_id").orderBy("doc_id")
+      .as[(Long, String, Seq[Float])].collect().toSeq
+    (0 until factor).flatMap { r =>
+      base.map { case (id, t, e) =>
+        // every token salted per replica: replicas share NO shingles, so
+        // within-replica dup structure is preserved and survivors scale
+        val text = if (r == 0) t else t.split(' ').map(w => s"$w$r").mkString(" ")
+        graft.streaming.CorpusJob.CorpusDoc(id + r.toLong * 100000000L, text, e)
+      }
+    }.sortBy(_.doc_id)
+  }
+
+  private def dirBytes(d: java.io.File): Long = {
+    val kids = d.listFiles()
+    if (kids == null) (if (d.isFile) d.length() else 0L)
+    else kids.map(dirBytes).sum
+  }
+
+  private def corpusLeg(spark: SparkSession, sfDir: String, factor: Int,
+                        nBatches: Int): (String, () => Unit) = {
+    import spark.implicits._
+    val all = corpusDocs(spark, sfDir, factor)
+    val stateDir = SweepTmp.dir("bstream_corpus_state")
+    val ckpt = SweepTmp.dir("bstream_corpus_ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[graft.streaming.CorpusJob.CorpusDoc]
+    val q = graft.streaming.CorpusJob.start(in.toDF(), stateDir, ckpt)
+    val chunk = math.max(1, all.size / nBatches)
+    val storeRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val storeBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      all.grouped(chunk).foreach { c =>
+        in.addData(c)
+        q.processAllAvailable()
+        val sidecar = java.nio.file.Paths.get(s"$stateDir/corpus_rows")
+        storeRows += (if (java.nio.file.Files.exists(sidecar))
+          new String(java.nio.file.Files.readAllBytes(sidecar)).trim.toLong else 0L)
+        storeBytes += dirBytes(new java.io.File(s"$stateDir/corpus"))
+      }
+    } finally q.stop()
+    val prog = progress(q)
+    val walls = prog.map(_._2)
+    val survivors = storeRows.last
+    val parquetRows = spark.read.parquet(s"$stateDir/corpus").count()
+    // one-shot oracle: the whole replay as a single batch (the batch-size
+    // invariance contract the parity spec gates at sf0.001, re-checked at
+    // bench scale off the timed path)
+    val oneDir = SweepTmp.dir("bstream_corpus_oracle")
+    graft.streaming.CorpusJob.processBatch(spark, all.toDF(), oneDir)
+    val oracleSurvivors = spark.read.parquet(s"$oneDir/corpus").count()
+    val monotone = storeRows.zip(storeRows.tail).forall { case (a, b) => a <= b }
+    val json = legJson("corpus", factor, all.size.toLong, prog.size, walls,
+      s""","store_rows":[${storeRows.mkString(",")}],""" +
+        s""""store_bytes":[${storeBytes.mkString(",")}],""" +
+        s""""survivors":$survivors,"oracle_survivors":$oracleSurvivors,""" +
+        s""""monotone":$monotone""")
+    val enforce = () => {
+      if (!monotone) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor store rows not monotone: $storeRows")
+      if (survivors != parquetRows) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor sidecar $survivors != store $parquetRows")
+      if (survivors != oracleSurvivors) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor streaming survivors $survivors != " +
+          s"one-shot oracle $oracleSurvivors — batch-size invariance broken")
+      if (survivors > all.size) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor survivors $survivors > ingest ${all.size}")
+    }
+    (json, enforce)
+  }
+
+  // ---- leg 3: J2 interval-join state under watermark cleanup -------------
+
+  private def j2Leg(spark: SparkSession, factor: Int, nBatches: Int,
+                    rowsPerBatch: Int): (String, () => Unit) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val lIn = MemoryStream[BsL]
+    val rIn = MemoryStream[BsR]
+    val joined = graft.streaming.StreamOps.j1IntervalJoin(lIn.toDF(), rIn.toDF(),
+      lowerBound = "15 minutes", upperBound = "5 seconds")
+    val q = joined.writeStream.format("noop")
+      .option("checkpointLocation", SweepTmp.dir("bstream_j2_ckpt")).start()
+    val n = rowsPerBatch * factor
+    try {
+      for (b <- 0 until nBatches) {
+        val t0 = base + b * 60000L
+        lIn.addData((0 until n).map(i => BsL(i.toLong, new Timestamp(t0 + (i % 50) * 1000L))))
+        rIn.addData((0 until n).map(i => BsR(i.toLong, new Timestamp(t0 + (i % 50) * 1000L + 2000L))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val prog = progress(q)
+    val walls = prog.map(_._2)
+    val states = prog.map(_._3)
+    val bytes = prog.map(_._4)
+    val totalIngested = 2L * nBatches * n
+    // retention horizon ≈ (15 min + 10 s) / 1-min batches ≈ 16 batches of
+    // right rows: the store must plateau there, not track the replay length
+    val tail = states.takeRight(10)
+    val plateauOk = tail.nonEmpty && tail.max - tail.min <= math.ceil(0.25 * tail.max).toLong
+    val boundOk = states.nonEmpty && states.last <= totalIngested / 2 && states.last > 0
+    val json = legJson("j2_interval", factor, totalIngested, prog.size, walls,
+      s""","state_rows":[${states.mkString(",")}],""" +
+        s""""state_bytes":[${bytes.mkString(",")}],""" +
+        s""""plateau_ok":$plateauOk,"bound_ok":$boundOk""")
+    val enforce = () => {
+      if (!plateauOk) throw new IllegalStateException(
+        s"stream bench invalid: j2 x$factor state did not plateau (last 10: $tail) — " +
+          "watermark cleanup must bound interval-join state at the retention horizon")
+      if (!boundOk) throw new IllegalStateException(
+        s"stream bench invalid: j2 x$factor final state ${states.lastOption} vs ingest $totalIngested")
+    }
+    (json, enforce)
+  }
+
+  // ---- leg 4: streaming near-dup band-index state -------------------------
+
+  private def neardupLeg(spark: SparkSession, sfDir: String, factor: Int,
+                         nBatches: Int): (String, () => Unit) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val all = (0 until factor).flatMap { r =>
+      base.map { case (id, t) =>
+        val text = if (r == 0) t else t.split(' ').map(w => s"$w$r").mkString(" ")
+        BsDoc(id + r.toLong * 100000000L, text)
+      }
+    }.sortBy(_.doc_id)
+    val in = MemoryStream[BsDoc]
+    val q = graft.streaming.StreamOps.streamingNearDupPairs(in.toDF())
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", SweepTmp.dir("bstream_nd_ckpt")).start()
+    val chunk = math.max(1, all.size / nBatches)
+    try {
+      all.grouped(chunk).foreach { c => in.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val prog = progress(q)
+    val walls = prog.map(_._2)
+    val states = prog.map(_._3)
+    val bytes = prog.map(_._4)
+    // state keys = populated band buckets ≤ admitted docs × Bands — the
+    // O(corpus) posture of the batch signature table, never more
+    val bound = all.size.toLong * graft.pipeline.Dedup.Bands
+    val boundOk = states.nonEmpty && states.last > 0 && states.last <= bound
+    val json = legJson("neardup", factor, all.size.toLong, prog.size, walls,
+      s""","state_rows":[${states.mkString(",")}],""" +
+        s""""state_bytes":[${bytes.mkString(",")}],""" +
+        s""""state_bound_rows":$bound,"bound_ok":$boundOk""")
+    val enforce = () => {
+      if (!boundOk) throw new IllegalStateException(
+        s"stream bench invalid: neardup x$factor state ${states.lastOption} outside (0, $bound]")
+    }
+    (json, enforce)
+  }
+
+  // -------------------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_STREAM_FACTORS", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    val spark = GraftSession.get()
+
+    def leg(mk: Int => (String, () => Unit)): (String, Seq[() => Unit]) = {
+      val runs = factors.map(mk)
+      (runs.map(_._1).mkString(","), runs.map(_._2))
+    }
+    val (whJson, whGates) = leg(f => warehouseLeg(spark, sfDir, f, nBatches))
+    val (cpJson, cpGates) = leg(f => corpusLeg(spark, sfDir, f, nBatches))
+    val (j2Json, j2Gates) = leg(f => j2Leg(spark, f, nBatches = 40, rowsPerBatch = 200))
+    val (ndJson, ndGates) = leg(f => neardupLeg(spark, sfDir, f, nBatches))
+
+    val json =
+      s"""{"metric":"bench_stream","sf":"$sfDir","batches":$nBatches,""" +
+        s""""factors":[${factors.mkString(",")}],"legs":{""" +
+        s""""warehouse":{$whJson},"corpus":{$cpJson},""" +
+        s""""j2_interval":{$j2Json},"neardup":{$ndJson}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
+    (whGates ++ cpGates ++ j2Gates ++ ndGates).foreach(_.apply())
+  }
+}
