@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 /** Scale-sweep for the triangle/clustering-coefficient operator — the
   * registry's single most expensive query (`graph_triangles`, ~13 s at
   * sf0.1) and the one whose cost model (degree-oriented wedge join,
-  * O(√|E|) fan-out bound) most needs 10× evidence: a wedge join that
+  * O(√|E|) fan-out bound) most needs scaled evidence: a wedge join that
   * silently went quadratic would still pass the sf0.01 oracle.
   *
   * Construction: f disjoint key-shifted replicas of `lineitem` (orderkey
@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * The histogram gate subsumes the scalar ones but the scalars are
   * recorded for the artifact's readability.
   *
-  * The scaled input is WRITTEN AS PARQUET and read through the same
+  * Default legs are 10× and 30× — NOT the 100× the other families run,
+  * and deliberately so (no silent caps): the 10× leg measured ~81 s wall,
+  * so a 100× leg extrapolates past the ~10-minute single-leg budget; 30×
+  * is the largest factor that stays inside it. The artifact records the
+  * cap and its reason (`factor_cap_reason`).
+  *
+  * Each scaled input is WRITTEN AS PARQUET and read through the same
   * dir-based entry point as production (full scan-to-result timing).
   * Artifact first, nonzero exit on any gate violation (the `BenchScale`
   * contract), so timings from an invalid run cannot be cited.
@@ -37,12 +43,30 @@ object BenchScaleGraph {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,30")
+        .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
-    val SHIFT = 1000000000L
 
-    val scaledDir = SweepTmp.dir("graft_sweep_graph")
+    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
+    val json =
+      s"""{"metric":"scale_sweep_graph","sf":"$sfDir","reps":$reps,""" +
+        s""""factors":[${factors.mkString(",")}],""" +
+        s""""factor_cap_reason":"30x not 100x: the 10x leg measures ~80 s wall, a 100x leg extrapolates past the 10-minute single-leg budget (round-10 verdict convention: record the cap, never silently shrink)",""" +
+        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
+    legs.foreach(_._2.apply())
+  }
+
+  private def runLeg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     factor: Int, reps: Int): (String, () => Unit) = {
+    val SHIFT = 1000000000L
+    val scaledDir = SweepTmp.dir(s"graft_sweep_graph_x$factor")
     val base = Tables.table(spark, sfDir, "lineitem")
     (0 until factor).map { i =>
       base.withColumn("l_orderkey", col("l_orderkey") + lit(i * SHIFT))
@@ -85,20 +109,18 @@ object BenchScaleGraph {
     val trisB = hb.map { case ((_, t, _), ct) => t * ct }.sum / 3
     val trisS = hs.map { case ((_, t, _), ct) => t * ct }.sum / 3
 
-    val json =
-      s"""{"metric":"scale_sweep_graph","sf":"$sfDir","factor":$factor,"reps":$reps,""" +
+    val legJson =
+      s""""x$factor":{"factor":$factor,""" +
         s""""times":{"graph_triangles":{"base_sec":$baseSec,"scaled_sec":$scaledSec}},""" +
         s""""rows":{"base":$rowsB,"scaled":$rowsS},""" +
         s""""triangles":{"base":$trisB,"scaled":$trisS},""" +
         s""""hist_cells":${hb.size},"hist_exact_multiple":$histExact}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
-    println(json)
-    // uncaught throw after the print exits the JVM nonzero (BenchScale contract)
-    if (!histExact) throw new IllegalStateException(
-      s"graph sweep invalid: (degree, tri_ct, coeff) histogram not an exact ×$factor" +
-        s" multiple (base ${hb.size} cells / $rowsB rows, scaled ${hs.size} / $rowsS)" +
-        " — artifact written but timings must not be cited")
+    val enforce = () => {
+      if (!histExact) throw new IllegalStateException(
+        s"graph sweep invalid at x$factor: (degree, tri_ct, coeff) histogram not an " +
+          s"exact ×$factor multiple (base ${hb.size} cells / $rowsB rows, scaled " +
+          s"${hs.size} / $rowsS) — artifact written but timings must not be cited")
+    }
+    (legJson, enforce)
   }
 }
