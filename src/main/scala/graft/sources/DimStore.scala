@@ -105,8 +105,19 @@ class DimStore(spark: SparkSession, basePath: String) {
     * whole-row hash so repeated runs of the same input converge).
     *
     * Only the key-hash buckets present in the batch are merged and
-    * rewritten. A store written by the pre-bucket flat layout is migrated
-    * in one pass (every bucket rewritten once, flat files then removed).
+    * rewritten — in ONE Spark job: the batch plus the touched buckets'
+    * current rows are unioned, collapsed last-write-wins, and written to a
+    * staging dir `partitionBy(graft_bucket)`; each staged bucket dir is
+    * then swapped into place with a driver-side atomic rename. (The
+    * previous rendering looped the buckets sequentially — two jobs per
+    * bucket, ~35 jobs for a batch touching all 16 — and was the dominant
+    * term of the streaming warehouse's per-batch fixed cost.) A crash
+    * between renames leaves some buckets new and some old; the retry
+    * re-merges and the versioned dedup converges, and `read()` ignores the
+    * `_`-prefixed staging dir, so the store is never unreadable.
+    *
+    * A store written by the pre-bucket flat layout is migrated in the same
+    * one pass (every bucket rewritten once, flat files then removed).
     */
   def upsert(table: String, batch: DataFrame, keyCol: String, versionCol: String): Unit = {
     val nb = numBuckets
@@ -118,6 +129,9 @@ class DimStore(spark: SparkSession, basePath: String) {
     // writes and flat-file deletion leaves a mixed layout that directory
     // listing + partition discovery reject ("conflicting directory
     // structures"); explicit paths make the retry converge instead.
+    // During a retry rows may exist BOTH in a bucket and in the remaining
+    // flat files — both sides are merged; the versioned dedup collapses
+    // the overlap deterministically.
     val legacy: Option[DataFrame] =
       if (flatFiles.nonEmpty)
         Some(spark.read.parquet(flatFiles.map(_.getPath).toIndexedSeq: _*))
@@ -130,39 +144,42 @@ class DimStore(spark: SparkSession, basePath: String) {
     val touched: Seq[Int] =
       if (legacy.isDefined) 0 until nb
       else batchB.select(col("__b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
-    touched.foreach { i =>
+    val bucketExisting: Seq[DataFrame] = touched.flatMap { i =>
       val bucketPath = s"${path(table)}/graft_bucket=$i"
-      // during a migration RETRY (crash between bucket writes and flat-file
-      // deletion) rows may exist in the bucket that are already gone from
-      // the remaining flat files — merge BOTH; the versioned dedup below
-      // collapses the overlap deterministically
-      val legacyPart = legacy
-        .map(l => l.withColumn("__b", bucketOf(l, keyCol, nb)).filter(col("__b") === i).drop("__b"))
-      val bucketExisting =
-        if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
-        else None
-      val existing: Option[DataFrame] = (legacyPart, bucketExisting) match {
-        case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
-        case (a, b)             => a.orElse(b)
-      }
-      val part = batchB.filter(col("__b") === i).drop("__b")
-      val merged = existing match {
-        case Some(cur) => cur.unionByName(part, allowMissingColumns = true)
-        case None      => part
-      }
-      val deduped = dedupLatest(merged, keyCol, versionCol)
-      // two-phase write whenever the plan READS the bucket it overwrites
-      // (parquet can't overwrite its own input in place)
-      if (bucketExisting.isDefined) {
-        val tmp = s"${path(table)}/_tmp_bucket_$i"
-        deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
-        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(bucketPath)
-        rmTree(tmp)
-      } else
-        deduped.write.mode(SaveMode.Overwrite).parquet(bucketPath)
+      if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
+      else None
     }
+    // merge WITHOUT the bucket column so the dedup tie-break hash sees
+    // exactly the upserted schema (the bucket is re-derived afterwards —
+    // it is a pure function of the key, so rows land where they came from)
+    val merged = (Seq(batchB.drop("__b")) ++ bucketExisting ++ legacy.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val deduped = dedupLatest(merged, keyCol, versionCol)
+    val staged = deduped.withColumn("graft_bucket", bucketOf(deduped, keyCol, nb))
+    val tmp = s"${path(table)}/_tmp_upsert"
+    rmTree(tmp) // stale staging from a crashed prior attempt
+    staged.write.mode(SaveMode.Overwrite).partitionBy("graft_bucket").parquet(tmp)
+    touched.foreach { i =>
+      val src = new java.io.File(s"$tmp/graft_bucket=$i")
+      // a touched bucket always stages ≥1 row (the batch's rows hash there
+      // and dedup keeps one row per key); absent src = genuinely empty
+      // bucket during a full migration — nothing to place
+      if (src.exists()) {
+        val dst = new java.io.File(s"${path(table)}/graft_bucket=$i")
+        rmTreeF(dst)
+        java.nio.file.Files.move(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+    }
+    rmTree(tmp)
     // migration complete: the flat files' rows now live in the buckets
     flatFiles.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+  }
+
+  private def rmTreeF(d: java.io.File): Unit = {
+    if (d.isDirectory) d.listFiles().foreach(rmTreeF)
+    d.delete(); ()
   }
 
   private def rmTree(dir: String): Unit = {

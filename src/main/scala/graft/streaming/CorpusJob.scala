@@ -50,6 +50,26 @@ object CorpusJob {
 
   private def corpusPath(stateDir: String) = s"$stateDir/corpus"
   private def countPath(stateDir: String) = s"$stateDir/corpus_rows"
+  private def rebuildsPath(stateDir: String) = s"$stateDir/rebuilds"
+
+  /** Number of full IVF-assignment rebuilds this store has performed —
+    * observability for the rare-coarse-rebuild contract: rebuilds happen
+    * ONLY while the seed set is forming (fewer than `nCells` survivors),
+    * so a replay's count must stop growing once the store passes `nCells`
+    * rows. `BenchStream` records and gates this per batch.
+    */
+  def rebuildCount(stateDir: String): Long = {
+    val p = java.nio.file.Paths.get(rebuildsPath(stateDir))
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private def bumpRebuilds(stateDir: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(rebuildsPath(stateDir)),
+      (rebuildCount(stateDir) + 1).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Survivor store if it exists: (doc_id, sig, emb, nrm, cell). */
   private def loadCorpus(spark: SparkSession, stateDir: String): Option[DataFrame] =
@@ -165,6 +185,7 @@ object CorpusJob {
     // rebuilds are rare (seed bootstrap) and the frame is checkpointed, so
     // the exact recount is cheap here — and it self-heals any sidecar drift
     writeCount(stateDir, rebuilt.count())
+    bumpRebuilds(stateDir)
   }
 
   /** Nearest-centroid assignment (cosine, ties to low seed id) — the

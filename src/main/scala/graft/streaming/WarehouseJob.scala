@@ -103,6 +103,13 @@ class WarehouseJob(spark: SparkSession, outDir: String,
     }
   }
 
+  /** When `spark.graft.profileBatch=true`, per-section wall times for every
+    * micro-batch are appended to `outDir/_profile.jsonl` — the attribution
+    * record for the per-batch fixed-cost floor (one JSON line per batch).
+    */
+  private def profileEnabled: Boolean =
+    spark.conf.get("spark.graft.profileBatch", "false").toBoolean
+
   def start(sourceTopic: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val dims = new DimStore(spark, s"$outDir/dim")
     val raw = topics.readStream(sourceTopic, eventSchema)
@@ -115,6 +122,13 @@ class WarehouseJob(spark: SparkSession, outDir: String,
         else {
         val staging = new java.io.File(s"$outDir/_staging/$batchId")
         rmTree(staging) // stale staging from a crashed prior attempt
+        val prof = scala.collection.mutable.LinkedHashMap[String, Double]()
+        def timed[T](section: String)(body: => T): T = {
+          val t0 = System.nanoTime()
+          val r = body
+          prof(section) = prof.getOrElse(section, 0.0) + (System.nanoTime() - t0) / 1e9
+          r
+        }
         val ev = batch.persist() // SP1: one materialization, many children
         // released in the finally below even when the batch fails (a leaked
         // persisted frame accumulates storage blocks over a long stream)
@@ -124,8 +138,10 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           // try_cast: malformed $.k routes to dirty (null) instead of
           // throwing under ANSI — this branch exists to absorb dirty input.
           val parsed = ev.withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
-          parsed.filter(col("k").isNull).write.mode(SaveMode.Overwrite)
-            .parquet(s"$staging/dirty")
+          timed("dirty_write") {
+            parsed.filter(col("k").isNull).write.mode(SaveMode.Overwrite)
+              .parquet(s"$staging/dirty")
+          }
           val clean = parsed.filter(col("k").isNotNull)
 
           // SP2/ST3: config re-read + route (broadcast join, inner = drop
@@ -134,29 +150,40 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           // checkpoint blocks for a per-batch frame would need explicit
           // release every batch or they accumulate over a long stream).
           val cfgSrc = loadConfig()
-          val cfgRows = cfgSrc.collect()
+          val cfgRows = timed("config_load")(cfgSrc.collect())
           val cfg = spark.createDataFrame(
             java.util.Arrays.asList(cfgRows: _*), cfgSrc.schema)
           val r = clean.join(broadcast(cfg.drop("sink_pk", "sink_columns")),
             col("event_type") === col("source_type")).persist()
           routed = Some(r)
-          if (topics.resolvedBroker.isDefined)
-            // S5 kafka mode: the reference's dynamic at-least-once producer
-            topics.writeBatchDynamic(
+          timed("facts_write") {
+            if (topics.resolvedBroker.isDefined)
+              // S5 kafka mode: the reference's dynamic at-least-once producer
+              topics.writeBatchDynamic(
+                r.filter(col("sink_type") === "kafka")
+                  .select("event_id", "ts", "user_id", "event_type", "value", "sink_table"),
+                "sink_table", s"$staging/facts")
+            else
               r.filter(col("sink_type") === "kafka")
-                .select("event_id", "ts", "user_id", "event_type", "value", "sink_table"),
-              "sink_table", s"$staging/facts")
-          else
-            r.filter(col("sink_type") === "kafka")
-              .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
-              .write.mode(SaveMode.Overwrite).partitionBy("sink_table")
-              .parquet(s"$staging/facts") // S5: dynamic per-row topic
+                .select("event_id", "ts", "user_id", "event_type", "value", "sink_table")
+                .write.mode(SaveMode.Overwrite).partitionBy("sink_table")
+                .parquet(s"$staging/facts") // S5: dynamic per-row topic
+          }
 
           // S8/S9: dim sinks, honoring each config row's (pk, columns) —
           // `TableProcessFunction.java:66-122`. The DATA never reaches the
           // driver (keyed distributed upsert); only config rows do.
-          cfgRows.filter(_.getAs[String]("sink_type") == "hbase")
-            .foreach { c =>
+          // Misroute guard: ONE job counts every dim table's slice (the
+          // per-table count() loop was one sequential job per table).
+          val dimCfgs = cfgRows.filter(_.getAs[String]("sink_type") == "hbase")
+          val dimCounts: Map[String, Long] =
+            if (dimCfgs.isEmpty) Map.empty
+            else timed("dim_counts") {
+              r.filter(col("sink_type") === "hbase")
+                .groupBy(col("sink_table")).agg(count(lit(1)).as("n"))
+                .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+            }
+          dimCfgs.foreach { c =>
               val table = c.getAs[String]("sink_table")
               val pk = c.getAs[String]("sink_pk")
               // null-safe BEFORE split: a NULL sink_columns must hit the
@@ -167,35 +194,51 @@ class WarehouseJob(spark: SparkSession, outDir: String,
               require(pk != null && cols.contains(pk),
                 s"dim config for $table: sink_pk '$pk' must be one of sink_columns " +
                   s"'${cols.mkString(",")}' (both non-null)")
-              val rows = r.filter(col("sink_table") === table)
-                .select(cols.map(col): _*)
-              val n = rows.count()
+              val n = dimCounts.getOrElse(table, 0L)
               require(n <= maxDimBatchRows,
                 s"dim batch for $table has $n rows (> $maxDimBatchRows): " +
                   "fact-sized stream routed to a dim sink — check the routing config")
-              if (n > 0) dims.upsert(table, rows, pk, "ts")
+              if (n > 0) timed(s"dim_upsert_$table") {
+                dims.upsert(table,
+                  r.filter(col("sink_table") === table).select(cols.map(col): _*),
+                  pk, "ts")
+              }
             }
 
           // DWS: A1 visitor stats over the clean stream (per-batch PARTIAL
           // rows keyed by (stt,edt,event_type) — see class doc contract).
           // S7: JDBC (ClickHouse-style) appends when spark.graft.jdbc.url
           // is configured, staged parquet otherwise.
-          if (topics.resolvedJdbcUrl.isDefined)
-            // batchId ⇒ stamped delete-then-insert: replay-idempotent like
-            // the staged parquet publish (see Topics.writeBatchJdbc)
-            topics.writeBatchJdbc(LogPipeline.a1Transform(clean), "visitor_stats",
-              outDir, batchId)
-          else
-            LogPipeline.a1Transform(clean)
-              .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
+          timed("stats_write") {
+            if (topics.resolvedJdbcUrl.isDefined)
+              // batchId ⇒ stamped delete-then-insert: replay-idempotent like
+              // the staged parquet publish (see Topics.writeBatchJdbc)
+              topics.writeBatchJdbc(LogPipeline.a1Transform(clean), "visitor_stats",
+                outDir, batchId)
+            else
+              LogPipeline.a1Transform(clean)
+                .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats")
+          }
 
           // Publish: batch-scoped dirs replaced wholesale → replay-safe.
-          publish(new java.io.File(staging, "dirty"), new java.io.File(s"$outDir/dirty/batch=$batchId"))
-          publish(new java.io.File(staging, "facts"), new java.io.File(s"$outDir/facts/batch=$batchId"))
-          publish(new java.io.File(staging, "stats"), new java.io.File(s"$outDir/stats/batch=$batchId"))
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
-          rmTree(staging)
+          timed("publish") {
+            publish(new java.io.File(staging, "dirty"), new java.io.File(s"$outDir/dirty/batch=$batchId"))
+            publish(new java.io.File(staging, "facts"), new java.io.File(s"$outDir/facts/batch=$batchId"))
+            publish(new java.io.File(staging, "stats"), new java.io.File(s"$outDir/stats/batch=$batchId"))
+            marker.getParentFile.mkdirs()
+            marker.createNewFile()
+            rmTree(staging)
+          }
+          if (profileEnabled) {
+            val line = prof.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+              .mkString(s"""{"batch":$batchId,""", ",", "}\n")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/_profile.jsonl"),
+              line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+            ()
+          }
         } finally {
           routed.foreach(_.unpersist())
           ev.unpersist()

@@ -4,7 +4,14 @@ graft.Verify into OUTDIR/<name>/ (parquet), run the corresponding oracle SQL
 from OUTDIR/oracle_sql.json in DuckDB over the parquet tables in SFDIR,
 sort columns by name + rows by all columns, and compare values.
 
-Usage: python3 tools/check.py <sfdir> <outdir> [query ...]
+Usage: python3 tools/check.py [--parallel N] <sfdir> <outdir> [query ...]
+
+--parallel N splits the query list over N child check.py processes
+(strided assignment so alphabetically-adjacent heavy families spread out),
+merges their artifacts and per-query lines, and prints the same output
+format as a single-process run. The sf0.1 full-registry gate is hours
+single-threaded (the minhash-family oracle SQL dominates); round-11 ran it
+as ~6 hand-split instances merged by hand — this flag is that procedure.
 
 If the env var CHECK_ARTIFACT is set to a path, a machine-readable artifact in
 the driver's exact per-query schema is written there:
@@ -32,9 +39,72 @@ def normalize(df):
     return df
 
 
+def parallel_main(nproc, sfdir, outdir, only):
+    import subprocess, tempfile
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(oracle)
+    for pq in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(pq.rstrip("/"))
+        if name not in oracle and glob.glob(f"{pq}/*.parquet"):
+            names.append(name)  # rows-only queries
+    if only:
+        names = [n for n in names if n in only]
+    chunks = [names[i::nproc] for i in range(nproc)]
+    chunks = [c for c in chunks if c]
+    procs, tmps = [], []
+    for c in chunks:
+        tmp = tempfile.NamedTemporaryFile(suffix=".json", delete=False)
+        tmps.append(tmp.name)
+        env = dict(os.environ, CHECK_ARTIFACT=tmp.name)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), sfdir, outdir] + c,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True))
+    artifact, lines = {}, {}
+    for p, tmp in zip(procs, tmps):
+        out, _ = p.communicate()
+        last = None
+        for ln in out.splitlines():
+            tok = ln.split()
+            if len(tok) >= 2 and tok[0] in ("OK", "MISSING", "ORAFAIL", "SCHEMA",
+                                            "ROWCOUNT", "MISMATCH", "ROWSONLY"):
+                last = tok[1].rstrip(":")
+                lines[last] = ln
+            elif ln.startswith("  col=") and last:  # mismatch detail lines
+                lines[last] += "\n" + ln
+        try:
+            artifact.update(json.load(open(tmp)))
+        except Exception as e:
+            print(f"WORKER   artifact {tmp} unreadable: {e}")
+        os.unlink(tmp)
+    for name in sorted(lines):
+        print(lines[name])
+    n_ok = sum(1 for v in artifact.values() if v.get("hash_match"))
+    n_bad = sum(1 for v in artifact.values()
+                if v.get("err") not in (None, "rows-only"))
+    missing = [n for n in names if n not in artifact]
+    for n in missing:
+        print(f"MISSING  {n}: no worker result")
+    n_bad += len(missing)
+    art_path = os.environ.get("CHECK_ARTIFACT")
+    if art_path:
+        with open(art_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"artifact -> {art_path} ({len(artifact)} queries)")
+    print(f"\n{n_ok} ok, {n_bad} bad  ({nproc} workers)")
+    sys.exit(1 if n_bad else 0)
+
+
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    nproc = 0
+    if argv and argv[0] == "--parallel":
+        nproc = int(argv[1])
+        argv = argv[2:]
+    if nproc > 1:
+        parallel_main(nproc, argv[0], argv[1], set(argv[2:]))
+        return
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
