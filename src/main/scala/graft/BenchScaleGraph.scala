@@ -62,6 +62,9 @@ object BenchScaleGraph {
         s"""{"metric":"scale_sweep_graph","sf":"$sfDir","reps":$reps,""" +
           s""""factors":[${factors.mkString(",")}],""" +
           s""""legs_done":${legs.size},""" +
+          // heap geometry moves these scan-bound walls (runbook: 81 s at
+          // 20g vs 159 s at 32g for the same 10× leg) — self-describe it
+          s""""heap_gb":${Runtime.getRuntime.maxMemory() >> 30},""" +
           s""""factor_cap_reason":"60x not 100x: the 10x leg measures ~80 s wall, a 100x leg extrapolates past the 10-minute single-leg budget (round-10 verdict convention: record the cap, never silently shrink)",""" +
           s""""legs":{${legs.map(_._1).mkString(",")}}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
@@ -89,6 +92,29 @@ object BenchScaleGraph {
 
     val mk = SparkEntry.queries("graph_triangles")
 
+    // spill-aware partition sizing (the 100 TB posture: partitions sized to
+    // executor memory, not the other way round): the wedge table grows
+    // linearly in the factor, so a ≥40× leg at 32 shuffle partitions puts
+    // >1 GB of sort state on each of 32 concurrent tasks and OOMs a 20 g
+    // heap — scale the partition count with the factor instead of the heap
+    // (a bigger heap measurably SLOWS this rig: 159 s at 32 g vs ~81–108 s
+    // at 20 g for the same 10× leg). AQE coalesces the small ones back.
+    val partKey = "spark.sql.shuffle.partitions"
+    val basePartitions = spark.conf.get(partKey)
+    def withScaledPartitions[T](body: => T): T = {
+      val n = 32 * math.max(1, factor / 10)
+      spark.conf.set(partKey, n.toString)
+      // the reused edge tables go DISK_ONLY at sweep scale: their default
+      // deserialized in-memory checkpoint blocks (2 × ~70M rows at 60×)
+      // pin the heap the wedge join's sorts need (Scale.checkpointed doc)
+      if (factor >= 40)
+        spark.conf.set(graft.operators.Scale.CheckpointLevelConf, "DISK_ONLY")
+      try body finally {
+        spark.conf.set(partKey, basePartitions)
+        spark.conf.unset(graft.operators.Scale.CheckpointLevelConf)
+      }
+    }
+
     // warm codegen/JIT off the clock
     try { exec(mk(spark, sfDir).limit(1)); () } catch { case _: Throwable => }
     drop(spark)
@@ -103,7 +129,7 @@ object BenchScaleGraph {
       }.min
 
     val baseSec = timed(sfDir)
-    val scaledSec = timed(scaledDir)
+    val scaledSec = withScaledPartitions(timed(scaledDir))
 
     // ---- exact ×factor gates, off the timed path ------------------------
     // per-(degree, tri_ct, clust_coeff) histogram: each cell's part count
@@ -114,7 +140,7 @@ object BenchScaleGraph {
         .agg(count(lit(1)).as("ct")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> r.getLong(3)).toMap
     val hb = hist(sfDir)
-    val hs = hist(scaledDir)
+    val hs = withScaledPartitions(hist(scaledDir))
     val histExact = hb.nonEmpty && hs.keySet == hb.keySet &&
       hb.forall { case (k, v) => hs(k) == factor * v }
     val rowsB = hb.values.sum
@@ -124,6 +150,7 @@ object BenchScaleGraph {
 
     val legJson =
       s""""x$factor":{"factor":$factor,""" +
+        s""""scaled_shuffle_partitions":${32 * math.max(1, factor / 10)},""" +
         s""""times":{"graph_triangles":{"base_sec":$baseSec,"scaled_sec":$scaledSec}},""" +
         s""""rows":{"base":$rowsB,"scaled":$rowsS},""" +
         s""""triangles":{"base":$trisB,"scaled":$trisS},""" +

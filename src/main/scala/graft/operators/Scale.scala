@@ -97,6 +97,25 @@ object Scale {
     if (measured <= bound) broadcast(df) else df
   }
 
+  /** `localCheckpoint` with a conf-selectable storage level
+    * (`spark.graft.checkpointStorageLevel`, e.g. `DISK_ONLY`; unset =
+    * Spark's default, unchanged behavior). The graph operators checkpoint
+    * their reused edge tables; at sweep scale (≥40× replicas) the default
+    * deserialized in-memory blocks of a 70M-row edge table pin the whole
+    * 20 g heap and OOM the wedge join's sort tasks — `DISK_ONLY` keeps the
+    * reuse-without-recompute semantics with O(1) heap, which is also the
+    * 100 TB posture (reused frames live in the shuffle/storage service,
+    * not executor heap).
+    */
+  val CheckpointLevelConf = "spark.graft.checkpointStorageLevel"
+
+  def checkpointed(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointLevelConf) match {
+      case Some(lvl) => df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.fromString(lvl))
+      case None => df.localCheckpoint()
+    }
+
   /** Skew flag for the exhaustive dedup joins (`Dedup.sharedTokenJoin`):
     * 0/1 = plain blocked join (default); k > 1 = salt the (source, tok)
     * block key k ways through `saltedJoin`, for corpora where ONE block

@@ -60,15 +60,16 @@ object Graph {
       .union(pairs.select(concat(lit("s"), col("s")).as("src"),
         concat(lit("c"), col("c")).as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val edgesD = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val edgesD = edges.join(outdeg, "src").transform(graft.operators.Scale.checkpointed)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .transform(graft.operators.Scale.checkpointed)
     val n = nodes.count()
     val p = dampingPct
     val U = 1000000000000L // pico-units
     val teleport = (2L * (100L - p) * U / 100L + n) / (2L * n) // HALF_UP((1−d)·U/n)
     var pr = nodes.select(col("node"),
         lit((2L * U + n) / (2L * n)).as("pr_u")) // HALF_UP(U/n)
-      .localCheckpoint()
+      .transform(graft.operators.Scale.checkpointed)
     for (_ <- 1 to iters) {
       val contribs = edgesD
         .join(pr, edgesD("src") === pr("node"))
@@ -78,7 +79,7 @@ object Graph {
         .select(col("node"),
           (lit(teleport) +
             expr(s"(2 * $p * coalesce(su, 0) + 100) DIV 200")).as("pr_u"))
-        .localCheckpoint()
+        .transform(graft.operators.Scale.checkpointed)
     }
     pr.select(col("node"), (col("pr_u").cast("double") / 1e12).as("pagerank"))
   }
@@ -110,7 +111,7 @@ object Graph {
     val edges = pl.as("x").join(pl.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
-      .localCheckpoint() // reused 4×: degrees, orientation, wedge, closing
+      .transform(graft.operators.Scale.checkpointed) // reused 4×: degrees, orientation, wedge, closing
     val deg = edges.select(col("pa").as("v"))
       .unionAll(edges.select(col("pb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -123,7 +124,7 @@ object Graph {
           struct(col("pa").as("src"), col("pb").as("dst")))
           .otherwise(struct(col("pb").as("src"), col("pa").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .transform(graft.operators.Scale.checkpointed)
     // wedges at the orientation-lowest corner; deterministic (v, w) order
     // by the same rank so each candidate forms once
     val rank = deg.select(col("v"), struct(col("d"), col("v")).as("rk"))

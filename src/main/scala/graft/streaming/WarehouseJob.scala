@@ -126,7 +126,9 @@ class WarehouseJob(spark: SparkSession, outDir: String,
         def timed[T](section: String)(body: => T): T = {
           val t0 = System.nanoTime()
           val r = body
-          prof(section) = prof.getOrElse(section, 0.0) + (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // synchronized: the dim upserts time themselves from parallel threads
+          prof.synchronized { prof(section) = prof.getOrElse(section, 0.0) + dt }
           r
         }
         val ev = batch.persist() // SP1: one materialization, many children
@@ -183,7 +185,8 @@ class WarehouseJob(spark: SparkSession, outDir: String,
                 .groupBy(col("sink_table")).agg(count(lit(1)).as("n"))
                 .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
             }
-          dimCfgs.foreach { c =>
+          // config validation stays sequential (loud, deterministic errors)…
+          val dimPlans = dimCfgs.map { c =>
               val table = c.getAs[String]("sink_table")
               val pk = c.getAs[String]("sink_pk")
               // null-safe BEFORE split: a NULL sink_columns must hit the
@@ -198,12 +201,24 @@ class WarehouseJob(spark: SparkSession, outDir: String,
               require(n <= maxDimBatchRows,
                 s"dim batch for $table has $n rows (> $maxDimBatchRows): " +
                   "fact-sized stream routed to a dim sink — check the routing config")
-              if (n > 0) timed(s"dim_upsert_$table") {
-                dims.upsert(table,
-                  r.filter(col("sink_table") === table).select(cols.map(col): _*),
-                  pk, "ts")
-              }
+              (table, pk, cols, n)
             }
+          // …the upserts themselves run CONCURRENTLY: each targets its own
+          // table dir (independent state), and local[32] has idle slots
+          // while one small upsert's two jobs run — the reference writes
+          // its dims from parallel Phoenix sink subtasks for the same
+          // reason. Failures propagate (Await rethrows), failing the batch.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val upserts = dimPlans.filter(_._4 > 0).map { case (table, pk, cols, _) =>
+            Future(timed(s"dim_upsert_$table") {
+              dims.upsert(table,
+                r.filter(col("sink_table") === table).select(cols.map(col): _*),
+                pk, "ts")
+            })
+          }
+          upserts.foreach(Await.result(_, Duration.Inf))
 
           // DWS: A1 visitor stats over the clean stream (per-batch PARTIAL
           // rows keyed by (stt,edt,event_type) — see class doc contract).
