@@ -209,6 +209,10 @@ object BenchStream {
     val walls = prog.map(_._2)
     val survivors = storeRows.last
     val parquetRows = spark.read.parquet(s"$stateDir/corpus").count()
+    // persisted band index in lockstep: exactly Bands rows per survivor
+    // (crash-free replay — the crash window's redundant rows are allowed
+    // only in the spec's forced-replay scenario, never here)
+    val bandIdxRows = spark.read.parquet(s"$stateDir/bands").count()
     // one-shot oracle: the whole replay as a single batch (the batch-size
     // invariance contract the parity spec gates at sf0.001, re-checked at
     // bench scale off the timed path)
@@ -230,10 +234,16 @@ object BenchStream {
         s""""store_bytes":[${storeBytes.mkString(",")}],""" +
         s""""rebuilds":[${rebuilds.mkString(",")}],""" +
         s""""survivors":$survivors,"oracle_survivors":$oracleSurvivors,""" +
+        s""""band_index_rows":$bandIdxRows,""" +
         s""""monotone":$monotone,"rebuilds_ok":$rebuildsOk""")
     val enforce = () => {
       if (!monotone) throw new IllegalStateException(
         s"stream bench invalid: corpus x$factor store rows not monotone: $storeRows")
+      if (bandIdxRows != survivors * graft.pipeline.Dedup.Bands)
+        throw new IllegalStateException(
+          s"stream bench invalid: corpus x$factor band index $bandIdxRows rows != " +
+            s"survivors $survivors × ${graft.pipeline.Dedup.Bands} — the persisted " +
+            "band index fell out of lockstep with the survivor store")
       if (!rebuildsOk) throw new IllegalStateException(
         s"stream bench invalid: corpus x$factor rebuild counter $rebuilds regressed " +
           s"the append fast path (store rows $storeRows) — full rebuilds are " +
