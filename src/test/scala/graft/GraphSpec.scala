@@ -81,4 +81,20 @@ class GraphSpec extends SparkSpecBase {
     // the fixture actually exercises triangles
     assert(got.values.map(_._2).sum > 0, "fixture has no triangles")
   }
+
+  test("checkpoint storage level is semantics-free: DISK_ONLY equals default") {
+    // the ≥40× sweep legs run the graph operators with DISK_ONLY reused
+    // frames (Scale.checkpointed) — the conf must change WHERE checkpoint
+    // blocks live, never what any operator computes
+    val d = sf("lineitem")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val triDefault = rows(Graph.triangles(spark, d))
+    val prDefault = rows(Graph.pageRank(spark, d))
+    spark.conf.set(graft.operators.Scale.CheckpointLevelConf, "DISK_ONLY")
+    try {
+      assert(rows(Graph.triangles(spark, d)) == triDefault)
+      assert(rows(Graph.pageRank(spark, d)) == prDefault)
+    } finally spark.conf.unset(graft.operators.Scale.CheckpointLevelConf)
+  }
 }
