@@ -25,9 +25,21 @@ import org.apache.spark.sql.functions._
   * Delta/Iceberg MERGE replaces this layout in a real deployment; the
   * upsert contract is identical.)
   */
-class DimStore(spark: SparkSession, basePath: String) {
+class DimStore(spark: SparkSession, basePath: String,
+               profileHook: (String, Double) => Unit = (_, _) => ()) {
 
   private def path(table: String) = s"$basePath/$table"
+
+  /** Per-phase wall attribution for `upsert` (the streaming warehouse's
+    * per-batch fixed-cost breakdown): each phase's seconds are reported to
+    * `profileHook`, a no-op by default.
+    */
+  private def phase[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    profileHook(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
 
   private def numBuckets: Int =
     spark.conf.get("spark.graft.dim.buckets", "16").toInt
@@ -100,6 +112,36 @@ class DimStore(spark: SparkSession, basePath: String) {
     } else None
   }
 
+  /** Complete a crashed upsert's pending bucket swaps before anything else
+    * touches the store. The staged dirs under `_tmp_upsert` are the
+    * AUTHORITATIVE merged state (old bucket ∪ batch, deduped) only once the
+    * staged write finished — Spark's `_SUCCESS` marker records exactly
+    * that. Without the marker the staging is a partial write from a crash
+    * BEFORE any destination bucket was deleted, so dropping it loses
+    * nothing. With it, the crash may have landed between a destination
+    * bucket's delete and the move that replaces it — the bucket's ONLY
+    * surviving copy lives in staging — so every staged bucket still
+    * present is swapped into place (a staged bucket strictly supersedes
+    * the pre-batch bucket it merged), and only then is the staging dir
+    * removed. Idempotent: already-moved buckets have no staged src left.
+    */
+  private def recoverStaged(table: String): Unit = {
+    val tmp = new java.io.File(s"${path(table)}/_tmp_upsert")
+    if (!tmp.exists) return
+    if (new java.io.File(tmp, "_SUCCESS").exists) {
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("graft_bucket="))
+        .foreach { src =>
+          val dst = new java.io.File(s"${path(table)}/${src.getName}")
+          rmTreeF(dst)
+          java.nio.file.Files.move(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
+    }
+    rmTree(tmp.getPath)
+  }
+
   /** Upsert a batch of rows keyed by `keyCol`, versioned by `versionCol`
     * (highest version wins; version ties broken deterministically by a
     * whole-row hash so repeated runs of the same input converge).
@@ -111,15 +153,19 @@ class DimStore(spark: SparkSession, basePath: String) {
     * then swapped into place with a driver-side atomic rename. (The
     * previous rendering looped the buckets sequentially — two jobs per
     * bucket, ~35 jobs for a batch touching all 16 — and was the dominant
-    * term of the streaming warehouse's per-batch fixed cost.) A crash
-    * between renames leaves some buckets new and some old; the retry
-    * re-merges and the versioned dedup converges, and `read()` ignores the
-    * `_`-prefixed staging dir, so the store is never unreadable.
+    * term of the streaming warehouse's per-batch fixed cost.) Crash
+    * recovery: a retry FIRST completes any pending swaps from a crashed
+    * prior attempt (`recoverStaged` — a completed staging is authoritative,
+    * so the delete-then-move window cannot orphan a bucket's only copy),
+    * then re-merges; the versioned dedup converges, and `read()` both
+    * ignores the `_`-prefixed staging dir and unions a COMPLETED staging
+    * back in, so the store is never unreadable or lossy in the window.
     *
     * A store written by the pre-bucket flat layout is migrated in the same
     * one pass (every bucket rewritten once, flat files then removed).
     */
   def upsert(table: String, batch: DataFrame, keyCol: String, versionCol: String): Unit = {
+    recoverStaged(table)
     val nb = numBuckets
     val tableDir = new java.io.File(path(table))
     val flatFiles = Option(tableDir.listFiles()).getOrElse(Array.empty)
@@ -141,13 +187,16 @@ class DimStore(spark: SparkSession, basePath: String) {
     // mixed layout it creates
     val batchB = batch.withColumn("__b", bucketOf(batch, keyCol, nb))
     // touched buckets: driver-side collect bounded by numBuckets
-    val touched: Seq[Int] =
+    val touched: Seq[Int] = phase("touched_collect") {
       if (legacy.isDefined) 0 until nb
       else batchB.select(col("__b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val bucketExisting: Seq[DataFrame] = touched.flatMap { i =>
-      val bucketPath = s"${path(table)}/graft_bucket=$i"
-      if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
-      else None
+    }
+    val bucketExisting: Seq[DataFrame] = phase("bucket_open") {
+      touched.flatMap { i =>
+        val bucketPath = s"${path(table)}/graft_bucket=$i"
+        if (new java.io.File(bucketPath).exists) Some(spark.read.parquet(bucketPath))
+        else None
+      }
     }
     // merge WITHOUT the bucket column so the dedup tie-break hash sees
     // exactly the upserted schema (the bucket is re-derived afterwards —
@@ -157,24 +206,35 @@ class DimStore(spark: SparkSession, basePath: String) {
     val deduped = dedupLatest(merged, keyCol, versionCol)
     val staged = deduped.withColumn("graft_bucket", bucketOf(deduped, keyCol, nb))
     val tmp = s"${path(table)}/_tmp_upsert"
-    rmTree(tmp) // stale staging from a crashed prior attempt
-    staged.write.mode(SaveMode.Overwrite).partitionBy("graft_bucket").parquet(tmp)
-    touched.foreach { i =>
-      val src = new java.io.File(s"$tmp/graft_bucket=$i")
-      // a touched bucket always stages ≥1 row (the batch's rows hash there
-      // and dedup keeps one row per key); absent src = genuinely empty
-      // bucket during a full migration — nothing to place
-      if (src.exists()) {
-        val dst = new java.io.File(s"${path(table)}/graft_bucket=$i")
-        rmTreeF(dst)
-        java.nio.file.Files.move(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      }
+    phase("staged_write") {
+      // repartition ON the partition column first: the dedup window leaves
+      // the frame hash-partitioned by key (32 shuffle partitions), and
+      // `partitionBy` from that layout writes up to 32 files PER BUCKET —
+      // each an output-task file commit. One partition per bucket writes
+      // exactly one file per bucket: the bucket is this store's unit of
+      // rewrite (at 100 TB you raise spark.graft.dim.buckets, not the
+      // per-bucket file count).
+      staged.repartition(nb, col("graft_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("graft_bucket").parquet(tmp)
     }
-    rmTree(tmp)
-    // migration complete: the flat files' rows now live in the buckets
-    flatFiles.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    phase("swap") {
+      touched.foreach { i =>
+        val src = new java.io.File(s"$tmp/graft_bucket=$i")
+        // a touched bucket always stages ≥1 row (the batch's rows hash there
+        // and dedup keeps one row per key); absent src = genuinely empty
+        // bucket during a full migration — nothing to place
+        if (src.exists()) {
+          val dst = new java.io.File(s"${path(table)}/graft_bucket=$i")
+          rmTreeF(dst)
+          java.nio.file.Files.move(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
+      }
+      rmTree(tmp)
+      // migration complete: the flat files' rows now live in the buckets
+      flatFiles.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    }
   }
 
   private def rmTreeF(d: java.io.File): Unit = {
@@ -199,8 +259,15 @@ class DimStore(spark: SparkSession, basePath: String) {
     * would reject the mixed layout ("conflicting directory structures"), so
     * both halves are read by EXPLICIT paths and collapsed with the same
     * versioned last-write-wins dedup the upsert retry applies (key/version
-    * columns from `_graft_meta`). The store is thus never unreadable in the
-    * exact window `upsert`'s retry exists to recover from.
+    * columns from `_graft_meta`). A store caught in the SWAP window — a
+    * COMPLETED staging (`_tmp_upsert/_SUCCESS` present) whose bucket moves
+    * were interrupted, possibly after a destination bucket was deleted —
+    * is read losslessly too: the staged bucket dirs are unioned in
+    * (each strictly supersedes the pre-batch bucket it merged, so the
+    * versioned dedup collapses the overlap), WITHOUT mutating the store —
+    * repair itself belongs to the next `upsert`'s `recoverStaged`. The
+    * store is thus never unreadable or lossy in the exact windows the
+    * upsert retry exists to recover from.
     */
   def read(table: String): Option[DataFrame] = {
     val tableDir = new java.io.File(path(table))
@@ -211,16 +278,25 @@ class DimStore(spark: SparkSession, basePath: String) {
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val buckets = entries
         .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+      val tmp = new java.io.File(s"${path(table)}/_tmp_upsert")
+      val stagedDirs: Array[java.io.File] =
+        if (new java.io.File(tmp, "_SUCCESS").exists)
+          Option(tmp.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("graft_bucket="))
+        else Array.empty
       // dir holding only metadata (crash between the meta write and the
       // first bucket write): an empty store, not a schema-inference error
-      if (flat.isEmpty && buckets.isEmpty) return None
+      if (flat.isEmpty && buckets.isEmpty && stagedDirs.isEmpty) return None
       val df =
-        if (flat.nonEmpty && buckets.nonEmpty) {
+        if (flat.nonEmpty || stagedDirs.nonEmpty) {
           // explicit leaf-dir paths: no partition discovery, so no synthetic
-          // graft_bucket column and no layout conflict with the flat files
-          val bucketDf = spark.read.parquet(buckets.map(_.getPath).toIndexedSeq: _*)
-          val flatDf = spark.read.parquet(flat.map(_.getPath).toIndexedSeq: _*)
-          val merged = bucketDf.unionByName(flatDf, allowMissingColumns = true)
+          // graft_bucket column and no layout conflict between the halves
+          val parts = Seq(
+            buckets.map(_.getPath).toSeq, flat.map(_.getPath).toSeq,
+            stagedDirs.map(_.getPath).toSeq)
+            .filter(_.nonEmpty)
+            .map(ps => spark.read.parquet(ps: _*))
+          val merged = parts.reduce(_.unionByName(_, allowMissingColumns = true))
           readMeta(table) match {
             case Some((keyCol, versionCol)) => dedupLatest(merged, keyCol, versionCol)
             // pre-meta store caught mid-crash: raw union is still a read

@@ -110,8 +110,15 @@ class WarehouseJob(spark: SparkSession, outDir: String,
   private def profileEnabled: Boolean =
     spark.conf.get("spark.graft.profileBatch", "false").toBoolean
 
+  /** Per-batch profile sink the DimStore phase hook writes through — set to
+    * the live batch's accumulator inside `foreachBatch` (the store itself
+    * is created once per query).
+    */
+  @volatile private var profRecord: (String, Double) => Unit = (_, _) => ()
+
   def start(sourceTopic: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val dims = new DimStore(spark, s"$outDir/dim")
+    val dims = new DimStore(spark, s"$outDir/dim",
+      (name, sec) => profRecord(s"dim_phase_$name", sec))
     val raw = topics.readStream(sourceTopic, eventSchema)
 
     raw.writeStream
@@ -123,12 +130,14 @@ class WarehouseJob(spark: SparkSession, outDir: String,
         val staging = new java.io.File(s"$outDir/_staging/$batchId")
         rmTree(staging) // stale staging from a crashed prior attempt
         val prof = scala.collection.mutable.LinkedHashMap[String, Double]()
+        def record(section: String, dt: Double): Unit =
+          // synchronized: the dim upserts time themselves from parallel threads
+          prof.synchronized { prof(section) = prof.getOrElse(section, 0.0) + dt }
+        profRecord = record
         def timed[T](section: String)(body: => T): T = {
           val t0 = System.nanoTime()
           val r = body
-          val dt = (System.nanoTime() - t0) / 1e9
-          // synchronized: the dim upserts time themselves from parallel threads
-          prof.synchronized { prof(section) = prof.getOrElse(section, 0.0) + dt }
+          record(section, (System.nanoTime() - t0) / 1e9)
           r
         }
         val ev = batch.persist() // SP1: one materialization, many children
@@ -207,7 +216,11 @@ class WarehouseJob(spark: SparkSession, outDir: String,
           // table dir (independent state), and local[32] has idle slots
           // while one small upsert's two jobs run — the reference writes
           // its dims from parallel Phoenix sink subtasks for the same
-          // reason. Failures propagate (Await rethrows), failing the batch.
+          // reason. Failures fail the batch, but only after EVERY future
+          // has finished (success or failure): leaving a sibling upsert
+          // running while the batch fails would let a same-JVM restart's
+          // replayed upsert race the orphan on the shared staging dir and
+          // the bucket renames.
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
@@ -218,7 +231,10 @@ class WarehouseJob(spark: SparkSession, outDir: String,
                 pk, "ts")
             })
           }
-          upserts.foreach(Await.result(_, Duration.Inf))
+          val settled = Await.result(
+            Future.sequence(upserts.toSeq.map(_.transform(scala.util.Success(_)))),
+            Duration.Inf)
+          settled.foreach(_.get) // rethrows the first failure — all settled
 
           // DWS: A1 visitor stats over the clean stream (per-batch PARTIAL
           // rows keyed by (stt,edt,event_type) — see class doc contract).
@@ -245,7 +261,10 @@ class WarehouseJob(spark: SparkSession, outDir: String,
             rmTree(staging)
           }
           if (profileEnabled) {
-            val line = prof.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+            // Locale.ROOT: the sidecar is JSON — a comma-decimal default
+            // locale would emit invalid lines that crash the bench parser
+            val line = prof.map { case (k, v) =>
+              s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}""" }
               .mkString(s"""{"batch":$batchId,""", ",", "}\n")
             java.nio.file.Files.write(
               java.nio.file.Paths.get(s"$outDir/_profile.jsonl"),

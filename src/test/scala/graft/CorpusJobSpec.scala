@@ -153,6 +153,58 @@ class CorpusJobSpec extends SparkSpecBase {
       "replaying the same batch must re-drop every document as a corpus duplicate")
   }
 
+  test("bands crash-window replay keeps the persisted index in lockstep (no duplicate rows)") {
+    // The one ordering window of the fast path: band rows land BEFORE the
+    // survivor append, so a crash between the two leaves phantom band rows
+    // for docs the corpus never received. The replay re-keeps the same
+    // docs (the phantoms drop out of the candidate join at the corpus-sig
+    // inner join) and must OVERWRITE its own deterministic `append_<id>`
+    // subdir — the round-12 root-append rendering appended a second copy,
+    // and with full rebuilds gated to the seed bootstrap nothing ever
+    // purged it, permanently failing the survivors × Bands lockstep gate.
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      }
+    }
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+
+    val docs = loadDocs(60)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_bandwin").toString
+    CorpusJob.processBatch(spark, docs.take(30).toDF(), dir)
+    // snapshot the survivor store + sidecar as of batch 1
+    val corpusP = java.nio.file.Paths.get(s"$dir/corpus")
+    val backup = java.nio.file.Files.createTempDirectory("corpus_bandwin_bak")
+    copyTree(corpusP, backup)
+    val sidecarP = java.nio.file.Paths.get(s"$dir/corpus_rows")
+    val sidecarV = java.nio.file.Files.readAllBytes(sidecarP)
+
+    CorpusJob.processBatch(spark, docs.drop(30).toDF(), dir)
+    val survAfter = survivors(dir)
+    // manufacture the window: batch 2's bands landed, its corpus append
+    // (and sidecar bump) lost
+    rmTree(corpusP)
+    copyTree(backup, corpusP)
+    java.nio.file.Files.write(sidecarP, sidecarV)
+    assert(survivors(dir).size < survAfter.size, "window setup: corpus rolled back")
+
+    CorpusJob.processBatch(spark, docs.drop(30).toDF(), dir) // the replay
+    assert(survivors(dir) == survAfter, "replay must converge to the same survivor set")
+    val bandRows = CorpusJob.readBands(spark, dir).count()
+    assert(bandRows == survAfter.size.toLong * graft.pipeline.Dedup.Bands,
+      s"band index must stay in lockstep after a crash-window replay: " +
+        s"$bandRows rows for ${survAfter.size} survivors")
+    // and the index content itself is duplicate-free per (doc_id, band)
+    assert(CorpusJob.readBands(spark, dir)
+      .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("survivor-count sidecar: kept in lockstep; a legacy store without one is backfilled") {
     val docs = loadDocs(60)
     val dir = java.nio.file.Files.createTempDirectory("corpus_sidecar").toString
