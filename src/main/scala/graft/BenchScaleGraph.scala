@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   * The histogram gate subsumes the scalar ones but the scalars are
   * recorded for the artifact's readability.
   *
-  * Default legs are 10× and 60× — NOT the 100× the other families run,
-  * and deliberately so (no silent caps): the 10× leg measured ~81 s wall
-  * and the wedge volume grows linearly in replicas, so a 100× leg
-  * extrapolates past the ~10-minute single-leg budget; 60× is the largest
-  * factor that stays inside it (round-11 verdict item 5 bought the 30×→60×
-  * headroom). The artifact records the cap and its reason
-  * (`factor_cap_reason`). The 60× leg needs a larger driver heap than the
-  * pinned 20 g sweep default (the wedge join's build side) — run it with
-  * `-Xmx48g` and record the heap next to the number.
+  * Default legs are 10× and 100× — the factor the other families run,
+  * reachable since the closing join's declined-broadcast path became a
+  * shuffled-hash build (round 13): sort-merge SORTED the wedge stream
+  * (billions of rows past ~40×) and was the binding term that capped the
+  * sweep at 30× (round 11) then 60× (round 12, via spill-aware partition
+  * scaling + DISK_ONLY checkpoints). Run at the pinned 20 g sweep heap —
+  * a larger heap measurably SLOWS these legs on this rig (recorded
+  * `heap_gb`).
   *
   * Each scaled input is WRITTEN AS PARQUET and read through the same
   * dir-based entry point as production (full scan-to-result timing).
@@ -48,7 +47,7 @@ object BenchScaleGraph {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
-      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,60")
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
         .split(",").map(_.trim.toInt).toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
@@ -65,7 +64,7 @@ object BenchScaleGraph {
           // heap geometry moves these scan-bound walls (runbook: 81 s at
           // 20g vs 159 s at 32g for the same 10× leg) — self-describe it
           s""""heap_gb":${Runtime.getRuntime.maxMemory() >> 30},""" +
-          s""""factor_cap_reason":"60x not 100x: the 10x leg measures ~80 s wall, a 100x leg extrapolates past the 10-minute single-leg budget (round-10 verdict convention: record the cap, never silently shrink)",""" +
+          s""""closing_join":"shuffled-hash past the broadcast gate (round-13: the SMJ wedge-stream sort was the term that capped earlier rounds at 30x/60x)",""" +
           s""""legs":{${legs.map(_._1).mkString(",")}}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_graph.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -86,7 +86,20 @@ object Scale {
     * zero-job `maybeBroadcast` for scan-rooted frames whose estimates
     * are honest.
     */
-  def maybeBroadcastMeasured(df: DataFrame, maxBytes: Long = -1L): DataFrame = {
+  /** @param elseHint join-strategy hint applied when the gate DECLINES the
+    *                  broadcast (e.g. `"shuffle_hash"`); empty = none. The
+    *                  degraded path of a declined broadcast defaults to
+    *                  sort-merge, which SORTS the probe side — for a probe
+    *                  that is a huge generated stream (the triangle wedge
+    *                  fan-out: billions of rows at sweep factors) the sort
+    *                  dominates the join, while a shuffled-hash build of
+    *                  the declined side costs per-partition memory of
+    *                  |build|/shufflePartitions — bounded, because the same
+    *                  spill-aware sizing that scales partition counts with
+    *                  the data scales the per-partition build down.
+    */
+  def maybeBroadcastMeasured(df: DataFrame, maxBytes: Long = -1L,
+                             elseHint: String = ""): DataFrame = {
     val bound =
       if (maxBytes > 0) maxBytes
       else df.sparkSession.conf.get(BroadcastGateConf, BroadcastGateDefault.toString).toLong
@@ -94,7 +107,9 @@ object Scale {
       .mapPartitions(it => Iterator.single(it.map(_.asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.UnsafeRow].getSizeInBytes.toLong).sum))
       .fold(0L)(_ + _)
-    if (measured <= bound) broadcast(df) else df
+    if (measured <= bound) broadcast(df)
+    else if (elseHint.nonEmpty) df.hint(elseHint)
+    else df
   }
 
   /** `localCheckpoint` with a conf-selectable storage level

@@ -137,10 +137,15 @@ object Graph {
     // fan-out (34× larger here; only ~4.6% close). Measured-broadcast the
     // edges so the wedge table is NEVER exchanged or sorted — checkpointed
     // frames keep their inflated origin estimates (SPARK-39748), so the
-    // byte gate must measure, not trust stats; past the gate this degrades
-    // to the SMJ it must be at 100 TB
+    // byte gate must measure, not trust stats. Past the gate the fallback
+    // is a SHUFFLED-HASH build of the edge side, not sort-merge: SMJ
+    // would SORT the wedge stream (billions of rows at sweep factors —
+    // the dominant term of the 60× leg), while hashing |E|/partitions
+    // edges per task is bounded by the same spill-aware partition scaling
+    // that sizes the sweep. This is also the 100 TB shape: exchange the
+    // wedge stream once, never sort it.
     val tris = wedges.join(
-        graft.operators.Scale.maybeBroadcastMeasured(oriented),
+        graft.operators.Scale.maybeBroadcastMeasured(oriented, elseHint = "shuffle_hash"),
         col("v") === col("src") && col("w") === col("dst"))
       .select(col("u"), col("v"), col("w"))
     // ONE corner-exploding pass: a unionAll of three projections plans

@@ -82,6 +82,23 @@ class GraphSpec extends SparkSpecBase {
     assert(got.values.map(_._2).sum > 0, "fixture has no triangles")
   }
 
+  test("declined-broadcast fallback is semantics-free: shuffled-hash closing join equals broadcast") {
+    // past the measured-broadcast gate the triangle closing join plans as a
+    // shuffled-hash build of the oriented edge set (the ≥60× sweep path) —
+    // the gate bound must change the JOIN STRATEGY, never the triangles
+    val d = sf("lineitem")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val viaBroadcast = rows(Graph.triangles(spark, d))
+    spark.conf.set(graft.operators.Scale.BroadcastGateConf, "1") // decline everything
+    try {
+      val declined = Graph.triangles(spark, d)
+      assert(rows(declined) == viaBroadcast)
+      // executed AFTER collect so AQE's final plan is the one inspected
+      assert(declined.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+        "gate at 1 byte must route the closing join to shuffled-hash")
+    } finally spark.conf.unset(graft.operators.Scale.BroadcastGateConf)
+  }
+
   test("checkpoint storage level is semantics-free: DISK_ONLY equals default") {
     // the ≥40× sweep legs run the graph operators with DISK_ONLY reused
     // frames (Scale.checkpointed) — the conf must change WHERE checkpoint
