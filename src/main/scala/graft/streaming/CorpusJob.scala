@@ -27,10 +27,12 @@ import graft.functions.VectorFunctions._
   * Index refresh: the coarse quantizer's cells are seeded by the first
   * `nCells` survivors (the `vec_id < nCells` convention of
   * `Similarity.ivfTopK`). New survivors are assigned to their nearest
-  * cell INCREMENTALLY against the frozen centroids; only when the seed
-  * set itself changes (bootstrap batches, while fewer than `nCells`
-  * survivors exist) is the whole assignment rebuilt — the
-  * rare-coarse-rebuild / frequent-append shape of production IVF serving.
+  * cell INCREMENTALLY against the frozen centroids — served from a 4-row
+  * `seeds` sidecar, never re-derived by a per-batch corpus scan; only
+  * when the seed set itself changes (bootstrap batches, while fewer than
+  * `nCells` survivors exist) is the whole assignment rebuilt and the
+  * sidecar rewritten — the rare-coarse-rebuild / frequent-append shape
+  * of production IVF serving.
   *
   * Ingest contract: doc_ids arrive in NONDECREASING order across
   * micro-batches (a streaming ingest's monotone id assignment) — both the
@@ -52,6 +54,7 @@ object CorpusJob {
   private def countPath(stateDir: String) = s"$stateDir/corpus_rows"
   private def rebuildsPath(stateDir: String) = s"$stateDir/rebuilds"
   private def bandsPath(stateDir: String) = s"$stateDir/bands"
+  private def seedsPath(stateDir: String) = s"$stateDir/seeds"
 
   /** Number of full IVF-assignment rebuilds this store has performed —
     * observability for the rare-coarse-rebuild contract: rebuilds happen
@@ -153,6 +156,28 @@ object CorpusJob {
   def readBands(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(bandsPath(stateDir))
 
+  /** The nCells seed centroids as (cell_seed, c_emb, c_nrm) — FROZEN once
+    * the bootstrap completes, so the fast path must not pay a corpus-wide
+    * TakeOrdered per micro-batch to re-derive them (O(store) per batch —
+    * exactly the growth the class doc forbids). They live in a 4-row
+    * `seeds` sidecar, rewritten by every rebuild BEFORE the count sidecar
+    * (the count is the fast-path commit point, so a crash between the two
+    * forces one more rebuild, never a fast path against stale seeds). A
+    * legacy store without the sidecar derives once from the survivor
+    * store and backfills — the count-sidecar discipline.
+    */
+  private def deriveSeeds(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.orderBy(col("doc_id")).limit(nCells)
+      .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+
+  private def loadSeeds(spark: SparkSession, stateDir: String,
+                        corpus: DataFrame, nCells: Int): DataFrame = {
+    val p = seedsPath(stateDir)
+    if (!new java.io.File(p).exists())
+      deriveSeeds(corpus, nCells).write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
   private def estJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     round(call_function("graft_eq_count", a, b).cast("double") /
       lit(Dedup.NumHashes.toDouble), 6)
@@ -224,8 +249,8 @@ object CorpusJob {
     val seedsChanged = priorCount < nCells
     val allSurvivors = existing match {
       case Some(c) if !seedsChanged =>
-        val cents = c.orderBy(col("doc_id")).limit(nCells)
-          .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+        // frozen seeds from the 4-row sidecar — no per-batch corpus scan
+        val cents = loadSeeds(spark, stateDir, c, nCells)
         val assigned = assignCells(keptDf, cents)
         // band index BEFORE the survivor append: a crash between the two
         // leaves only phantom band rows (dropped by the candidate join's
@@ -244,14 +269,17 @@ object CorpusJob {
       case None => keptDf
     }
     val allChk = allSurvivors.localCheckpoint()
-    val cents = allChk.orderBy(col("doc_id")).limit(nCells)
-      .select(col("doc_id").as("cell_seed"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val cents = deriveSeeds(allChk, nCells)
     val rebuilt = assignCells(allChk, cents).localCheckpoint()
     // rebuild rewrites the band index wholesale too (same order: bands
     // before corpus), collapsing any crash-window duplicate band rows
     bandRows(rebuilt.select(col("doc_id"), col("sig")))
       .write.mode("overwrite").parquet(bandsPath(stateDir))
     rebuilt.write.mode("overwrite").parquet(corpusPath(stateDir))
+    // seeds BEFORE the count (see loadSeeds): the count sidecar is the
+    // fast-path commit point, so a crash here costs one more rebuild,
+    // never a fast path against seeds the rebuild didn't finish writing
+    cents.write.mode("overwrite").parquet(seedsPath(stateDir))
     // rebuilds are rare (seed bootstrap) and the frame is checkpointed, so
     // the exact recount is cheap here — and it self-heals any sidecar drift
     writeCount(stateDir, rebuilt.count())
@@ -293,8 +321,13 @@ object CorpusJob {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val q = queries.select(col("query_id"), col("q_emb"), norm(col("q_emb")).as("q_nrm"))
-    val cents = corpus.orderBy(col("doc_id")).limit(nCells)
-      .select(col("doc_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    // serve the frozen seeds from the 4-row sidecar (no corpus scan per
+    // retrieval); stores from before the sidecar existed derive inline —
+    // retrieval stays non-mutating, the next processBatch backfills
+    val cents = (if (new java.io.File(seedsPath(stateDir)).exists())
+        spark.read.parquet(seedsPath(stateDir))
+      else deriveSeeds(corpus, nCells))
+      .select(col("cell_seed").as("cell"), col("c_emb"), col("c_nrm"))
     val probes = q.join(broadcast(cents))
       .select(col("query_id"), col("cell"),
         cosineRFromNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")).as("c_cos"))

@@ -205,6 +205,35 @@ class CorpusJobSpec extends SparkSpecBase {
       .groupBy("doc_id", "band").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("seeds sidecar: frozen centroids served without a corpus scan; lost sidecar backfilled") {
+    val docs = loadDocs(60)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_seeds").toString
+    val seeds = java.nio.file.Paths.get(s"$dir/seeds")
+    CorpusJob.processBatch(spark, docs.take(30).toDF(), dir)
+    assert(java.nio.file.Files.exists(seeds), "bootstrap rebuild must write the seeds sidecar")
+    val seedRows = spark.read.parquet(seeds.toString)
+      .orderBy("cell_seed").collect().map(_.toSeq)
+    assert(seedRows.length == 4)
+    // frozen contract: the sidecar IS the first-4-survivors derivation
+    val derived = spark.read.parquet(s"$dir/corpus").orderBy(col("doc_id")).limit(4)
+      .select(col("doc_id"), col("emb"), col("nrm")).collect().map(_.toSeq)
+    assert(seedRows.map(_.head) sameElements derived.map(_.head))
+    // a lost sidecar (legacy store) is re-derived and backfilled by the
+    // next fast-path batch, and the assignment is unchanged
+    def cells(d: String) = spark.read.parquet(s"$d/corpus")
+      .select("doc_id", "cell").collect().map(_.toSeq).toSet
+    def rmTree(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    rmTree(seeds)
+    CorpusJob.processBatch(spark, docs.drop(30).toDF(), dir)
+    assert(java.nio.file.Files.exists(seeds), "fast path must backfill a missing sidecar")
+    // oracle: the one-shot run over the same 60 docs assigns identically
+    val oneDir = java.nio.file.Files.createTempDirectory("corpus_seeds_one").toString
+    CorpusJob.processBatch(spark, docs.toDF(), oneDir)
+    assert(cells(dir) == cells(oneDir), "sidecar-served seeds must not change the assignment")
+  }
+
   test("survivor-count sidecar: kept in lockstep; a legacy store without one is backfilled") {
     val docs = loadDocs(60)
     val dir = java.nio.file.Files.createTempDirectory("corpus_sidecar").toString
