@@ -85,8 +85,8 @@ object Scale {
     * join has no equi keys (estimate-blind cross joins); keep the
     * zero-job `maybeBroadcast` for scan-rooted frames whose estimates
     * are honest.
-    */
-  /** @param elseHint join-strategy hint applied when the gate DECLINES the
+    *
+    * @param elseHint join-strategy hint applied when the gate DECLINES the
     *                  broadcast (e.g. `"shuffle_hash"`); empty = none. The
     *                  degraded path of a declined broadcast defaults to
     *                  sort-merge, which SORTS the probe side — for a probe

@@ -112,23 +112,38 @@ class DimStore(spark: SparkSession, basePath: String,
     } else None
   }
 
+  /** Completed-staging marker, written by the STORE itself (driver-side,
+    * after the staged write returns) rather than relying on Spark's
+    * job-committer `_SUCCESS` file: a deployment with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` never writes
+    * `_SUCCESS`, which would make a genuinely completed staging look like
+    * a partial write and get deleted AFTER a destination bucket was
+    * already removed — exactly the lost-bucket window the swap recovery
+    * exists to close. `_SUCCESS` is still honored on read for stores
+    * staged by older versions of this code.
+    */
+  private def stagedComplete(tmp: java.io.File): Boolean =
+    new java.io.File(tmp, "_graft_staged_ok").exists ||
+      new java.io.File(tmp, "_SUCCESS").exists
+
   /** Complete a crashed upsert's pending bucket swaps before anything else
     * touches the store. The staged dirs under `_tmp_upsert` are the
     * AUTHORITATIVE merged state (old bucket ∪ batch, deduped) only once the
-    * staged write finished — Spark's `_SUCCESS` marker records exactly
-    * that. Without the marker the staging is a partial write from a crash
-    * BEFORE any destination bucket was deleted, so dropping it loses
-    * nothing. With it, the crash may have landed between a destination
-    * bucket's delete and the move that replaces it — the bucket's ONLY
-    * surviving copy lives in staging — so every staged bucket still
-    * present is swapped into place (a staged bucket strictly supersedes
-    * the pre-batch bucket it merged), and only then is the staging dir
-    * removed. Idempotent: already-moved buckets have no staged src left.
+    * staged write finished — the store's own `_graft_staged_ok` sentinel
+    * (see `stagedComplete`) records exactly that. Without the marker the
+    * staging is a partial write from a crash BEFORE any destination bucket
+    * was deleted, so dropping it loses nothing. With it, the crash may
+    * have landed between a destination bucket's delete and the move that
+    * replaces it — the bucket's ONLY surviving copy lives in staging — so
+    * every staged bucket still present is swapped into place (a staged
+    * bucket strictly supersedes the pre-batch bucket it merged), and only
+    * then is the staging dir removed. Idempotent: already-moved buckets
+    * have no staged src left.
     */
   private def recoverStaged(table: String): Unit = {
     val tmp = new java.io.File(s"${path(table)}/_tmp_upsert")
     if (!tmp.exists) return
-    if (new java.io.File(tmp, "_SUCCESS").exists) {
+    if (stagedComplete(tmp)) {
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("graft_bucket="))
         .foreach { src =>
@@ -225,6 +240,10 @@ class DimStore(spark: SparkSession, basePath: String,
       // per-bucket file count).
       staged.repartition(nb, col("graft_bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("graft_bucket").parquet(tmp)
+      // the store's own completion sentinel, independent of the committer
+      // conf (see stagedComplete) — written only once the job returned
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/_graft_staged_ok"), Array.empty[Byte])
     }
     phase("swap") {
       touched.foreach { i =>
@@ -269,11 +288,12 @@ class DimStore(spark: SparkSession, basePath: String,
     * both halves are read by EXPLICIT paths and collapsed with the same
     * versioned last-write-wins dedup the upsert retry applies (key/version
     * columns from `_graft_meta`). A store caught in the SWAP window — a
-    * COMPLETED staging (`_tmp_upsert/_SUCCESS` present) whose bucket moves
-    * were interrupted, possibly after a destination bucket was deleted —
-    * is read losslessly too: the staged bucket dirs are unioned in
-    * (each strictly supersedes the pre-batch bucket it merged, so the
-    * versioned dedup collapses the overlap), WITHOUT mutating the store —
+    * COMPLETED staging (the `_graft_staged_ok` sentinel, see
+    * `stagedComplete`) whose bucket moves were interrupted, possibly after
+    * a destination bucket was deleted — is read losslessly too: each
+    * staged bucket dir is read IN PLACE OF the live bucket it supersedes
+    * (so even a pre-meta store never shows a key twice), WITHOUT mutating
+    * the store —
     * repair itself belongs to the next `upsert`'s `recoverStaged`. The
     * store is thus never unreadable or lossy in the exact windows the
     * upsert retry exists to recover from.
@@ -289,10 +309,18 @@ class DimStore(spark: SparkSession, basePath: String,
         .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
       val tmp = new java.io.File(s"${path(table)}/_tmp_upsert")
       val stagedDirs: Array[java.io.File] =
-        if (new java.io.File(tmp, "_SUCCESS").exists)
+        if (stagedComplete(tmp))
           Option(tmp.listFiles()).getOrElse(Array.empty)
             .filter(d => d.isDirectory && d.getName.startsWith("graft_bucket="))
         else Array.empty
+      // a completed staged bucket strictly SUPERSEDES the live bucket it
+      // merged (old ∪ batch, deduped) — read the staged copy INSTEAD of
+      // unioning both. With `_graft_meta` present the versioned dedup
+      // would collapse the overlap anyway, but a pre-meta store caught in
+      // the swap window has no key/version to dedup by, and the raw union
+      // would show every key in a not-yet-swapped bucket twice.
+      val stagedNames = stagedDirs.map(_.getName).toSet
+      val liveBuckets = buckets.filterNot(b => stagedNames.contains(b.getName))
       // dir holding only metadata (crash between the meta write and the
       // first bucket write): an empty store, not a schema-inference error
       if (flat.isEmpty && buckets.isEmpty && stagedDirs.isEmpty) return None
@@ -301,7 +329,7 @@ class DimStore(spark: SparkSession, basePath: String,
           // explicit leaf-dir paths: no partition discovery, so no synthetic
           // graft_bucket column and no layout conflict between the halves
           val parts = Seq(
-            buckets.map(_.getPath).toSeq, flat.map(_.getPath).toSeq,
+            liveBuckets.map(_.getPath).toSeq, flat.map(_.getPath).toSeq,
             stagedDirs.map(_.getPath).toSeq)
             .filter(_.nonEmpty)
             .map(ps => spark.read.parquet(ps: _*))

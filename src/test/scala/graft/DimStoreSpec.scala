@@ -101,4 +101,62 @@ class DimStoreSpec extends SparkSpecBase {
     assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
       s"each bucket must be one parquet file, got ${perBucket.mkString(",")}")
   }
+
+  test("completed staging is recognized by the store's own sentinel, without _SUCCESS") {
+    // a deployment with mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    // false never writes `_SUCCESS`; the store's own `_graft_staged_ok`
+    // (written driver-side after the staged write returns) must be enough
+    // for both read() and the retry's swap recovery — otherwise a
+    // completed staging is misread as a partial write and deleted after a
+    // destination bucket was already removed (the lost-bucket window)
+    import spark.implicits._
+    val base = Files.createTempDirectory("dimstore_sentinel").toString
+    val store = new DimStore(spark, base)
+    store.upsert("t", (0L until 64L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v"), "k", "ts")
+    val victim = new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.startsWith("graft_bucket=")).head.getName
+      .stripPrefix("graft_bucket=").toInt
+    val tmp = Paths.get(s"$base/t/_tmp_upsert")
+    Files.createDirectories(tmp)
+    Files.move(Paths.get(s"$base/t/graft_bucket=$victim"),
+      tmp.resolve(s"graft_bucket=$victim"), StandardCopyOption.ATOMIC_MOVE)
+    Files.createFile(tmp.resolve("_graft_staged_ok")) // sentinel only, no _SUCCESS
+    assert(keySet(store.read("t").get) == (0L until 64L).toSet,
+      "read must treat the sentinel-marked staging as completed")
+    store.upsert("t", Seq((1000L, 2L, "new")).toDF("k", "ts", "v"), "k", "ts")
+    assert(keySet(store.read("t").get) == (0L until 64L).toSet + 1000L,
+      "retry must swap the sentinel-marked staged bucket into place, not drop it")
+    // and the new upsert itself left a sentinel-free store (staging cleared)
+    assert(!new java.io.File(s"$base/t/_tmp_upsert").exists())
+  }
+
+  test("pre-meta store in the swap window: staged bucket replaces the live copy, no duplicate keys") {
+    // the window where a destination bucket was NOT yet deleted: both the
+    // live bucket and its completed staged successor exist. read() must
+    // prefer the staged copy — a raw union would show every key of that
+    // bucket twice, and a pre-meta store has no key/version metadata to
+    // dedup it by
+    import spark.implicits._
+    val base = Files.createTempDirectory("dimstore_premeta").toString
+    val store = new DimStore(spark, base)
+    store.upsert("t", (0L until 64L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v"), "k", "ts")
+    // simulate a store written before _graft_meta existed
+    Files.deleteIfExists(Paths.get(s"$base/t/_graft_meta"))
+    // completed staging whose bucket was not yet swapped: staged copy is a
+    // COPY of the live bucket (the upsert's merged output for a no-change
+    // batch), live dir still in place
+    val victim = new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.startsWith("graft_bucket=")).head.getName
+    val tmp = Paths.get(s"$base/t/_tmp_upsert/$victim")
+    Files.createDirectories(tmp)
+    val live = new java.io.File(s"$base/t/$victim")
+    live.listFiles().filter(_.isFile).foreach { f =>
+      Files.copy(f.toPath, tmp.resolve(f.getName))
+    }
+    Files.createFile(Paths.get(s"$base/t/_tmp_upsert/_graft_staged_ok"))
+    val r = store.read("t").get
+    assert(keySet(r) == (0L until 64L).toSet)
+    assert(r.count() == 64,
+      "staged bucket must replace the live copy on read — no duplicate keys in the window")
+  }
 }
