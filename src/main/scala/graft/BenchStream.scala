@@ -193,31 +193,86 @@ object BenchStream {
   private def corpusLeg(spark: SparkSession, sfDir: String, factor: Int,
                         nBatches: Int): (String, () => Unit) = {
     import spark.implicits._
-    val all = corpusDocs(spark, sfDir, factor)
+    val main = corpusDocs(spark, sfDir, factor)
+    val chunk = math.max(1, main.size / nBatches)
+    // cold tail: 5 batches of UNIQUE documents (every token salted per
+    // doc, so no shingle is shared with anything) landing when the store
+    // is at its LARGEST — the novel-arrival regime a production ingest
+    // mostly runs in. The bloom sidecar must rule these batches out
+    // driver-side, so their per-batch read bytes stay near zero however
+    // big the store is: the round-13 verdict's "per-batch bytes FLAT as
+    // the store grows" gate, measured where it is structurally decidable.
+    val coldBatches = 5
+    val cold = (0 until coldBatches * chunk).map { i =>
+      val t = main(i % main.size)
+      graft.streaming.CorpusJob.CorpusDoc(100000000000L + i,
+        t.text.split(' ').map(w => s"${w}c$i").mkString(" "), t.embedding)
+    }
+    val all = main ++ cold
     val stateDir = SweepTmp.dir("bstream_corpus_state")
     val ckpt = SweepTmp.dir("bstream_corpus_ckpt")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[graft.streaming.CorpusJob.CorpusDoc]
     val q = graft.streaming.CorpusJob.start(in.toDF(), stateDir, ckpt)
-    val chunk = math.max(1, all.size / nBatches)
     val storeRows = scala.collection.mutable.ArrayBuffer[Long]()
     val storeBytes = scala.collection.mutable.ArrayBuffer[Long]()
     val rebuilds = scala.collection.mutable.ArrayBuffer[Long]()
+    val batchBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    val l0Files = scala.collection.mutable.ArrayBuffer[Int]()
+    // per-batch task input bytes (parquet probe/fetch reads; the
+    // MemoryStream source reads no files) — the sublinear-probe evidence
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    val lsnr = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(lsnr)
     try {
       all.grouped(chunk).foreach { c =>
+        val b0 = bytesRead.get()
         in.addData(c)
         q.processAllAvailable()
+        Thread.sleep(120) // listener-bus drain before the delta snapshot
+        batchBytes += bytesRead.get() - b0
         val sidecar = java.nio.file.Paths.get(s"$stateDir/corpus_rows")
         storeRows += (if (java.nio.file.Files.exists(sidecar))
           new String(java.nio.file.Files.readAllBytes(sidecar)).trim.toLong else 0L)
         storeBytes += dirBytes(new java.io.File(s"$stateDir/corpus"))
         rebuilds += graft.streaming.CorpusJob.rebuildCount(stateDir)
+        l0Files += Option(new java.io.File(s"$stateDir/bands").listFiles())
+          .getOrElse(Array.empty).count(_.getName.startsWith("append_"))
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.sparkContext.removeSparkListener(lsnr)
+    }
     val prog = progress(q)
     val walls = prog.map(_._2)
     val survivors = storeRows.last
     val parquetRows = spark.read.parquet(s"$stateDir/corpus").count()
+    val bandsStoreBytes = dirBytes(new java.io.File(s"$stateDir/bands"))
+    // retrieval pruning evidence: the cell-partitioned store must let a
+    // 2-of-4-cell probe read strictly less than the all-cells probe
+    val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+      .localCheckpoint()
+    def retrieveBytes(nProbe: Int): Long = {
+      val r0 = bytesRead.get()
+      spark.sparkContext.addSparkListener(lsnr)
+      try {
+        graft.streaming.CorpusJob.retrieve(spark, stateDir, queries,
+          k = 3, nProbe = nProbe).collect()
+        Thread.sleep(120)
+      } finally spark.sparkContext.removeSparkListener(lsnr)
+      bytesRead.get() - r0
+    }
+    val prunedRetrieveBytes = retrieveBytes(2)
+    val fullRetrieveBytes = retrieveBytes(4)
     // persisted band index in lockstep: exactly Bands rows per survivor
     // (crash-free replay — the crash window's redundant rows are allowed
     // only in the spec's forced-replay scenario, never here)
@@ -238,14 +293,55 @@ object BenchStream {
       storeRows.zip(rebuilds).zip(rebuilds.tail).forall {
         case ((rows, rb), rbNext) => rows < 4 || rbNext == rb
       }
+    // sublinear-probe gates (round-13 verdict item: the per-batch candidate
+    // probe must not scan the whole store):
+    //  - cold-tail flatness: the 5 unique-doc batches land on the LARGEST
+    //    store; their read bytes (median — one may absorb a compaction)
+    //    must be a small fraction of the store, i.e. the bloom prefilter
+    //    and bucket/row-group pruning kept the probe off the corpus;
+    //  - L0 bound: appends since the last compaction never exceed
+    //    compactEvery — the probe's scan-all term stays bounded;
+    //  - retrieval pruning: the 2-of-4-cell probe reads strictly less than
+    //    the all-cells probe over the cell-partitioned store.
+    val coldBytes = batchBytes.takeRight(coldBatches)
+    val coldMedian = median(coldBytes.map(_.toDouble).toSeq)
+    val tailStoreBytes = storeBytes.last + bandsStoreBytes
+    val coldFlatOk = coldMedian <= 0.15 * tailStoreBytes
+    val compactEvery = spark.conf.get(
+      graft.streaming.CorpusJob.CompactEveryConf,
+      graft.streaming.CorpusJob.CompactEveryDefault.toString).toInt
+    val l0Ok = l0Files.forall(_ <= compactEvery)
+    val retrievePruneOk = prunedRetrieveBytes < fullRetrieveBytes &&
+      prunedRetrieveBytes > 0
     val json = legJson("corpus", factor, all.size.toLong, prog.size, walls,
       s""","store_rows":[${storeRows.mkString(",")}],""" +
         s""""store_bytes":[${storeBytes.mkString(",")}],""" +
         s""""rebuilds":[${rebuilds.mkString(",")}],""" +
         s""""survivors":$survivors,"oracle_survivors":$oracleSurvivors,""" +
         s""""band_index_rows":$bandIdxRows,""" +
+        s""""batch_read_bytes":[${batchBytes.mkString(",")}],""" +
+        s""""l0_appends":[${l0Files.mkString(",")}],""" +
+        s""""cold_batches":$coldBatches,"cold_read_bytes_median":${f0(coldMedian)},""" +
+        s""""bands_store_bytes":$bandsStoreBytes,""" +
+        s""""retrieve_bytes_pruned":$prunedRetrieveBytes,""" +
+        s""""retrieve_bytes_full":$fullRetrieveBytes,""" +
+        s""""cold_flat_ok":$coldFlatOk,"l0_ok":$l0Ok,""" +
+        s""""retrieve_prune_ok":$retrievePruneOk,""" +
         s""""monotone":$monotone,"rebuilds_ok":$rebuildsOk""")
     val enforce = () => {
+      if (!coldFlatOk) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor cold-tail probe bytes " +
+          s"(median ${f0(coldMedian)} over $coldBytes) exceed 15% of the " +
+          s"$tailStoreBytes-byte store — novel-arrival batches must stay " +
+          "off the corpus (bloom prefilter + pruned probe)")
+      if (!l0Ok) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor L0 append count $l0Files " +
+          s"exceeded compactEvery=$compactEvery — compaction is not bounding " +
+          "the probe's scan-all term")
+      if (!retrievePruneOk) throw new IllegalStateException(
+        s"stream bench invalid: corpus x$factor retrieve read " +
+          s"$prunedRetrieveBytes bytes at nProbe=2 vs $fullRetrieveBytes at " +
+          "nProbe=4 — cell partition pruning is not reaching the scan")
       if (!monotone) throw new IllegalStateException(
         s"stream bench invalid: corpus x$factor store rows not monotone: $storeRows")
       if (bandIdxRows != survivors * graft.pipeline.Dedup.Bands)

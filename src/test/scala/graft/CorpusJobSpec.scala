@@ -234,6 +234,148 @@ class CorpusJobSpec extends SparkSpecBase {
     assert(cells(dir) == cells(oneDir), "sidecar-served seeds must not change the assignment")
   }
 
+  test("compaction folds L0 appends into the bucketed base and changes nothing observable") {
+    // LSM contract: after compactEvery appends the L0 files are folded
+    // into the kb=-bucketed base in one job. Survivor set, band-index
+    // lockstep, dedup behavior (a post-compaction near-dup must still be
+    // dropped) and retrieval are all invariant; only the layout changes.
+    val docs = loadDocs(100)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_compact").toString
+    spark.conf.set(CorpusJob.CompactEveryConf, "3")
+    try {
+      docs.grouped(20).foreach(c => CorpusJob.processBatch(spark, c.toDF(), dir))
+      val bands = new java.io.File(s"$dir/bands")
+      val appends = bands.listFiles().count(_.getName.startsWith("append_"))
+      val baseBuckets = bands.listFiles().count(_.getName.startsWith("kb="))
+      assert(appends < 3, s"compaction must bound L0, found $appends appends")
+      assert(baseBuckets > 0, "compaction must produce kb= base buckets")
+      // lockstep + duplicate-free through the compactions
+      val surv = survivors(dir)
+      assert(CorpusJob.readBands(spark, dir).count() ==
+        surv.size.toLong * graft.pipeline.Dedup.Bands)
+      // oracle equality: same survivors as the one-shot run
+      val oneDir = java.nio.file.Files.createTempDirectory("corpus_compact_one").toString
+      CorpusJob.processBatch(spark, docs.toDF(), oneDir)
+      assert(surv == survivors(oneDir))
+      // the compacted index still serves dedup: a near-dup of an EARLY doc
+      // (whose band rows live in the base, not L0) must be dropped
+      val dup = CorpusDoc(docs.map(_.doc_id).max + 1, docs(3).text + " tok",
+        docs(3).embedding.map(_ + 0.001f))
+      CorpusJob.processBatch(spark, Seq(dup).toDF(), dir)
+      assert(!survivors(dir).contains(dup.doc_id),
+        "post-compaction corpus duplicate must still be detected")
+    } finally spark.conf.unset(CorpusJob.CompactEveryConf)
+  }
+
+  test("compaction purges phantom append rows (crashed attempt replayed under different batching)") {
+    // The one debris the deterministic append_<id> overwrite cannot
+    // collapse: a crashed batch's band rows whose corpus append never
+    // landed, replayed under a DIFFERENT batch boundary. The phantoms must
+    // never dedup a live arrival (verification is corpus-confirmed), and
+    // compaction must garbage-collect them so the index returns to
+    // survivors × Bands lockstep.
+    val docs = loadDocs(40)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_phantom").toString
+    CorpusJob.processBatch(spark, docs.take(20).toDF(), dir)
+    // manufacture a phantom append: band rows for ids the corpus never saw
+    val ghostIds = Set(900001L, 900002L)
+    // ghost text shares NO shingle with any real doc (every token salted),
+    // so its live twin can only be deduped by the PHANTOM — the bug probe
+    val ghosts = docs.take(2).zip(ghostIds.toSeq.sorted).map { case (d, id) =>
+      CorpusDoc(id, d.text.split(' ').map(w => s"${w}gh$id").mkString(" "), d.embedding)
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val ghostSigs = ghosts.toDF()
+      .select(c("doc_id"),
+        graft.pipeline.Dedup.minhashSignatureFrom(
+          graft.pipeline.Dedup.shingleHashesFrom(
+            graft.pipeline.Dedup.tokenHashes(c("text")))).as("sig"))
+    // the phantom subdir, exactly as a crashed fast path would leave it
+    ghostSigs.select(c("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(graft.pipeline.Dedup.Bands - 1)),
+          b => concat_ws("_", transform(
+            slice(c("sig"), b * graft.pipeline.Dedup.RowsPerBand + 1,
+              lit(graft.pipeline.Dedup.RowsPerBand)), x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/bands/append_900001")
+    val lockstepBroken = CorpusJob.readBands(spark, dir).count()
+    assert(lockstepBroken > survivors(dir).size.toLong * graft.pipeline.Dedup.Bands,
+      "setup: phantom rows present")
+    // a live arrival near-duplicating a GHOST (not a survivor) must be
+    // KEPT — phantoms are not survivors and cannot dedup anything
+    val liveTwin = CorpusDoc(900100L, ghosts.head.text + " extra",
+      ghosts.head.embedding.map(_ + 0.001f))
+    spark.conf.set(CorpusJob.CompactEveryConf, "1") // next batch compacts
+    try CorpusJob.processBatch(spark, (docs.drop(20) :+ liveTwin).toDF(), dir)
+    finally spark.conf.unset(CorpusJob.CompactEveryConf)
+    assert(survivors(dir).contains(liveTwin.doc_id),
+      "phantom band rows must never dedup a live arrival")
+    assert(CorpusJob.readBands(spark, dir).count() ==
+      survivors(dir).size.toLong * graft.pipeline.Dedup.Bands,
+      "compaction must purge phantom rows back to lockstep")
+  }
+
+  test("legacy v1 store (flat corpus, unbucketed bands, no bloom) migrates in place") {
+    // Stores written by the previous layout: corpus as unpartitioned
+    // parquet with `cell` as a data column, band index as root parquet
+    // files, no _v2 marker, no _bloom. The first fast-path batch must
+    // migrate both (cell-partitioned corpus, bucketed+bloomed bands) and
+    // dedup EXACTLY as the one-shot oracle over the same ingest.
+    val docs = loadDocs(60)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_legacy").toString
+    // build a modern store, then flatten it to the v1 layout
+    CorpusJob.processBatch(spark, docs.take(30).toDF(), dir)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id", "sig", "emb", "nrm", "cell").localCheckpoint()
+    val bands = CorpusJob.readBands(spark, dir).localCheckpoint()
+    def rmTree(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+    rmTree(java.nio.file.Paths.get(s"$dir/corpus"))
+    rmTree(java.nio.file.Paths.get(s"$dir/bands"))
+    corpus.repartition(2).write.parquet(s"$dir/corpus")      // v1: flat files
+    bands.repartition(1).write.parquet(s"$dir/bands")        // v1: root files
+    assert(new java.io.File(s"$dir/corpus").listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "setup: flat corpus")
+    // second half (plus a cross-boundary near-dup) through the migration
+    val dup = CorpusDoc(docs.map(_.doc_id).max + 10, docs(5).text + " tok",
+      docs(5).embedding.map(_ + 0.001f))
+    CorpusJob.processBatch(spark, (docs.drop(30) :+ dup).toDF(), dir)
+    assert(new java.io.File(s"$dir/corpus").listFiles().exists(_.getName.startsWith("cell=")),
+      "corpus migrated to cell partitions")
+    assert(new java.io.File(s"$dir/bands/_v2").exists, "bands migrated to v2")
+    assert(!survivors(dir).contains(dup.doc_id), "cross-migration dup dropped")
+    val oneDir = java.nio.file.Files.createTempDirectory("corpus_legacy_one").toString
+    CorpusJob.processBatch(spark, (docs :+ dup).toDF(), oneDir)
+    assert(survivors(dir) == survivors(oneDir),
+      "migrated store must match the one-shot oracle")
+    // retrieval over the migrated store matches too
+    val a = CorpusJob.retrieve(spark, dir, queriesDf).collect().map(_.toSeq).toSet
+    val b = CorpusJob.retrieve(spark, oneDir, queriesDf).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("lost bloom sidecar is backfilled and duplicates are still detected") {
+    val docs = loadDocs(40)
+    val dir = java.nio.file.Files.createTempDirectory("corpus_bloomloss").toString
+    CorpusJob.processBatch(spark, docs.take(20).toDF(), dir)
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/bands/_bloom")))
+    val dup = CorpusDoc(docs.map(_.doc_id).max + 1, docs(2).text + " tok",
+      docs(2).embedding.map(_ + 0.001f))
+    CorpusJob.processBatch(spark, (docs.drop(20) :+ dup).toDF(), dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/bands/_bloom")),
+      "fast path must backfill a missing bloom sidecar")
+    assert(!survivors(dir).contains(dup.doc_id),
+      "a corpus duplicate must be dropped right through the backfill")
+    // bloom soundness across batches: replay drops everything (no false
+    // negatives — every indexed key is visible to the rebuilt sidecar)
+    val before = survivors(dir)
+    CorpusJob.processBatch(spark, docs.toDF(), dir)
+    assert(survivors(dir) == before)
+  }
+
   test("survivor-count sidecar: kept in lockstep; a legacy store without one is backfilled") {
     val docs = loadDocs(60)
     val dir = java.nio.file.Files.createTempDirectory("corpus_sidecar").toString
