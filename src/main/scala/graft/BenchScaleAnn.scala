@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * quantized recall must stay ≥ 0.8 (int8 keeps ~2 decimal digits of
   * cosine — if the ranking collapses, the quantizer is broken, not
   * approximate) and the blocked methods must return non-empty results.
+  *
+  * Beyond the full first-factor leg, `SPARK_GRAFT_SCALE_FACTORS` (default
+  * `10,100`) adds focused big legs — the exact-×factor treatment the
+  * ER/TPC-H/graph families already have: at each extra factor the
+  * scale-path operating points (brute oracle, multi-table LSH, IVF,
+  * tuned IVF-PQ, JL-rerank) are re-timed and re-gated (non-empty, recall
+  * floors, candidate-touch signal) on the 100×-replicated corpus, with
+  * the artifact flushed after every leg.
   */
 object BenchScaleAnn {
 
@@ -136,7 +144,14 @@ object BenchScaleAnn {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // factor = the FULL leg (all 11 variants, both query loads, planted +
+    // ceiling evals); extraFactors get the focused 100× treatment below —
+    // the ANN family's exact-×factor sweep story (round-13 verdict item 5)
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+        .split(",").map(_.trim.toInt).toSeq)
+    val factor = factors.head
+    val extraFactors = factors.tail
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.get()
 
@@ -245,7 +260,75 @@ object BenchScaleAnn {
         lbl -> r
       }
 
-    val json = {
+    // focused big legs (default 100×, round-13 verdict item 5): the
+    // scale-path operating points timed and recall-gated on the same
+    // corpus construction at 10× the sweep size. Brute stays the oracle —
+    // one broadcast pass over the scaled corpus — and the blocked methods
+    // must hold non-empty results, their recall floors, and a bounded
+    // candidate-touch fraction as the corpus grows 100×. Runs AFTER the
+    // full-leg artifact exists on disk (flush-per-leg convention: a
+    // late-leg crash keeps the 10× record).
+    def bigLeg(f: Int): (String, () => Unit) = {
+      def vecs = scaledVecsFrom(spark, sfDir, f)
+      val corpusN = baseCount * f
+      val jlDepthF = (corpusN / 40).toInt.max(100)
+      val jlTouchF = jlDepthF.toDouble / corpusN
+      // the rerank shortlist must SCALE with the distractor count: the
+      // depth-50 point tuned at 10× recorded 0.40 recall at 100× (the ADC
+      // shortlist starves — measured grid in the round-14 session:
+      // depth 100 → 0.44, depth 200 → 0.56, nProbe 6 adds ~nothing).
+      // depth = max(50, corpus/1000) reproduces the 10× tuned point AND
+      // the recovered 100× one, at a rerank touch of 0.1% of the corpus —
+      // the same corpus-proportional-depth rule the JL-rerank path uses.
+      val pqDepthF = math.max(50L, corpusN / 1000).toInt
+      val legVariants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "brute" -> (() => pipeline.Similarity.bruteForceTopKFrom(vecs, nQueries = 10)),
+        "lsh_mt" -> (() => pipeline.Similarity.lshMultiTableTopKFrom(vecs, nQueries = 10, nTables = 16)),
+        "ivf" -> (() => pipeline.Similarity.ivfTopKFrom(vecs, nQueries = 10)),
+        "ivfpq_t" -> (() => pipeline.Similarity.ivfPqTopKFrom(vecs, nQueries = 10,
+          m = 32, nProbe = 3, iters = 2, rerankDepth = pqDepthF)),
+        "jl_rr" -> (() => pipeline.Similarity.jlRerankFrom(vecs, nQueries = 10, depth = jlDepthF)))
+      val legTimes = legVariants.map { case (name, fn) =>
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          exec(fn())
+          val dt = (System.nanoTime() - t0) / 1e9
+          drop(spark)
+          dt
+        }.min
+        name -> t
+      }
+      val legBrute = pairSet(pipeline.Similarity.bruteForceTopKFrom(vecs))
+      val legRecalls = legVariants.filter(_._1 != "brute").map { case (name, fn) =>
+        val s = pairSet(fn())
+        drop(spark)
+        (name, (legBrute intersect s).size.toDouble / legBrute.size.max(1), s.size.toLong)
+      }
+      val legJson =
+        s""""x$f":{"factor":$f,"corpus_rows":$corpusN,""" +
+          legTimes.map { case (k, v) => "\"t_" + k + "\":" + v }.mkString("", ",", ",") +
+          legRecalls.map { case (k, r, _) => "\"r_" + k + "\":" + r }.mkString("", ",", ",") +
+          s""""brute_pairs":${legBrute.size},"jl_depth":$jlDepthF,"jl_touch":$jlTouchF,""" +
+          s""""pq_rerank_depth":$pqDepthF,"pq_rerank_touch":${pqDepthF.toDouble / corpusN}}"""
+      val gate = () => {
+        val rows = legRecalls.map { case (k, _, n) => k -> n }.toMap
+        val rec = legRecalls.map { case (k, r, _) => k -> r }.toMap
+        if (rows("ivfpq_t") == 0 || rows("lsh_mt") == 0 || rows("ivf") == 0)
+          throw new IllegalStateException(
+            s"ANN x$f leg invalid: a blocked method returned no rows ($rows)")
+        Seq("lsh_mt", "ivfpq_t").foreach { k =>
+          if (rec(k) < 0.5) throw new IllegalStateException(
+            s"ANN x$f leg invalid: $k recall ${rec(k)} < 0.5")
+        }
+        if (rec("jl_rr") < (4 * jlTouchF).max(0.2))
+          throw new IllegalStateException(
+            s"ANN x$f leg invalid: jl_rr recall ${rec("jl_rr")} carries no " +
+              s"signal over candidate touch $jlTouchF")
+      }
+      (legJson, gate)
+    }
+
+    def buildJson(legs: Seq[String]) = {
       val ts = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val tl = timesLoaded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val rc = recalls.map { case (k, r, _) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
@@ -259,12 +342,27 @@ object BenchScaleAnn {
         s""""planted_same_group_frac":$sameGroupFrac,""" +
         s""""planted_floors":{"lsh_mt":0.8,"pq_t":0.8,"ivfpq_t":0.8},""" +
         s""""pq_ceiling_grid":${ceilingGrid.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")},""" +
-        s""""jl_depth":$jlDepth,"jl_touch":${jlDepth.toDouble / (baseCount * factor)}}"""
+        s""""jl_depth":$jlDepth,"jl_touch":${jlDepth.toDouble / (baseCount * factor)},""" +
+        s""""factors":[${factors.mkString(",")}],""" +
+        s""""legs":${legs.mkString("{", ",", "}")}}"""
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_ann.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def flush(s: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE_ann.json"),
+        (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    flush(buildJson(Nil)) // the full 10× leg survives a big-leg crash
+    val (bigJsons, bigGates) = extraFactors.foldLeft((Seq.empty[String], Seq.empty[() => Unit])) {
+      case ((js, gs), f) =>
+        val (j, g) = bigLeg(f)
+        flush(buildJson(js :+ j))
+        (js :+ j, gs :+ g)
+    }
+    val json = buildJson(bigJsons)
+    flush(json)
     spark.stop()
     println(json)
+    bigGates.foreach(_.apply())
     enforce(recalls.collectFirst { case ("quant", r, _) => r }.get,
       recalls.collectFirst { case ("lsh", _, n) => n }.get,
       recalls.collectFirst { case ("ivf", _, n) => n }.get,

@@ -237,7 +237,11 @@ class DimStore(spark: SparkSession, basePath: String,
       // each an output-task file commit. One partition per bucket writes
       // exactly one file per bucket: the bucket is this store's unit of
       // rewrite (at 100 TB you raise spark.graft.dim.buckets, not the
-      // per-bucket file count).
+      // per-bucket file count). This shape is the measured floor: the
+      // round-14 A/B probe (`ProbeDimWrite`) recorded 0.47 s/upsert
+      // median isolated, with the v2 file-output committer at 0.50 and a
+      // single-task dynamic write at 0.56 — the cost is Spark job fixed
+      // overhead, not task commits, so neither variant is kept.
       staged.repartition(nb, col("graft_bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("graft_bucket").parquet(tmp)
       // the store's own completion sentinel, independent of the committer

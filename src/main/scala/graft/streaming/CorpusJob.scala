@@ -105,9 +105,12 @@ object CorpusJob {
 
   /** L0 bound: compaction folds the append files into the bucketed base
     * once this many have accumulated since the last rebuild/compaction.
+    * 16 balances the probe's bounded L0 scan (16 batch-sized files)
+    * against compaction frequency (each is an O(store) re-layout job —
+    * amortized O(store/16) per batch, the LSM tradeoff).
     */
   val CompactEveryConf = "spark.graft.corpus.compactEvery"
-  val CompactEveryDefault = 8
+  val CompactEveryDefault = 16
 
   private val BloomFpp = 1e-4
   private val BloomMinCapacity = 1L << 17
@@ -326,8 +329,7 @@ object CorpusJob {
 
   /** Complete or discard a crashed compaction before anything reads the
     * index (the `DimStore.recoverStaged` discipline): a staging WITH the
-    * sentinel is the authoritative compacted base — finish the swap
-    * (idempotent: re-deletes what remains, re-moves what's left); one
+    * sentinel is the authoritative compacted base — finish the swap; one
     * without it is a partial write — drop it, the L0/L1 state is intact.
     */
   private def recoverCompact(stateDir: String): Unit = {
@@ -337,15 +339,30 @@ object CorpusJob {
     else rmTree(tmp)
   }
 
+  /** The swap, idempotent under a crash at ANY point: the sentinel records
+    * the compacted base's bucket list, so a retry can tell an
+    * already-moved new bucket (in the list, absent from staging — keep)
+    * from a stale old bucket (not in the list — delete). A blind
+    * delete-all-then-move would destroy an already-moved bucket whose
+    * staged copy is gone — the lost-bucket window `DimStore.recoverStaged`
+    * exists to close, recreated one level up.
+    */
   private def finishCompactSwap(stateDir: String): Unit = {
     val root = bandsPath(stateDir)
-    (listDirs(root, "kb=") ++ listDirs(root, "append_")).foreach(rmTree)
+    val keep = new String(
+      java.nio.file.Files.readAllBytes(compactOk(stateDir).toPath),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSet
+    listDirs(root, "kb=").filterNot(d => keep.contains(d.getName)).foreach(rmTree)
     listDirs(compactTmp(stateDir), "kb=").foreach { src =>
-      java.nio.file.Files.move(src.toPath,
-        java.nio.file.Paths.get(s"$root/${src.getName}"),
+      val dst = new java.io.File(s"$root/${src.getName}")
+      rmTree(dst) // the pre-compaction copy this staged bucket supersedes
+      java.nio.file.Files.move(src.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     }
+    // L0 is folded into the new base; appends go only after every staged
+    // bucket is in place (a crash before this line replays to here)
+    listDirs(root, "append_").foreach(rmTree)
     rmTree(new java.io.File(compactTmp(stateDir)))
   }
 
@@ -366,10 +383,22 @@ object CorpusJob {
     val clean = readBands(spark, stateDir).distinct()
       .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
     writeBandsBase(clean, nb, compactTmp(stateDir))
-    java.nio.file.Files.write(compactOk(stateDir).toPath, Array.empty[Byte])
+    // sentinel carries the new base's bucket list — the swap's idempotence
+    // depends on it (see finishCompactSwap)
+    java.nio.file.Files.write(compactOk(stateDir).toPath,
+      listDirs(compactTmp(stateDir), "kb=").map(_.getName).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finishCompactSwap(stateDir)
     writeMarker(stateDir, nb) // marker lives in the bands dir the swap rewrote
-    rebuildBloom(stateDir, readBands(spark, stateDir), survivorCount * Dedup.Bands)
+    // the incremental bloom stays valid across the fold (it is a SUPERSET:
+    // purged phantom keys linger only as extra false positives), so the
+    // distributed rebuild is paid only when capacity pressure calls for a
+    // regrow anyway — compaction stays a single re-layout job
+    readBloom(stateDir) match {
+      case Some((capacity, keys, _)) if keys <= (capacity * 7) / 10 => ()
+      case _ =>
+        rebuildBloom(stateDir, readBands(spark, stateDir), survivorCount * Dedup.Bands)
+    }
   }
 
   // ------------------------------------------------- corpus migration
@@ -408,13 +437,21 @@ object CorpusJob {
     else rmTree(tmp)
   }
 
+  /** Idempotent under a crash at any point: only the legacy FLAT files are
+    * deleted (a `cell=` dir at the destination can only be this
+    * migration's own already-moved output — the legacy layout had none —
+    * so a retry keeps it; blindly clearing the destination would destroy
+    * moved cells whose staged copy is gone).
+    */
   private def finishCorpusMigrate(stateDir: String): Unit = {
     val dst = new java.io.File(corpusPath(stateDir))
-    rmTree(dst)
+    java.nio.file.Files.createDirectories(dst.toPath)
+    Option(dst.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     listDirs(corpusMigrateTmp(stateDir), "cell=").foreach { src =>
-      java.nio.file.Files.createDirectories(dst.toPath)
-      java.nio.file.Files.move(src.toPath,
-        java.nio.file.Paths.get(s"${dst.getPath}/${src.getName}"),
+      val d = new java.io.File(s"${dst.getPath}/${src.getName}")
+      rmTree(d) // half-moved retry: the staged copy supersedes it
+      java.nio.file.Files.move(src.toPath, d.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     }
@@ -550,8 +587,11 @@ object CorpusJob {
                 .join(broadcast(presentDf
                   .select(col("batch_id"), col("band"), col("band_key"))),
                   Seq("band", "band_key"))
-                .select(col("batch_id"), col("corpus_id")).distinct()
-                .collect().map(r => CandPair(r.getLong(0), r.getLong(1)))
+                .select(col("batch_id"), col("corpus_id"))
+                // dedup driver-side: rows are bounded by the batch's
+                // matching band rows, and skipping `distinct` keeps the
+                // probe a single shuffle-free stage
+                .collect().map(r => CandPair(r.getLong(0), r.getLong(1))).distinct
             }
           if (candidates.isEmpty) Set.empty
           else {
@@ -571,8 +611,8 @@ object CorpusJob {
                 .join(sigs.select(col("doc_id").as("batch_id"), col("sig").as("sig_a")),
                   "batch_id")
                 .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
-                .select(col("batch_id")).distinct()
-                .collect().map(_.getLong(0)).toSet
+                .select(col("batch_id"))
+                .collect().map(_.getLong(0)).toSet // the Set dedups
             }
           }
         }
