@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.Scale.maybeBroadcast
+import graft.operators.Scale.{maybeBroadcast, spreadIfNarrow}
 
 /** Relational core: scans, filters, joins (equi / interval / dim-enrichment),
   * aggregations, top-K serving queries.
@@ -53,7 +53,7 @@ object Relational {
     // customer scales with the corpus (1/10 of orders): size-gated hint,
     // never unconditional — at 100× the gate drops it and AQE decides
     o.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(spreadIfNarrow(l, "l_orderkey"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -72,7 +72,8 @@ object Relational {
     val c = customer(spark, dir)
     val o = orders(spark, dir)
     val l = lineitem(spark, dir)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    spreadIfNarrow(l, "l_orderkey")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -502,7 +503,7 @@ object Relational {
   def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
     val n1 = nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     val n2 = nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    lineitem(spark, dir)
+    spreadIfNarrow(lineitem(spark, dir), "l_orderkey")
       .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(maybeBroadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(maybeBroadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
@@ -524,8 +525,7 @@ object Relational {
     * heaps, no global sort.
     */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .filter(col("l_returnflag") === "R")
+    spreadIfNarrow(lineitem(spark, dir).filter(col("l_returnflag") === "R"), "l_orderkey")
       .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(maybeBroadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -547,12 +547,12 @@ object Relational {
     * and the join), both keyed and combinable map-side.
     */
   def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
-    val perPart = lineitem(spark, dir)
+    val perPart = spreadIfNarrow(lineitem(spark, dir), "l_partkey")
       .groupBy(col("l_partkey").as("pa_partkey"))
       .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("qty_ct"))
     val brandParts = part(spark, dir)
       .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
-    lineitem(spark, dir)
+    spreadIfNarrow(lineitem(spark, dir), "l_partkey")
       .join(maybeBroadcast(brandParts), col("l_partkey") === col("p_partkey"))
       .join(perPart, col("l_partkey") === col("pa_partkey"))
       .filter(dec(col("l_quantity")) * lit(5) * col("qty_ct") < col("sum_qty"))
@@ -570,7 +570,7 @@ object Relational {
     * top-20 by (total_qty DESC, orderkey).
     */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val bigOrders = lineitem(spark, dir)
+    val bigOrders = spreadIfNarrow(lineitem(spark, dir), "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
       .filter(col("qty_dec") > lit(250).cast("decimal(18,2)"))
@@ -1030,7 +1030,7 @@ object Relational {
     val sn = nation(spark, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val r = region(spark, dir).filter(col("r_name") === "EUROPE")
     val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
-    lineitem(spark, dir)
+    spreadIfNarrow(lineitem(spark, dir), "l_orderkey")
       .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(maybeBroadcast(customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
@@ -1062,7 +1062,7 @@ object Relational {
     * size gate.
     */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
+    spreadIfNarrow(lineitem(spark, dir), "l_orderkey")
       .join(maybeBroadcast(part(spark, dir).filter(col("p_name").endsWith("gear"))
         .select(col("p_partkey"), col("p_retailprice"))),
         col("l_partkey") === col("p_partkey"))
@@ -1088,7 +1088,7 @@ object Relational {
     * the map side unaggregated.
     */
   def q12ShipLag(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    spreadIfNarrow(lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")), "l_orderkey")
       .join(orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(when(datediff(col("l_shipdate"), col("o_orderdate")) > 45, "SLOW")
@@ -1160,7 +1160,7 @@ object Relational {
     // share test's probe side and the per-part total; without this the
     // lineitem scan + first shuffle run twice (Catalyst's ReusedExchange
     // does not fire across the two aggregation depths)
-    val ps = lineitem(spark, dir)
+    val ps = spreadIfNarrow(lineitem(spark, dir), "l_partkey")
       .join(maybeBroadcast(part(spark, dir).filter(col("p_name").startsWith("red"))
         .select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
@@ -1200,7 +1200,8 @@ object Relational {
   def q21SoleLatePairs(spark: SparkSession, dir: String): DataFrame = {
     val roster = lineitem(spark, dir)
       .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk")).distinct()
-    val late = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = spreadIfNarrow(lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")), "l_orderkey")
       .join(orders(spark, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))

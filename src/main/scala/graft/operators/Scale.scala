@@ -183,6 +183,28 @@ object Scale {
   def scaleMode(spark: org.apache.spark.sql.SparkSession, on: Boolean = true): Unit =
     spark.conf.set("spark.graft.scaleMode", on.toString)
 
+  /** Scale-adaptive fact-scan spread (r14, guide §2.5 input skew / §1.2):
+    * hash-repartition `df` on `key` ONLY when its scan yields fewer
+    * splits than half the session's cores. The bench parquet tables are
+    * single-row-group files, so every scan is effectively ONE split —
+    * an all-broadcast join chain (the TPC-H shapes at test SF, where
+    * every dimension fits the 64 MB auto-broadcast bound) then runs its
+    * entire scan→join→partial-agg pipeline in one task while 31 cores
+    * idle. At production scale the scan has plenty of splits and this is
+    * the IDENTITY — no exchange is added, the plan is unchanged (the
+    * split count is read from the planned scan RDD, driver-side, no
+    * job). Keyed (not round-robin) so the exchange is deterministic
+    * under task retry (no SPARK-23207 exposure and no
+    * sortBeforeRepartition pass), and keyed ON THE JOIN KEY so a
+    * downstream shuffle join can reuse the exchange outright.
+    */
+  def spreadIfNarrow(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    if (df.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sessionState.conf.numShufflePartitions, col(key))
+    else df
+  }
+
   /** Pre-partition two frames on the join key so a subsequent join needs
     * no exchange of its own (both children arrive hash-partitioned) —
     * the API-level stand-in for bucketed tables when writing through the

@@ -408,8 +408,16 @@ object Dedup {
     */
   def clusterLabels(pairsIn: DataFrame, docs: DataFrame, maxIters: Int = 50): DataFrame = {
     val pairs = pairsIn.localCheckpoint()
+    // Key-repartition (no explicit count → AQE coalesces by BYTES) before
+    // pinning the edge table: the raw union inherits the pair frame's
+    // partitioning ×2 (measured r14: 64 near-empty partitions at sf0.1,
+    // re-scanned by 64 tasks in EVERY convergence round — ~0.65 s/round of
+    // pure task overhead; guide §2.2 "fewer, larger partitions"). The
+    // coalesced checkpoint scales with the edge bytes: a handful of
+    // partitions here, advisory-sized thousands at corpus scale.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab")).localCheckpoint()

@@ -61,7 +61,12 @@ object Graph {
         concat(lit("c"), col("c")).as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val edgesD = edges.join(outdeg, "src").transform(graft.operators.Scale.checkpointed)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // node universe from the MATERIALIZED edge table, not the raw edge
+    // lineage: the old `edges.distinct()` re-ran the whole pairs build
+    // (lineitem⋈orders + distinct) a second time just to list node ids —
+    // reading edgesD's checkpoint blocks gets the same set for one cheap
+    // aggregate (r14, guide §2.4/§5: reuse the persisted intermediate)
+    val nodes = edgesD.select(col("src").as("node")).distinct()
       .transform(graft.operators.Scale.checkpointed)
     val n = nodes.count()
     val p = dampingPct
@@ -71,14 +76,23 @@ object Graph {
         lit((2L * U + n) / (2L * n)).as("pr_u")) // HALF_UP(U/n)
       .transform(graft.operators.Scale.checkpointed)
     for (_ <- 1 to iters) {
-      val contribs = edgesD
-        .join(pr, edgesD("src") === pr("node"))
+      // ONE exchange per iteration (r14, guide §2.4). The rank vector is
+      // |V| rows off its own checkpoint, so the edge attach is a MEASURED
+      // broadcast (shuffled-hash fallback past the gate — the 100 TB
+      // posture where |V| outgrows the driver): edgesD is never
+      // re-shuffled per round (the r13 plan SMJ'd the 10.75 MB edge
+      // checkpoint every iteration — 2 exchanges + sorts × iters). The
+      // old `nodes LEFT JOIN contribs` (+2 more exchanges) was a
+      // structural no-op: edges hold BOTH directions of every pair, so
+      // src-set == dst-set == node-set and every node receives ≥1
+      // contribution — proven by the unchanged oracle hash.
+      pr = edgesD
+        .join(graft.operators.Scale.maybeBroadcastMeasured(pr, elseHint = "shuffle_hash"),
+          edgesD("src") === pr("node"))
         .select(col("dst"), expr("(2 * pr_u + od) DIV (2 * od)").as("contrib_u"))
         .groupBy(col("dst")).agg(sum(col("contrib_u")).as("su"))
-      pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"(2 * $p * coalesce(su, 0) + 100) DIV 200")).as("pr_u"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr(s"(2 * $p * su + 100) DIV 200")).as("pr_u"))
         .transform(graft.operators.Scale.checkpointed)
     }
     pr.select(col("node"), (col("pr_u").cast("double") / 1e12).as("pagerank"))
@@ -112,9 +126,13 @@ object Graph {
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
       .transform(graft.operators.Scale.checkpointed) // reused 4×: degrees, orientation, wedge, closing
+    // checkpointed: consumed FOUR times (orientation ×2 key joins, the
+    // rank broadcast, the final histogram join) — each re-ran the degree
+    // aggregate over the edge checkpoint before r14
     val deg = edges.select(col("pa").as("v"))
       .unionAll(edges.select(col("pb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .transform(graft.operators.Scale.checkpointed)
     // orient by (degree, id): src = smaller endpoint under that order
     val withDeg = edges
       .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
@@ -128,8 +146,32 @@ object Graph {
     // wedges at the orientation-lowest corner; deterministic (v, w) order
     // by the same rank so each candidate forms once
     val rank = deg.select(col("v"), struct(col("d"), col("v")).as("rk"))
-    val o1 = oriented.join(rank.select(col("v").as("dst"), col("rk").as("rkd")), "dst")
-    val wedges = o1.as("w1").join(o1.as("w2"),
+    // rank attach is MEASURED-broadcast (shuffled-hash past the gate): deg
+    // flows off the checkpointed edge table whose plan stats are inflated
+    // (SPARK-39748), so Catalyst planned this attach as a full SMJ — two
+    // exchanges + two sorts, paid TWICE (the probe copy and the broadcast
+    // wedge copy below re-derive o1 independently). Broadcast makes o1 a
+    // map over the edge checkpoint (r14; measured: rank is |V| (v, d)
+    // rows — KBs at sf0.1, ~50 MB at the 100× sweep).
+    val o1 = oriented.join(
+      graft.operators.Scale.maybeBroadcastMeasured(
+        rank.select(col("v").as("dst"), col("rk").as("rkd")), elseHint = "shuffle_hash"),
+      "dst")
+    // Wedge self-join input co-partitioned ONCE on `src` (r14): with o1
+    // now a broadcast map over the edge checkpoint, the self-join would
+    // otherwise plan its own exchange and AQE coalesces the byte-small
+    // (~19 MB) exchange to ~6 tasks while the stage explodes
+    // quadratically-per-vertex (cheap-bytes-expensive-CPU — the
+    // erBlockedPairs lesson). The explicit repartition pins the full core
+    // count; both join children consume the SAME exchange (ReusedExchange)
+    // so the wedge stream is exchanged once and never sorted. A
+    // broadcast-probe wedge variant was measured and REVERTED: it ran
+    // 32-way but inflated total CPU 7× (182 s vs 26 s sumTask) — the
+    // per-probe hash lookup costs more than the co-partitioned stream.
+    // With no skew (uniform ~4 s tasks), the remaining wedge stage is
+    // memory-bandwidth-bound — the honest cost of the fan-out.
+    val o1p = o1.repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+    val wedges = o1p.as("w1").join(o1p.as("w2"),
         col("w1.src") === col("w2.src") && col("w1.rkd") < col("w2.rkd"))
       .select(col("w1.src").as("u"), col("w1.dst").as("v"), col("w2.dst").as("w"))
     // closing-edge probe: the build side is the ORIENTED EDGE SET (|E|

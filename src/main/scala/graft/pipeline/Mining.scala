@@ -245,6 +245,11 @@ object Mining {
     val pairs = Dedup.ngramJaccardPrefix(spark, dir, threshold).localCheckpoint()
     val sym = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b"), col("jaccard")))
+      // key-repartition before pinning (AQE sizes the partition count by
+      // BYTES): the raw union doubles the pair frame's partition count
+      // with near-empty partitions, and all three consumers re-scan them
+      // (r14; the clusterLabels edge-checkpoint fix, guide §2.2)
+      .repartition(col("doc_a"))
       .localCheckpoint() // feeds anchors, the anti side, and the final join
     val anchors = sym.select(col("doc_a")).distinct()
       .join(docs, col("doc_a") === col("doc_id"))

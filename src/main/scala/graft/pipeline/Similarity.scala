@@ -133,7 +133,12 @@ object Similarity {
     val e = withNormsFrom(raw)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    // assignment: nearest centroid per vector (broadcast centroids)
+    // assignment: nearest centroid per vector (broadcast centroids).
+    // NOTE (r14): an argmax-aggregate rendering (max(struct(c_cos,
+    // -cell))) was measured and REVERTED — Max over a struct falls back
+    // to SortAggregate (no mutable agg buffer for complex types), which
+    // sorts the same exchange the rank window sorts but WITHOUT the
+    // WindowGroupLimit map-side top-k pruning the window plan gets.
     val scored = e.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
@@ -353,29 +358,46 @@ object Similarity {
     * density per cell).
     *
     * Scale: k−1 full-corpus map passes, each scoring against the ≤k-row
-    * BROADCAST chosen set and reducing via a TakeOrdered(1) — no corpus
-    * shuffle anywhere, and the driver holds only the ≤k chosen ids (the
-    * same bounded-driver-state contract as the trained k-means centroids).
-    * The corpus-side norms frame is checkpointed once and reused by every
-    * round.
+    * chosen set (shipped as LITERAL weight vectors in the task binary —
+    * the hyperplane discipline) and reducing via a TakeOrdered(1) — no
+    * corpus shuffle anywhere, and the driver holds only the ≤k chosen
+    * rows (the same bounded-driver-state contract as the trained k-means
+    * centroids). The corpus-side norms frame is checkpointed once and
+    * reused by every round. (The r13 rendering joined a broadcast chosen
+    * set and re-aggregated min-distance per round — a groupBy exchange
+    * every round that the literal least(...) makes unnecessary; r14,
+    * guide §2.4.)
     */
   def kcenterSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
     val e = withNorms(spark, dir)
+    // The chosen set lives on the DRIVER (≤k rows — the bounded-state
+    // contract), so "min distance to every pick" is a LITERAL least(...)
+    // expression over the picks' embeddings, not a broadcast join + a
+    // per-round groupBy shuffle (the r13 shape; r14 guide §2.4 "remove
+    // shuffles outright"). Each round is ONE shuffle-free TakeOrdered
+    // pass over the checkpointed corpus: same graft_dot kernel, same
+    // float literals, so every distance double — and the argmax pick +
+    // (md desc, vec_id asc) tie-break — is bit-identical to the joined
+    // rendering. k−1 passes, zero exchanges, driver holds ≤k rows.
     var picks = Vector[(Long, Long, Double)]((1L, 0L, 0.0))
+    val seed = e.filter(col("vec_id") === 0L)
+      .select(col("embedding"), col("nrm")).head()
+    var pickVecs = Vector[(Seq[Float], Double)]((seed.getSeq[Float](0), seed.getDouble(1)))
     while (picks.size < k) {
       val selIds = picks.map(_._2)
-      val sel = e.filter(col("vec_id").isin(selIds: _*))
-        .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+      val ds = pickVecs.map { case (se, sn) =>
+        lit(1.0) - cosineRFromNorms(col("embedding"), typedLit(se), col("nrm"), lit(sn))
+      }
+      val md = if (ds.size == 1) ds.head else least(ds: _*)
+      // the winner's vector rides the same TakeOrdered row — no second
+      // lookup job for the next round's distance literal
       val next = e.filter(!col("vec_id").isin(selIds: _*))
-        .join(broadcast(sel))
-        .select(col("vec_id"),
-          (lit(1.0) - cosineRFromNorms(col("embedding"), col("s_emb"), col("nrm"), col("s_nrm")))
-            .as("d"))
-        .groupBy(col("vec_id")).agg(min(col("d")).as("md"))
+        .select(col("vec_id"), md.as("md"), col("embedding"), col("nrm"))
         .orderBy(col("md").desc, col("vec_id").asc)
         .limit(1).collect()(0)
       picks = picks :+ ((picks.size + 1L, next.getLong(0), next.getDouble(1)))
+      pickVecs = pickVecs :+ ((next.getSeq[Float](2), next.getDouble(3)))
     }
     // round via the engine (not the driver) so the 6dp contract is the
     // same Round expression every oracle-gated double goes through

@@ -1368,9 +1368,10 @@ object TextPipeline {
     * adjacent symbol pairs, (b) a single-row collect of the winner (the
     * merge table IS driver state, like trained k-means centroids), (c)
     * one literal `replace` of `" a b "` with `" ab "` — left-to-right
-    * non-overlapping, exactly BPE's greedy fuse. The vocabulary is
-    * `localCheckpoint`ed each round so iteration K's plan doesn't replay
-    * rounds 1..K-1.
+    * non-overlapping, exactly BPE's greedy fuse. Only the BASE vocabulary
+    * is `localCheckpoint`ed; iteration K's plan replays the K−1 literal
+    * replaces over it, which costs string ops on a Heaps'-bounded table —
+    * cheaper than a materialization job per round (r14).
     *
     * Returns the learned merge table (step, pair_a, pair_b, freq) —
     * deterministic ties broken by (freq desc, a asc, b asc).
@@ -1404,9 +1405,13 @@ object TextPipeline {
         // (each skip directly follows a merge), so the second pass reaches
         // the fixpoint — which equals BPE's greedy fuse.
         val (pat, rep) = (lit(s" $a $b "), lit(s" $a$b "))
+        // NOT re-checkpointed per round (r14): the chained literal
+        // replaces are a few string ops over the Heaps'-bounded vocab —
+        // re-evaluating rounds 1..K-1 inside round K's aggregate is
+        // cheaper than a materialization JOB per round (8 jobs saved;
+        // the one base checkpoint above still pins the corpus tokenize)
         vocab = vocab
           .withColumn("sym", replace(replace(col("sym"), pat, rep), pat, rep))
-          .localCheckpoint()
       }
     }
     import spark.implicits._
