@@ -325,9 +325,24 @@ object Similarity {
       .join(lab, "vec_id")
       .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
       .localCheckpoint() // one frame feeds both sides of the cell join
+    // The cell self-join keys on `cluster` — k (=8) distinct values, so a
+    // shuffle join concentrates ALL Σ|cell|² kernel work on ≤k reducers
+    // and AQE coalesces the byte-small exchange to ONE task (profiled
+    // r14: an 855 ms single-task stage = the whole scoring pass run
+    // serially; guide §2.5 — skew split cannot help, the key set itself
+    // is tiny). Measured-broadcast the neighbor side (it is the
+    // checkpointed asg — the measure job reads materialized blocks) and
+    // round-robin the probe side first: the scoring becomes a map-side
+    // hash probe running on every core. Past the byte gate the
+    // shuffled-hash fallback is exactly the r13 plan (and at production
+    // scale nCells rises with the corpus, so the key-cardinality
+    // concentration this fixes is a test-SF artifact).
     val nbr = asg.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"))
-      .join(asg.select(col("cluster"), col("vec_id").as("nb"), col("label").as("nb_label"),
-        col("embedding").as("n_emb"), col("nrm").as("n_nrm")), Seq("cluster"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .join(graft.operators.Scale.maybeBroadcastMeasured(
+        asg.select(col("cluster"), col("vec_id").as("nb"), col("label").as("nb_label"),
+          col("embedding").as("n_emb"), col("nrm").as("n_nrm")), elseHint = "shuffle_hash"),
+        Seq("cluster"))
       .filter(col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb"), col("nb_label"),
         cosineRFromNorms(col("embedding"), col("n_emb"), col("nrm"), col("n_nrm")).as("cos"))
@@ -608,7 +623,13 @@ object Similarity {
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cand
+    // explicit fan-out before the scoring joins (r14): the deduped
+    // candidate set is BYTE-small (two longs a row) so AQE coalesces it
+    // to ~1 partition, but each row costs a full-dim cosine — profiled
+    // as a 1.6 s single-task stage = the whole verify pass run serially
+    // (the prefixPairsFromBase lesson, verbatim; guide §2.5 cheap-bytes/
+    // expensive-CPU)
+    graft.Tables.spread(e.sparkSession, cand)
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
