@@ -41,6 +41,58 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), col("cos"))
 
+  // -------- map-side nearest-centroid machinery (r14, guide §2.4) --------
+  //
+  // Every coarse-quantizer / k-means / coreset assignment in this file used
+  // the same shape: fan the corpus out |centroids|-way against a broadcast,
+  // then keep rank 1 of a corpus-wide row_number window — an Exchange +
+  // Sort that carried the full embedding vectors just to pick a per-row
+  // argmax. The helpers below compute the SAME winner as a row-local
+  // expression against a packed one-row broadcast of the centroid table:
+  // no fan-out join, no window exchange — the assignment never leaves the
+  // scan's partitions (the 100 TB shape: encode/assign is a map over the
+  // corpus scan). Bit-equivalence with `row_number over (score desc|asc,
+  // cid asc) = 1`: array_max/array_min and array_position use the
+  // identical NaN-first / -0.0 == 0.0 double semantics as the sort
+  // ordering (catalyst's SQL ordering and its equiv), and array_position's
+  // FIRST-match over cid-ascending slots IS the `cid asc` tie-break.
+  // (Distinct from the REVERTED r14 `max(struct(...))` attempt recorded in
+  // OPTIMIZATION_r14.md: that was an argmax AGGREGATE — which falls back
+  // to SortAggregate — while this never aggregates at all. And the scores
+  // live in ONE array column rather than n scalar columns + greatest +
+  // when-chains: the scalar rendering was measured to send the optimizer's
+  // constraint inference into a multi-minute, eventually OOM-ing churn —
+  // array functions keep the expression tree small and opaque to it.)
+
+  /** One-row packed form of a small centroid table: `cb` = the
+    * (cid, c_emb, c_nrm) structs sorted by cid ascending. An EMPTY
+    * centroid table packs to ZERO rows (not one row holding an empty
+    * array), so the broadcast join downstream produces nothing — exactly
+    * what the old fan-out join against an empty centroid table produced. */
+  private def packedCents(cents: DataFrame, idCol: String, embCol: String,
+                          nrmCol: String): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col(idCol).as("cid"),
+      col(embCol).as("c_emb"), col(nrmCol).as("c_nrm")))).as("cb"))
+      .filter(size(col("cb")) > 0)
+
+  /** Attach the per-slot score array `__scores` for packed slots 0..n-1
+    * (a slot past the runtime array size scores NULL and is skipped by
+    * array_max/min, behaving like the window rendering's missing candidate
+    * rows). `score` builds the site's scoring expression from a slot. */
+  private def withSlotScores(df: DataFrame, n: Int,
+                             score: Column => Column): DataFrame =
+    df.withColumn("__scores",
+      array((0 until n).map(i => score(get(col("cb"), lit(i)))): _*))
+
+  /** First-match arg-extreme over `__scores`: (best value, 0-based winning
+    * slot index, winning cid). */
+  private def argFirst(asc: Boolean = false): (Column, Column, Column) = {
+    val sc = col("__scores")
+    val best = if (asc) array_min(sc) else array_max(sc)
+    val idx = (array_position(sc, best) - 1).cast("int")
+    (best, idx, get(col("cb"), idx).getField("cid"))
+  }
+
   /** Brute-force exact top-k neighbors for query vectors (vec_id < nQueries),
     * excluding self. The query side is broadcast; ranking is a per-query
     * window top-k with deterministic tie-break (cos desc, vec_id asc).
@@ -133,22 +185,26 @@ object Similarity {
     val e = withNormsFrom(raw)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    // assignment: nearest centroid per vector (broadcast centroids).
-    // NOTE (r14): an argmax-aggregate rendering (max(struct(c_cos,
-    // -cell))) was measured and REVERTED — Max over a struct falls back
-    // to SortAggregate (no mutable agg buffer for complex types), which
-    // sorts the same exchange the rank window sorts but WITHOUT the
-    // WindowGroupLimit map-side top-k pruning the window plan gets.
-    val scored = e.join(broadcast(cents))
+    // assignment: nearest centroid per vector, computed IN-ROW against the
+    // packed broadcast codebook (r14, guide §2.4 — see the machinery doc
+    // above): the old rendering fanned the corpus out nCells-way and kept
+    // rank 1 of a corpus-wide window, an exchange + sort carrying the full
+    // vectors.
+    val scored = withSlotScores(
+      e.join(broadcast(packedCents(cents, "cell", "c_emb", "c_nrm"))), nCells,
+      slot => cosineRFromNorms(col("embedding"), slot.getField("c_emb"),
+        col("nrm"), slot.getField("c_nrm")))
+    val (_, _, bestCell) = argFirst()
+    val corpus = scored.withColumn("cell", bestCell)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"), col("cell"))
+    // queries probe their nProbe nearest cells — the rank window survives
+    // here but runs over nQueries×nCells QUERY rows only, not the corpus
+    val probes = e.filter(col("vec_id") < nQueries).join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
-    val assigned = scored
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
-    val corpus = assigned.filter(col("crk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"), col("cell"))
-    // queries probe their nProbe nearest cells
-    val probes = assigned.filter(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .filter(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell"))
     val ranked = corpus.join(broadcast(probes), Seq("cell"))
@@ -182,13 +238,22 @@ object Similarity {
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val e = withNorms(spark, dir)
     val cents2 = oneLloydCentroids(e, k)
-    e.join(broadcast(cents2))
-      .select(col("vec_id"), col("cluster"),
-        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)))
-      .filter(col("rnk") === 1)
+    // in-row packed argmax instead of k-way fan-out + corpus window (r14,
+    // guide §2.4 — machinery doc above `packedCents`)
+    val scored = withSlotScores(
+      e.join(broadcast(packedCents(cents2, "cluster", "c_emb", "c_nrm"))), k,
+      slot => cosineRFromNorms(col("embedding"), slot.getField("c_emb"),
+        col("nrm"), slot.getField("c_nrm")))
+    val (bestCos, _, bestId) = argFirst()
+    scored.select(col("vec_id"), bestId.as("cluster"), bestCos.as("cos"))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cos"))
+      // materialized: consumers (outliers, cluster-balance, labelprop)
+      // branch on this frame 1-2× each — without the barrier every branch
+      // re-inlines the whole argmax expression tree into its window/agg
+      // keys (expression-tree blowup measured as a codegen OOM in
+      // embedding_outliers) and recomputes the assignment per branch
+      // (guide §5: cache what is reused and expensive)
+      .localCheckpoint()
   }
 
   /** The one-Lloyd-iteration centroid frame shared by `kmeansAssign` and
@@ -199,13 +264,14 @@ object Similarity {
   private def oneLloydCentroids(e: DataFrame, k: Int): DataFrame = {
     val cents1 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val a1 = e.join(broadcast(cents1))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell").as("cluster"))
+    // in-row packed argmax — no k-way fan-out, no corpus window (r14)
+    val s1 = withSlotScores(
+      e.join(broadcast(packedCents(cents1, "cell", "c_emb", "c_nrm"))), k,
+      slot => cosineRFromNorms(col("embedding"), slot.getField("c_emb"),
+        col("nrm"), slot.getField("c_nrm")))
+    val (_, _, seedCell) = argFirst()
+    val a1 = s1.withColumn("cluster", seedCell)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
     val means = a1
       .select(col("cluster"), posexplode(col("embedding")))
       .select(col("cluster"), col("pos"),
@@ -239,16 +305,24 @@ object Similarity {
   def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val e = withNorms(spark, dir)
     val cents = oneLloydCentroids(e, k)
-    val top2 = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cluster"),
-        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)))
-      .filter(col("rnk") <= 2)
-    val per = top2.groupBy(col("vec_id"))
-      .agg(max(when(col("rnk") === 1, col("cluster"))).as("cluster"),
-        max(when(col("rnk") === 1, lit(1.0) - col("cos"))).as("a"),
-        max(when(col("rnk") === 2, lit(1.0) - col("cos"))).as("b"))
+    // in-row packed top-2 (r14, guide §2.4): best = packed argmax (= the
+    // window's rank 1), second-best = greatest over the remaining slots
+    // with the winner NULLed out (= rank 2's VALUE — only the value feeds
+    // b, so the second slot's id never matters). Removes BOTH the k-way
+    // fan-out + corpus window AND the groupBy(vec_id) re-aggregation —
+    // the per-vector silhouette never leaves the scan's partitions.
+    val scored = withSlotScores(
+      e.join(broadcast(packedCents(cents, "cluster", "c_emb", "c_nrm"))), k,
+      slot => cosineRFromNorms(col("embedding"), slot.getField("c_emb"),
+        col("nrm"), slot.getField("c_nrm")))
+    val (bestCos, bestIdx, bestId) = argFirst()
+    val withBest = scored.withColumn("cluster", bestId)
+      .withColumn("__bc", bestCos).withColumn("__bi", bestIdx)
+    val secondCos = array_max(transform(col("__scores"),
+      (x, i) => when(i === col("__bi"), lit(null).cast("double")).otherwise(x)))
+    val per = withBest
+      .select(col("cluster"), (lit(1.0) - col("__bc")).as("a"),
+        (lit(1.0) - secondCos).as("b"))
       .select(col("cluster"),
         when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
           .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)).as("sil"))
@@ -436,13 +510,15 @@ object Similarity {
     val picks = kcenterSample(spark, dir, k).select(col("vec_id").as("c_id"))
     val cents = e.join(broadcast(picks), col("vec_id") === col("c_id"))
       .select(col("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    e.join(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        round(lit(1.0) - cosineRFromNorms(col("embedding"), col("c_emb"),
-          col("nrm"), col("c_nrm")), 6).as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c_id").asc)))
-      .filter(col("rnk") === 1)
+    // in-row packed argMIN (dist asc, c_id asc — the slots are c_id-sorted
+    // so first-match = lowest center id): no k-way fan-out, no corpus
+    // window; the k-row aggregate is the only exchange left (r14)
+    val scored = withSlotScores(
+      e.join(broadcast(packedCents(cents, "c_id", "c_emb", "c_nrm"))), k,
+      slot => round(lit(1.0) - cosineRFromNorms(col("embedding"),
+        slot.getField("c_emb"), col("nrm"), slot.getField("c_nrm")), 6))
+    val (bestDist, _, bestId) = argFirst(asc = true)
+    scored.select(bestId.as("c_id"), bestDist.as("dist"))
       .groupBy(col("c_id").as("center_id"))
       .agg(count(lit(1)).as("n_assigned"),
         round(sum(col("dist").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
@@ -610,12 +686,26 @@ object Similarity {
     val e = withNorms(spark, dir)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val assigned = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
-        cosineRFromNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
-      .filter(col("crk") <= nProbe)
+    // in-row packed top-nProbe (r14, guide §2.4): iterative first-match
+    // selection — pick the argmax, NULL that slot's score out, repeat —
+    // yields exactly the window's crk ≤ nProbe cell SET (same
+    // (c_cos desc, cell asc) order, and picked slots can't repeat because
+    // each round masks its winner). array_compact drops the NULL picks a
+    // short centroid table leaves, matching the window's missing rows.
+    val scored0 = withSlotScores(
+      e.join(broadcast(packedCents(cents, "cell", "c_emb", "c_nrm"))), nCells,
+      slot => cosineRFromNorms(col("embedding"), slot.getField("c_emb"),
+        col("nrm"), slot.getField("c_nrm")))
+    val scored = (0 until nProbe).foldLeft(scored0) { (d, p) =>
+      val (_, idx, _) = argFirst()
+      d.withColumn(s"__x$p", idx)
+        .withColumn(s"__p$p", get(col("cb"), col(s"__x$p")).getField("cid"))
+        .withColumn("__scores", transform(col("__scores"),
+          (x, i) => when(i === col(s"__x$p"), lit(null).cast("double")).otherwise(x)))
+    }
+    val assigned = scored
+      .select(col("vec_id"),
+        explode(array_compact(array((0 until nProbe).map(p => col(s"__p$p")): _*))).as("cell"))
       .select(col("cell"), col("vec_id"))
     // candidates carry ids only — embeddings stay out of the pair shuffle
     // (same discipline as minhashLsh's band join)
@@ -801,17 +891,25 @@ object Similarity {
                     m: Int = 16, ks: Int = 16, nCells: Int = 8,
                     nProbe: Int = 2, iters: Int = 1, rerankDepth: Int = 0): DataFrame = {
     val md = pqTrain(raw, nQueries, m, ks, iters)
-    // coarse quantizer over FULL vectors — identical contract to ivfTopK
+    // coarse quantizer over FULL vectors — identical contract to ivfTopK,
+    // and the same r14 rendering: corpus cell assignment is an in-row
+    // packed argmax (no nCells-way fan-out, no corpus window); the probe
+    // ranking window survives over the nQueries×nCells QUERY rows only
     val cents = md.base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val ranked = md.base.join(broadcast(cents))
-      .select(col("vec_id"), col("nrm"), col("cell"),
+    val scoredCell = withSlotScores(
+      md.base.join(broadcast(packedCents(cents, "cell", "c_emb", "c_nrm"))), nCells,
+      slot => cosineRFromNorms(col("emb"), slot.getField("c_emb"),
+        col("nrm"), slot.getField("c_nrm")))
+    val (_, _, bestCell) = argFirst()
+    val cellOf = scoredCell.withColumn("ivf_cell", bestCell)
+      .select(col("vec_id"), col("ivf_cell"))
+    val probes = md.base.filter(col("vec_id") < nQueries).join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
         cosineRFromNorms(col("emb"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell").asc)))
-    val cellOf = ranked.filter(col("crk") === 1)
-      .select(col("vec_id"), col("cell").as("ivf_cell"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .filter(col("crk") <= nProbe)
       .select(col("vec_id").as("p_query"), col("cell").as("ivf_cell"))
     // candidates = packed code rows inside a probed cell; probe set and
     // ADC tables broadcast, the m lookups fused into one decimal fold
@@ -913,7 +1011,15 @@ object Similarity {
         slice(col("emb"), col("s") * sd + 1, lit(sd)).as("sub"))
       .select(col("vec_id"), col("s"), col("sub"), norm(col("sub")).as("snrm"))
       .localCheckpoint()
-    // nearest codebook centroid per (vector, subspace); ties to low cell id
+    // nearest codebook centroid per (vector, subspace); ties to low cell
+    // id. NOTE (r14): the packed in-row argmax that replaced the window
+    // everywhere else was MEASURED here and reverted — at sd=2-dim
+    // subvectors the per-slot packed-struct access costs ~4× the tiny dot
+    // it wraps (ProfileQuery: the Lloyd scoring stage's sumTask went
+    // 6 s → 27 s), while the window form's fan-out rows are a few bytes
+    // and WindowGroupLimit prunes them map-side before the exchange. The
+    // full-dimension assigns (ivfTopK / kmeans / ivf-pq coarse) keep the
+    // in-row form, where one 64-dim kernel dot dominates the slot access.
     def assign(cents: DataFrame): DataFrame =
       sub.join(broadcast(cents), col("s") === col("cs"))
         .select(col("vec_id"), col("s"), col("sub"), col("cell"),
