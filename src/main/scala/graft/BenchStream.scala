@@ -297,8 +297,9 @@ object BenchStream {
     // probe must not scan the whole store):
     //  - cold-tail flatness: the 5 unique-doc batches land on the LARGEST
     //    store; their read bytes (median — one may absorb a compaction)
-    //    must be a small fraction of the store, i.e. the bloom prefilter
-    //    and bucket/row-group pruning kept the probe off the corpus;
+    //    must still equal the replay's store-independent per-batch floor,
+    //    i.e. the bloom prefilter and bucket/row-group pruning kept the
+    //    probe off the corpus;
     //  - L0 bound: appends since the last compaction never exceed
     //    compactEvery — the probe's scan-all term stays bounded;
     //  - retrieval pruning: the 2-of-4-cell probe reads strictly less than
@@ -306,7 +307,20 @@ object BenchStream {
     val coldBytes = batchBytes.takeRight(coldBatches)
     val coldMedian = median(coldBytes.map(_.toDouble).toSeq)
     val tailStoreBytes = storeBytes.last + bandsStoreBytes
-    val coldFlatOk = coldMedian <= 0.15 * tailStoreBytes
+    // Gate fix (r14, measurement bug): every batch pays a store-INDEPENDENT
+    // read floor proportional to its own input (the batch materialization's
+    // block reads land in inputMetrics too — at ×10 batch size that floor
+    // alone crossed the old `0.15 × store` line while the probe term it was
+    // meant to bound stayed zero). The floor is observable in-replay: the
+    // EARLIEST batches run against a near-empty store, so min(batchBytes)
+    // ≈ floor + ~nothing. The invariant the round-13 verdict asked for —
+    // novel-arrival cost FLAT as the store grows — is exactly "the cold
+    // tail, which lands on the LARGEST store, still reads only the floor":
+    // a store-scanning probe would add O(store) on top and fail loudly.
+    // (Old numerator/denominator still recorded in the artifact:
+    // cold_read_bytes_median, store_bytes, bands_store_bytes.)
+    val batchFloorBytes = batchBytes.min
+    val coldFlatOk = coldMedian <= batchFloorBytes * 1.05
     val compactEvery = spark.conf.get(
       graft.streaming.CorpusJob.CompactEveryConf,
       graft.streaming.CorpusJob.CompactEveryDefault.toString).toInt
@@ -322,6 +336,7 @@ object BenchStream {
         s""""batch_read_bytes":[${batchBytes.mkString(",")}],""" +
         s""""l0_appends":[${l0Files.mkString(",")}],""" +
         s""""cold_batches":$coldBatches,"cold_read_bytes_median":${f0(coldMedian)},""" +
+        s""""batch_floor_bytes":$batchFloorBytes,""" +
         s""""bands_store_bytes":$bandsStoreBytes,""" +
         s""""retrieve_bytes_pruned":$prunedRetrieveBytes,""" +
         s""""retrieve_bytes_full":$fullRetrieveBytes,""" +
@@ -330,10 +345,12 @@ object BenchStream {
         s""""monotone":$monotone,"rebuilds_ok":$rebuildsOk""")
     val enforce = () => {
       if (!coldFlatOk) throw new IllegalStateException(
-        s"stream bench invalid: corpus x$factor cold-tail probe bytes " +
-          s"(median ${f0(coldMedian)} over $coldBytes) exceed 15% of the " +
-          s"$tailStoreBytes-byte store — novel-arrival batches must stay " +
-          "off the corpus (bloom prefilter + pruned probe)")
+        s"stream bench invalid: corpus x$factor cold-tail read bytes " +
+          s"(median ${f0(coldMedian)} over $coldBytes) exceed the replay's " +
+          s"store-independent per-batch floor ($batchFloorBytes, the " +
+          s"near-empty-store minimum) on a $tailStoreBytes-byte store — " +
+          "novel-arrival batches must stay off the corpus " +
+          "(bloom prefilter + pruned probe)")
       if (!l0Ok) throw new IllegalStateException(
         s"stream bench invalid: corpus x$factor L0 append count $l0Files " +
           s"exceeded compactEvery=$compactEvery — compaction is not bounding " +

@@ -122,7 +122,13 @@ object Graph {
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val pl = lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = pl.as("x").join(pl.as("y"),
+    // y-side hinted SHUFFLE_HASH (r14): the within-order self-join planned
+    // as SMJ — two sorts of the same co-purchase table on both sides of
+    // one exchange pair; hashing one side's partitions (bounded by
+    // |pl|/partitions under the same spill-aware partition scaling the
+    // sweeps size) skips both sorts. Measured in the r14 global
+    // preferSortMergeJoin=false probe as part of triangles' −1.1 s.
+    val edges = pl.as("x").join(pl.as("y").hint("shuffle_hash"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
       .transform(graft.operators.Scale.checkpointed) // reused 4×: degrees, orientation, wedge, closing
@@ -133,10 +139,16 @@ object Graph {
       .unionAll(edges.select(col("pb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
       .transform(graft.operators.Scale.checkpointed)
-    // orient by (degree, id): src = smaller endpoint under that order
+    // orient by (degree, id): src = smaller endpoint under that order.
+    // Degree attaches measured-broadcast (r14, same SPARK-39748 reasoning
+    // as the rank attach below: deg flows off a checkpoint whose stats are
+    // inflated, so Catalyst planned BOTH attaches as full SMJs — four
+    // sorts of the edge table; deg is |V| (v, d) rows, KBs at sf0.1)
     val withDeg = edges
-      .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
-      .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+      .join(graft.operators.Scale.maybeBroadcastMeasured(
+        deg.select(col("v").as("pa"), col("d").as("da")), elseHint = "shuffle_hash"), "pa")
+      .join(graft.operators.Scale.maybeBroadcastMeasured(
+        deg.select(col("v").as("pb"), col("d").as("db")), elseHint = "shuffle_hash"), "pb")
     val oriented = withDeg.select(
         when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
           struct(col("pa").as("src"), col("pb").as("dst")))
@@ -198,7 +210,15 @@ object Graph {
     val triPerV = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("tri_ct"))
-    deg.join(triPerV, col("v") === col("x"), "left_outer")
+      // checkpointed so the measured-broadcast below reads the |V|-bounded
+      // aggregate instead of re-running the whole wedge+closing
+      // enumeration as its measure pass (r14)
+      .transform(graft.operators.Scale.checkpointed)
+    // histogram attach measured-broadcast (r14): both sides are
+    // checkpoint-fed (inflated stats), so this |V|-row left-outer planned
+    // as one more SMJ pair — the last two sorts in the triangles plan
+    deg.join(graft.operators.Scale.maybeBroadcastMeasured(
+        triPerV, elseHint = "shuffle_hash"), col("v") === col("x"), "left_outer")
       .select(col("v").as("part_id"), col("d").as("degree"),
         coalesce(col("tri_ct"), lit(0L)).as("tri_ct"),
         round(when(col("d") >= 2,

@@ -635,7 +635,7 @@ object CorpusJob {
         // bloom merge, partitioned corpus append — no store-sized reads
         val nb = bandBucketsOf(stateDir).get // ensured above
         val cents = loadSeeds(spark, stateDir, c, nCells)
-        val assigned = assignCells(keptDf, cents)
+        val assigned = assignCells(keptDf, cents, nCells)
         // band index BEFORE the survivor append: a crash between the two
         // leaves only phantom band rows (they fail the corpus-confirmed
         // verification, and compaction purges them), never a survivor the
@@ -684,7 +684,7 @@ object CorpusJob {
         }
         val allChk = allSurvivors.localCheckpoint()
         val cents = deriveSeeds(allChk, nCells)
-        val rebuilt = assignCells(allChk, cents).localCheckpoint()
+        val rebuilt = assignCells(allChk, cents, nCells).localCheckpoint()
         val nb = confInt(spark, BandBucketsConf, BandBucketsDefault)
         writeBandsBase(bandRows(rebuilt.select(col("doc_id"), col("sig"))),
           nb, bandsPath(stateDir))
@@ -703,17 +703,30 @@ object CorpusJob {
   }
 
   /** Nearest-centroid assignment (cosine, ties to low seed id) — the
-    * `ivfTopK` coarse-quantizer contract.
+    * `ivfTopK` coarse-quantizer contract, in the r14 map-side packed
+    * rendering (`Similarity.packedCents` machinery): the winner is a
+    * row-local argmax over a one-row broadcast of the seed table instead
+    * of an nCells-way fan-out + a rank window — the window was one full
+    * exchange + sort of the batch's vectors PER MICRO-BATCH on the fast
+    * path (and corpus-sized on rebuilds). array_max/array_position share
+    * the sort's NaN/-0.0 double semantics and first-match over
+    * seed-ascending slots IS the `cell_seed asc` tie-break, so the
+    * assignment is bit-identical (survivors/band gates unchanged).
     */
-  private def assignCells(docs: DataFrame, cents: DataFrame): DataFrame =
-    docs.join(broadcast(cents))
-      .select(col("doc_id"), col("sig"), col("emb"), col("nrm"), col("cell_seed"),
-        cosineRFromNorms(col("emb"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c_cos").desc, col("cell_seed").asc)))
-      .filter(col("crk") === 1)
-      .select(col("doc_id"), col("sig"), col("emb"), col("nrm"),
-        col("cell_seed").as("cell"))
+  private def assignCells(docs: DataFrame, cents: DataFrame, nCells: Int): DataFrame = {
+    val packed = cents.agg(array_sort(collect_list(struct(
+        col("cell_seed").as("cid"), col("c_emb"), col("c_nrm")))).as("cb"))
+      .filter(size(col("cb")) > 0)
+    val scored = docs.join(broadcast(packed))
+      .withColumn("__scores", array((0 until nCells).map { i =>
+        val slot = get(col("cb"), lit(i))
+        cosineRFromNorms(col("emb"), slot.getField("c_emb"),
+          col("nrm"), slot.getField("c_nrm"))
+      }: _*))
+    val idx = (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int")
+    scored.select(col("doc_id"), col("sig"), col("emb"), col("nrm"),
+      get(col("cb"), idx).getField("cid").as("cell"))
+  }
 
   /** Retrieval over the live index: probe the `nProbe` nearest cells per
     * query, exact cosine inside the probed cells, deterministic top-k.
