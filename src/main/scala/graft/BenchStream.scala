@@ -319,8 +319,17 @@ object BenchStream {
     // a store-scanning probe would add O(store) on top and fail loudly.
     // (Old numerator/denominator still recorded in the artifact:
     // cold_read_bytes_median, store_bytes, bands_store_bytes.)
+    // Floor = MEDIAN of the first coldBatches batches (ADVICE r14): those
+    // run against the near-empty store with the same batch sizing as the
+    // cold tail, so median-vs-median compares like with like — the global
+    // min assumed every batch has identical input size and ≤5% read-byte
+    // jitter, and a single small or page-aligned batch would flake the
+    // gate with a healthy probe. A store-scanning probe still adds
+    // O(store) ≫ 5% of a batch floor and fails loudly. The raw min stays
+    // recorded alongside.
     val batchFloorBytes = batchBytes.min
-    val coldFlatOk = coldMedian <= batchFloorBytes * 1.05
+    val floorMedian = median(batchBytes.take(coldBatches).map(_.toDouble).toSeq)
+    val coldFlatOk = coldMedian <= floorMedian * 1.05
     val compactEvery = spark.conf.get(
       graft.streaming.CorpusJob.CompactEveryConf,
       graft.streaming.CorpusJob.CompactEveryDefault.toString).toInt
@@ -337,6 +346,7 @@ object BenchStream {
         s""""l0_appends":[${l0Files.mkString(",")}],""" +
         s""""cold_batches":$coldBatches,"cold_read_bytes_median":${f0(coldMedian)},""" +
         s""""batch_floor_bytes":$batchFloorBytes,""" +
+        s""""batch_floor_median_bytes":${f0(floorMedian)},""" +
         s""""bands_store_bytes":$bandsStoreBytes,""" +
         s""""retrieve_bytes_pruned":$prunedRetrieveBytes,""" +
         s""""retrieve_bytes_full":$fullRetrieveBytes,""" +
@@ -347,10 +357,10 @@ object BenchStream {
       if (!coldFlatOk) throw new IllegalStateException(
         s"stream bench invalid: corpus x$factor cold-tail read bytes " +
           s"(median ${f0(coldMedian)} over $coldBytes) exceed the replay's " +
-          s"store-independent per-batch floor ($batchFloorBytes, the " +
-          s"near-empty-store minimum) on a $tailStoreBytes-byte store — " +
-          "novel-arrival batches must stay off the corpus " +
-          "(bloom prefilter + pruned probe)")
+          s"store-independent per-batch floor (${f0(floorMedian)}, the " +
+          s"near-empty-store batch median; raw min $batchFloorBytes) on a " +
+          s"$tailStoreBytes-byte store — novel-arrival batches must stay " +
+          "off the corpus (bloom prefilter + pruned probe)")
       if (!l0Ok) throw new IllegalStateException(
         s"stream bench invalid: corpus x$factor L0 append count $l0Files " +
           s"exceeded compactEvery=$compactEvery — compaction is not bounding " +

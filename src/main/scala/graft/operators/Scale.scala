@@ -103,14 +103,23 @@ object Scale {
     val bound =
       if (maxBytes > 0) maxBytes
       else df.sparkSession.conf.get(BroadcastGateConf, BroadcastGateDefault.toString).toLong
-    val measured = df.queryExecution.toRdd
-      .mapPartitions(it => Iterator.single(it.map(_.asInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.UnsafeRow].getSizeInBytes.toLong).sum))
-      .fold(0L)(_ + _)
-    if (measured <= bound) broadcast(df)
+    if (measuredBytes(df) <= bound) broadcast(df)
     else if (elseHint.nonEmpty) df.hint(elseHint)
     else df
   }
+
+  /** The measure job of `maybeBroadcastMeasured`, exposed for callers
+    * whose frame's byte size is provably STABLE across an iterative loop
+    * (pageRank's |V|-row rank vector: same key set, fixed-width values) —
+    * measure once, reuse the broadcast decision every round instead of
+    * paying one measure job per iteration (r15, guide §5 per-job fixed
+    * overhead).
+    */
+  def measuredBytes(df: DataFrame): Long =
+    df.queryExecution.toRdd
+      .mapPartitions(it => Iterator.single(it.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow].getSizeInBytes.toLong).sum))
+      .fold(0L)(_ + _)
 
   /** `localCheckpoint` with a conf-selectable storage level
     * (`spark.graft.checkpointStorageLevel`, e.g. `DISK_ONLY`; unset =
@@ -129,6 +138,20 @@ object Scale {
       case Some(lvl) => df.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.fromString(lvl))
       case None => df.localCheckpoint()
+    }
+
+  /** LAZY `checkpointed`: same lineage truncation and pinning, but the
+    * materialization rides the NEXT action over the frame instead of its
+    * own job — for iterative loops where each round's frame is consumed by
+    * exactly one downstream job anyway (pageRank: the next round's
+    * broadcast build), so the eager materialization job is pure per-round
+    * overhead (r15, guide §5).
+    */
+  def checkpointedLazy(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointLevelConf) match {
+      case Some(lvl) => df.localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.fromString(lvl))
+      case None => df.localCheckpoint(false)
     }
 
   /** Skew flag for the exhaustive dedup joins (`Dedup.sharedTokenJoin`):
@@ -197,10 +220,26 @@ object Scale {
     * under task retry (no SPARK-23207 exposure and no
     * sortBeforeRepartition pass), and keyed ON THE JOIN KEY so a
     * downstream shuffle join can reuse the exchange outright.
+    *
+    * PRECONDITION (ADVICE r14): `df` must be a pure scan — projections /
+    * filters over a leaf relation. Reading the split count finalizes the
+    * physical plan via `df.rdd`; under AQE, a plan containing an
+    * exchange/join would MATERIALIZE query stages (run real jobs) at
+    * query-construction time. Enforced structurally below: anything
+    * other than a project/filter/alias chain over a leaf returns the
+    * identity without touching `df.rdd` (today every call site passes a
+    * bare table scan; the guard keeps a future caller from silently
+    * paying construction-time execution).
     */
   def spreadIfNarrow(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, SubqueryAlias}
     val spark = df.sparkSession
-    if (df.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
+    def scanChain(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: LFilter | _: SubqueryAlias => scanChain(p.children.head)
+      case leaf => leaf.children.isEmpty
+    }
+    if (!scanChain(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
       df.repartition(spark.sessionState.conf.numShufflePartitions, col(key))
     else df
   }

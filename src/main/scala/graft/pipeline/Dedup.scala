@@ -441,14 +441,23 @@ object Dedup {
       // distance each round (a 2^50-hop chain converges in ~50 rounds).
       // Skipped in round 1: near-dup clusters are usually shallow enough
       // that plain propagation converges immediately, and the jump join
-      // would be pure overhead there.
+      // would be pure overhead there. (r15: a DOUBLE jump per round —
+      // log₄ contraction — was measured and REVERTED: every registry
+      // graph converges in 2-4 rounds, so the second self-join's plan
+      // growth cost 10-28% on all nine consumers while saving no rounds;
+      // OPTIMIZATION_r15.md.)
+      // LAZY checkpoint (r15): the eager form ran one materialization job
+      // and THEN the convergence count — two jobs per round; the lazy mark
+      // lets the count job itself materialize (and pin) the full frame, so
+      // each round pays exactly ONE job (the loop was profiled r14 as ~45
+      // driver-bound 10-80 ms jobs/run — per-job fixed overhead, guide §5)
       val jumped = (if (iter == 1) prop
         else prop.as("p")
           .join(prop.select(col("id").as("jid"), col("lab").as("jlab")).as("j"),
             col("p.lab") === col("jid"), "left")
           .select(col("p.id").as("id"), col("p.old_lab").as("old_lab"),
             least(col("p.lab"), coalesce(col("jlab"), col("p.lab"))).as("lab")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = jumped.filter(col("lab") =!= col("old_lab")).count()
       labels = jumped.select(col("id"), col("lab"))
     }

@@ -75,25 +75,36 @@ object Graph {
     var pr = nodes.select(col("node"),
         lit((2L * U + n) / (2L * n)).as("pr_u")) // HALF_UP(U/n)
       .transform(graft.operators.Scale.checkpointed)
+    // Broadcast decision measured ONCE (r15): the rank vector's byte size
+    // is |V|-stable across iterations (same node set, fixed-width
+    // pico-unit longs), so the per-iteration measure job of
+    // maybeBroadcastMeasured was iters−1 redundant jobs. Same gate, same
+    // shuffled-hash fallback past it (the 100 TB posture where |V|
+    // outgrows the driver).
+    val gate = spark.conf.get(graft.operators.Scale.BroadcastGateConf,
+      graft.operators.Scale.BroadcastGateDefault.toString).toLong
+    val prSmall = graft.operators.Scale.measuredBytes(pr) <= gate
     for (_ <- 1 to iters) {
       // ONE exchange per iteration (r14, guide §2.4). The rank vector is
-      // |V| rows off its own checkpoint, so the edge attach is a MEASURED
-      // broadcast (shuffled-hash fallback past the gate — the 100 TB
-      // posture where |V| outgrows the driver): edgesD is never
-      // re-shuffled per round (the r13 plan SMJ'd the 10.75 MB edge
-      // checkpoint every iteration — 2 exchanges + sorts × iters). The
-      // old `nodes LEFT JOIN contribs` (+2 more exchanges) was a
-      // structural no-op: edges hold BOTH directions of every pair, so
-      // src-set == dst-set == node-set and every node receives ≥1
-      // contribution — proven by the unchanged oracle hash.
+      // |V| rows off its own checkpoint, so the edge attach broadcasts
+      // under the measured gate above: edgesD is never re-shuffled per
+      // round (the r13 plan SMJ'd the 10.75 MB edge checkpoint every
+      // iteration — 2 exchanges + sorts × iters). The old
+      // `nodes LEFT JOIN contribs` (+2 more exchanges) was a structural
+      // no-op: edges hold BOTH directions of every pair, so src-set ==
+      // dst-set == node-set and every node receives ≥1 contribution —
+      // proven by the unchanged oracle hash. Each round's checkpoint is
+      // LAZY (r15): the next round's broadcast build (or the final
+      // output) is the frame's one consumer and materializes it in the
+      // same job — the eager form paid one materialization job per round.
+      val ranked = if (prSmall) broadcast(pr) else pr.hint("shuffle_hash")
       pr = edgesD
-        .join(graft.operators.Scale.maybeBroadcastMeasured(pr, elseHint = "shuffle_hash"),
-          edgesD("src") === pr("node"))
+        .join(ranked, edgesD("src") === pr("node"))
         .select(col("dst"), expr("(2 * pr_u + od) DIV (2 * od)").as("contrib_u"))
         .groupBy(col("dst")).agg(sum(col("contrib_u")).as("su"))
         .select(col("dst").as("node"),
           (lit(teleport) + expr(s"(2 * $p * su + 100) DIV 200")).as("pr_u"))
-        .transform(graft.operators.Scale.checkpointed)
+        .transform(graft.operators.Scale.checkpointedLazy)
     }
     pr.select(col("node"), (col("pr_u").cast("double") / 1e12).as("pagerank"))
   }

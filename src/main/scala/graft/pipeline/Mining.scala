@@ -254,15 +254,28 @@ object Mining {
     val anchors = sym.select(col("doc_a")).distinct()
       .join(docs, col("doc_a") === col("doc_id"))
       .select(col("doc_a"), col("source"))
+    // deterministic pseudo-random negative = the candidate with the
+    // lexicographically smallest md5("doc_a:cand") (ties → smaller cand).
+    // Rendered as a row_number window rather than the r14
+    // `min(struct(k, c))` aggregate: Min over a struct has no mutable
+    // aggregation buffer, so the whole aggregate fell back to
+    // SortAggregate with interpreted struct comparisons, while the window
+    // gets WindowGroupLimit — map-side top-1 pruning BEFORE the exchange
+    // (the r14 lesson, OPTIMIZATION_r14.md "measurement lessons").
+    // Equivalence: rank 1 under (k asc, cand asc) IS the lexicographic
+    // min of struct(k, cand) — same binary UTF8 string ordering, and cand
+    // is unique per doc_a (distinct doc ids), so the selected row is the
+    // one the aggregate's .getField("c") returned, bit-for-bit.
     val negatives = anchors
       .join(docs.select(col("doc_id").as("cand"), col("source")), Seq("source"))
       .filter(col("cand") =!= col("doc_a"))
       .join(sym.select(col("doc_a"), col("doc_b").as("cand")),
         Seq("doc_a", "cand"), "left_anti")
-      .groupBy(col("doc_a"))
-      .agg(min(struct(
-        md5(concat_ws(":", col("doc_a"), col("cand"))).as("k"),
-        col("cand").as("c"))).getField("c").as("negative"))
+      .withColumn("__nk", md5(concat_ws(":", col("doc_a"), col("cand"))))
+      .withColumn("__nrk", row_number().over(
+        Window.partitionBy(col("doc_a")).orderBy(col("__nk").asc, col("cand").asc)))
+      .filter(col("__nrk") === 1)
+      .select(col("doc_a"), col("cand").as("negative"))
     sym.join(negatives, Seq("doc_a"))
       .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
         col("negative"), col("jaccard").as("pos_jaccard"))

@@ -165,11 +165,18 @@ object Retrieval {
   def rerankTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
                  depth: Int = 10, k: Int = 5): DataFrame = {
     import graft.functions.VectorFunctions.{cosineRFromNorms, norm}
-    val cands = hybridRrf(spark, dir, nQueries, k = depth)
-      .select(col("query_id"), col("doc_id"))
+    // ONE corpus norm pass + checkpoint feeds the dense recall leg AND both
+    // rerank attach legs (r15; previously the dense leg built its own
+    // identical withNorms checkpoint — a second corpus materialization job).
+    // Identical expression to Similarity.withNormsFrom, so the dense
+    // ranking is bit-unchanged.
     val e = spread(spark, embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .localCheckpoint() // one norm pass feeds both attach legs
+      .localCheckpoint()
+    val cands = hybridRrfFrom(spread(spark, documents(spark, dir)),
+        documents(spark, dir).count(), e, nQueries, k = depth,
+        denseLeg = (_, nq, d) => Similarity.bruteForceTopKNormed(e, nq, d))
+      .select(col("query_id"), col("doc_id"))
     val q = e.select(col("vec_id").as("r_qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val d = e.select(col("vec_id").as("r_did"), col("embedding").as("de"), col("nrm").as("dn"))
     val scored = broadcast(cands)

@@ -100,8 +100,16 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
     bruteForceTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k)
 
-  def bruteForceTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNormsFrom(raw)
+  def bruteForceTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteForceTopKNormed(withNormsFrom(raw), nQueries, k)
+
+  /** `bruteForceTopKFrom` over an ALREADY normed+materialized
+    * (vec_id, embedding, nrm) frame — callers that hold such a frame for
+    * their own attach legs (retrieval_rerank) pass it here so the corpus
+    * norm pass + checkpoint happens once, not once per leg (r15,
+    * guide §5: reuse the persisted intermediate).
+    */
+  private[pipeline] def bruteForceTopKNormed(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
@@ -411,8 +419,12 @@ object Similarity {
     // shuffled-hash fallback is exactly the r13 plan (and at production
     // scale nCells rises with the corpus, so the key-cardinality
     // concentration this fixes is a test-SF artifact).
+    // keyed on vec_id (unique → even spread): a keyless round-robin
+    // repartition pays the SPARK-23207 sort-before-repartition pass of its
+    // input; the hash exchange is deterministic under retry for free (r15,
+    // VERDICT item — same rationale as spreadIfNarrow's keyed exchange)
     val nbr = asg.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .join(graft.operators.Scale.maybeBroadcastMeasured(
         asg.select(col("cluster"), col("vec_id").as("nb"), col("label").as("nb_label"),
           col("embedding").as("n_emb"), col("nrm").as("n_nrm")), elseHint = "shuffle_hash"),
@@ -852,18 +864,30 @@ object Similarity {
     pqTopKFrom(spread(spark, embeddings(spark, dir)), nQueries, k, m, ks, iters, rerankDepth)
 
   /** Trained PQ state shared by `pqTopKFrom` and `ivfPqTopKFrom`:
-    * `base` = (vec_id, emb, nrm) double-cast corpus, `codes` = the m
-    * per-vector subspace codes, `lut` = per-query ADC partial-dot table.
+    * `base` = (vec_id, emb, nrm) double-cast corpus, `cb` = the trained
+    * codebook packed to ONE broadcastable row for the `graft_pq_encode`
+    * kernel (r15: corpus encoding is a pure map over the base scan — no
+    * per-subspace fan-out, no per-(vec,s) window, no groupBy(vec_id)
+    * repack exchange), and `lut` = per-query ADC partial-dot table.
     */
-  private case class PqModel(base: DataFrame, codes: DataFrame, lut: DataFrame)
+  private case class PqModel(base: DataFrame, cb: DataFrame, lut: DataFrame)
+
+  /** The m packed subspace codes of `emb` — attach after joining the
+    * broadcast one-row `md.cb`. */
+  private def pqCodesCol(ks: Int): Column =
+    call_function("graft_pq_encode", col("emb"), col("cbflat"),
+      col("cbnorms"), lit(ks))
 
   def pqTopKFrom(raw: DataFrame, nQueries: Int = 10, k: Int = 5,
                  m: Int = 16, ks: Int = 16, iters: Int = 1,
                  rerankDepth: Int = 0): DataFrame = {
     val md = pqTrain(raw, nQueries, m, ks, iters)
-    // ADC scoring against the WHOLE corpus: one (candidate × query) row
-    // with the m lookups fused into a single codegen'd decimal fold
-    val spd = pqPacked(md, m, ks)
+    // ADC scoring against the WHOLE corpus: encode is a row-local kernel
+    // against the broadcast codebook, then one (candidate × query) row
+    // with the m lookups fused into a single codegen'd long fold — the
+    // corpus never shuffles
+    val spd = md.base.join(broadcast(md.cb))
+      .select(col("vec_id"), pqCodesCol(ks).as("pcodes"))
       .join(broadcast(pqLutPacked(md, ks)), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         pqAdcSum(m, ks).as("spd"))
@@ -898,12 +922,17 @@ object Similarity {
     val cents = md.base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val scoredCell = withSlotScores(
-      md.base.join(broadcast(packedCents(cents, "cell", "c_emb", "c_nrm"))), nCells,
+      md.base.join(broadcast(md.cb))
+        .join(broadcast(packedCents(cents, "cell", "c_emb", "c_nrm"))), nCells,
       slot => cosineRFromNorms(col("emb"), slot.getField("c_emb"),
         col("nrm"), slot.getField("c_nrm")))
     val (_, _, bestCell) = argFirst()
-    val cellOf = scoredCell.withColumn("ivf_cell", bestCell)
-      .select(col("vec_id"), col("ivf_cell"))
+    // r15: the PQ codes and the coarse cell are BOTH row-local functions of
+    // the same checkpointed base scan, so they ride ONE projection — the
+    // former `codes ⋈ cellOf` corpus self-join on vec_id (two exchanges)
+    // is gone outright (guide §2.4)
+    val coded = scoredCell
+      .select(col("vec_id"), pqCodesCol(ks).as("pcodes"), bestCell.as("ivf_cell"))
     val probes = md.base.filter(col("vec_id") < nQueries).join(broadcast(cents))
       .select(col("vec_id"), col("cell"),
         cosineRFromNorms(col("emb"), col("c_emb"), col("nrm"), col("c_nrm")).as("c_cos"))
@@ -912,9 +941,8 @@ object Similarity {
       .filter(col("crk") <= nProbe)
       .select(col("vec_id").as("p_query"), col("cell").as("ivf_cell"))
     // candidates = packed code rows inside a probed cell; probe set and
-    // ADC tables broadcast, the m lookups fused into one decimal fold
-    val spd = pqPacked(md, m, ks)
-      .join(cellOf, Seq("vec_id"))
+    // ADC tables broadcast, the m lookups fused into one long fold
+    val spd = coded
       .join(broadcast(probes), Seq("ivf_cell"))
       .join(broadcast(pqLutPacked(md, ks)),
         col("p_query") === col("query_id") && col("vec_id") =!= col("query_id"))
@@ -951,16 +979,26 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Corpus codes packed to ONE row per vector: `pcodes[s+1]` = the
-    * subspace-s code. This is the stored 100 TB representation (m bytes a
-    * vector) and what makes ADC scoring a per-pair expression instead of
-    * an m-way join.
+  /** One-row packed codebook for the `graft_pq_encode` kernel:
+    * `cbflat[((s*ks + cell)*sd) + i]` = element i of centroid (s, cell)
+    * (the struct sort orders entries (s, cell) ascending) and
+    * `cbnorms[s*ks + cell]` = its precomputed norm. The kernel's flat
+    * indexing requires the DENSE m·ks codebook every PQ path already
+    * contracts on (see the lloydStep empty-cell note) — asserted loudly
+    * on the one packed row, so a ragged codebook fails instead of
+    * silently mis-indexing. An empty codebook packs to ZERO rows, so the
+    * broadcast join downstream produces nothing (same as the old fan-out
+    * against an empty centroid table).
     */
-  private def pqPacked(md: PqModel, m: Int, ks: Int): DataFrame =
-    md.codes.groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("sc"))
-      .select(col("vec_id"),
-        transform(col("sc"), x => x.getField("code")).as("pcodes"))
+  private def pqCodebookPacked(cents: DataFrame, m: Int, ks: Int): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cs"), col("cell"),
+        col("c_sub"), col("c_snrm")))).as("cbe"))
+      .filter(size(col("cbe")) > 0)
+      .filter(assert_true(size(col("cbe")) === m * ks,
+        concat(lit(s"pq codebook: expected dense m*ks = ${m * ks} entries, got "),
+          size(col("cbe")).cast("string"))).isNull)
+      .select(flatten(transform(col("cbe"), x => x.getField("c_sub"))).as("cbflat"),
+        transform(col("cbe"), x => x.getField("c_snrm")).as("cbnorms"))
 
   /** Per-query ADC table packed to ONE row: `plut[s*ks + cell + 1]` = the
     * 6dp-rounded partial dot of query subvector s with centroid cell, in
@@ -1004,33 +1042,32 @@ object Similarity {
       .map(_.getInt(0)).getOrElse(0)
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val sd = dim / m
-    // the m subvector projections: (vec_id, s, sub, snrm)
-    val sub = base.select(col("vec_id"),
-        explode(array((0 until m).map(lit(_)): _*)).as("s"), col("emb"))
-      .select(col("vec_id"), col("s"),
-        slice(col("emb"), col("s") * sd + 1, lit(sd)).as("sub"))
-      .select(col("vec_id"), col("s"), col("sub"), norm(col("sub")).as("snrm"))
-      .localCheckpoint()
-    // nearest codebook centroid per (vector, subspace); ties to low cell
-    // id. NOTE (r14): the packed in-row argmax that replaced the window
-    // everywhere else was MEASURED here and reverted — at sd=2-dim
-    // subvectors the per-slot packed-struct access costs ~4× the tiny dot
-    // it wraps (ProfileQuery: the Lloyd scoring stage's sumTask went
-    // 6 s → 27 s), while the window form's fan-out rows are a few bytes
-    // and WindowGroupLimit prunes them map-side before the exchange. The
-    // full-dimension assigns (ivfTopK / kmeans / ivf-pq coarse) keep the
-    // in-row form, where one 64-dim kernel dot dominates the slot access.
-    def assign(cents: DataFrame): DataFrame =
-      sub.join(broadcast(cents), col("s") === col("cs"))
-        .select(col("vec_id"), col("s"), col("sub"), col("cell"),
-          cosineRFromNorms(col("sub"), col("c_sub"), col("snrm"), col("c_snrm")).as("ccos"))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("s"))
-            .orderBy(col("ccos").desc, col("cell").asc)))
-        .filter(col("crk") === 1)
-    val c1 = sub.filter(col("vec_id") < ks)
+    // subvector explode of a SMALL row subset only (codebook seeds, query
+    // LUT) — the corpus-wide (vec_id, s, sub, snrm) checkpoint is gone:
+    // corpus encoding is row-local via the kernel below (r15)
+    def subOf(rows: DataFrame): DataFrame =
+      rows.select(col("vec_id"),
+          explode(array((0 until m).map(lit(_)): _*)).as("s"), col("emb"))
+        .select(col("vec_id"), col("s"),
+          slice(col("emb"), col("s") * sd + 1, lit(sd)).as("sub"))
+    // nearest codebook centroid per (vector, subspace), all m subspaces in
+    // ONE row-local kernel pass over the corpus scan (graft_pq_encode):
+    // ties to low cell id, NaN-greatest / -0.0==0.0 double ordering, 6dp
+    // rounding — the window rendering's semantics verbatim (kernel scaladoc
+    // + PqEncodeSpec assert the bit-equivalence). NOTE (r14, superseded):
+    // the GENERIC packed-struct in-row argmax was measured here and
+    // reverted (per-slot struct access ~4× the sd=2 dot; Lloyd scoring
+    // sumTask 6 s → 27 s) — the dedicated primitive-array kernel is the
+    // form that r14 lesson called for, replacing the per-(vec,s) fan-out
+    // join + row_number window + groupBy(vec_id) repack with a pure map.
+    def encode(cents: DataFrame): DataFrame =
+      base.join(broadcast(pqCodebookPacked(cents, m, ks)))
+        .select(col("vec_id"), col("emb"),
+          call_function("graft_pq_encode", col("emb"), col("cbflat"),
+            col("cbnorms"), lit(ks)).as("pcodes"))
+    val c1 = subOf(base.filter(col("vec_id") < ks))
       .select(col("s").as("cs"), col("vec_id").as("cell"),
-        col("sub").as("c_sub"), col("snrm").as("c_snrm"))
+        col("sub").as("c_sub"), norm(col("sub")).as("c_snrm"))
     // Lloyd iterations per subspace: decimal-exact element sums so the
     // trained codebook is deterministic under any partitioning. A cell
     // that attracts no vectors keeps its PREVIOUS centroid (the GROUP BY
@@ -1041,9 +1078,15 @@ object Similarity {
     // m·ks requirement would have tripped), so this is a no-op there and
     // DuckDB parity is untouched.
     def lloydStep(cents: DataFrame): DataFrame = {
-      val updated = assign(cents)
-        .select(col("s"), col("cell"), posexplode(col("sub")))
-        .select(col("s"), col("cell"), col("pos"),
+      // the winner's subvector elements, recovered from the full embedding:
+      // emb[s*sd + i] IS slice(emb, s*sd+1, sd)[i], and the winning cell is
+      // pcodes[s] — same (s, cell, pos, v) rows as the old window assign's
+      // posexplode(sub), feeding the identical order-independent decimal sums
+      val updated = encode(cents)
+        .select(col("pcodes"), posexplode(col("emb")))
+        .select(expr(s"pos div $sd").cast("int").as("s"),
+          element_at(col("pcodes"), expr(s"pos div $sd").cast("int") + 1).as("cell"),
+          pmod(col("pos"), lit(sd)).as("pos"),
           col("col").cast("decimal(28,12)").as("v"))
         .groupBy(col("s"), col("cell"), col("pos"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
@@ -1065,15 +1108,16 @@ object Similarity {
     val trained = (1 to iters.max(1)).foldLeft(c1) { (c, _) =>
       lloydStep(c).localCheckpoint()
     }
-    // the stored representation: m codes per vector (+ its true norm)
-    val codes = assign(trained).select(col("vec_id"), col("s"), col("cell").as("code"))
     // ADC lookup table: every query subvector × every centroid, built once
-    val lut = sub.filter(col("vec_id") < nQueries)
+    val lut = subOf(base.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("s").as("qs"), col("sub").as("q_sub"))
       .join(broadcast(trained), col("qs") === col("cs"))
       .select(col("query_id"), col("qs"), col("cell"),
         round(dot(col("q_sub"), col("c_sub")), 6).cast("decimal(28,12)").as("pd"))
-    PqModel(base, codes, lut)
+    // the one-row packed TRAINED codebook: consumers attach it by broadcast
+    // and encode row-locally (its parent `trained` is checkpointed, so the
+    // one-row agg is a tiny job per consumer, never a chain replay)
+    PqModel(base, pqCodebookPacked(trained, m, ks), lut)
   }
 
   /** Normalize summed ADC partials by the TRUE stored norms and take the

@@ -279,40 +279,27 @@ object TextPipeline {
     * says "many grams repeat", top-coverage says "ONE gram dominates"
     * (chant-style degeneration, templated listings). Docs need ≥2 tokens.
     *
-    * Shape at scale: one tokenize pass (checkpointed) feeds three gram
-    * explodes unioned into a single (doc, n, gram)-keyed count with
-    * map-side partials; the per-(doc, n) max and the 3-way pivot operate
-    * on one row per distinct gram and three rows per doc respectively.
-    * Tie-break-free by construction — only the max COUNT is reported,
-    * never which gram achieved it.
+    * Shape at scale (r15): the per-doc max gram count is ROW-LOCAL — the
+    * `graft_max_ngram_ct` kernel counts each n's gram multiplicities in
+    * one pass over the token array (same `concatWs(" ")` gram strings,
+    * same binary equality, same max — kernel scaladoc + KernelSpec), so
+    * the whole query is one tokenize projection over the scan: the old
+    * three-explode union shuffled a corpus×grams table through TWO
+    * aggregations and a pivot just to reduce it back to one row per doc.
+    * A doc shorter than n grams scores 0 via the kernel, exactly as its
+    * absent pivot cell coalesced to 0. Tie-break-free by construction —
+    * only the max COUNT is reported, never which gram achieved it.
     */
   def topNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val base = spread(spark, documents(spark, dir))
+    def frac(n: Int) = round(
+      (lit(n) * call_function("graft_max_ngram_ct", col("toks"), lit(n)))
+        .cast("double") / col("n_tokens"), 6)
+    spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), col("toks"))
-      .localCheckpoint() // three explodes read one materialized tokenize
-    val grams = Seq(2, 3, 4).map { n =>
-      base.filter(size(col("toks")) >= n)
-        .select(col("doc_id"), col("n_tokens"), lit(n).as("n"),
-          explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
-            .as("gram"))
-    }.reduce(_ unionByName _)
-    grams.groupBy(col("doc_id"), col("n_tokens"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("ct"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n"))
-      .agg(max(col("ct")).as("maxct"))
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .pivot("n", Seq(2, 3, 4))
-      .agg(first(col("maxct")))
       .select(col("doc_id"), col("n_tokens"),
-        round((lit(2) * coalesce(col("2"), lit(0L))).cast("double") / col("n_tokens"), 6)
-          .as("top2_frac"),
-        round((lit(3) * coalesce(col("3"), lit(0L))).cast("double") / col("n_tokens"), 6)
-          .as("top3_frac"),
-        round((lit(4) * coalesce(col("4"), lit(0L))).cast("double") / col("n_tokens"), 6)
-          .as("top4_frac"))
+        frac(2).as("top2_frac"), frac(3).as("top3_frac"), frac(4).as("top4_frac"))
   }
 
   /** Repetition filter (Gopher-style): per-doc duplicate-bigram fraction —

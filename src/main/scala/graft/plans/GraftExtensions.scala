@@ -126,6 +126,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_dot", 2, a => ArrayDot(a(0), a(1))))
     ext.injectFunction(fn("graft_eq_count", 2, a => ArrayEqCount(a(0), a(1))))
     ext.injectFunction(fn("graft_pq_adc", 3, a => PqAdcSum(a(0), a(1), a(2))))
+    ext.injectFunction(fn("graft_pq_encode", 4, a => PqEncode(a(0), a(1), a(2), a(3))))
+    ext.injectFunction(fn("graft_max_ngram_ct", 2, a => MaxNgramCount(a(0), a(1))))
     ext.injectFunction(fn("graft_winnow", 3, a => WinnowFingerprints(a(0), a(1), a(2))))
     ext.injectFunction(fn("graft_bag_intersect", 2, a => BagIntersect(a(0), a(1))))
     ext.injectFunction(fn("graft_bag_counts", 1, a => BagCounts(a(0))))

@@ -1095,6 +1095,201 @@ object PqAdcSum {
   }
 }
 
+/** PQ corpus encode as ONE row-local pass: all m subspace codes of a
+  * vector against a packed flat codebook — the dedicated kernel the r14
+  * measurement called for (the generic packed-struct slot machinery costs
+  * ~4× the sd=2 dot it wraps; this reads primitive arrays directly).
+  *
+  * Bit-equivalence with the window rendering it replaces
+  * (`row_number over (ccos desc, cell asc) = 1` per (vec_id, s), where
+  * `ccos = round(graft_dot(sub, c_sub) / (graft_norm(sub) * c_snrm), 6)`):
+  *  - the sub dot / sub norm fold left-to-right in double over the same
+  *    elements (`emb[s*sd + i]` IS `slice(emb, s*sd+1, sd)[i]`) — the
+  *    exact `ArrayDot.compute` / `ArrayNorm.compute` arithmetic;
+  *  - rounding is Spark `Round(_, 6)`'s double path verbatim: NaN/Inf
+  *    pass through, else `BigDecimal.valueOf(x).setScale(6, HALF_UP)`
+  *    (`PqEncode.round6`, spec-asserted against `round()` itself);
+  *  - the argmax comparator is Spark's SQL double ordering
+  *    (`-0.0 == 0.0`, NaN greatest — `if (x == y) 0 else
+  *    Double.compare(x, y)`), descending, first-match over ascending
+  *    cells = the `cell asc` tie-break. A zero-norm subvector or centroid
+  *    fails loudly (the window rendering's division throws DIVIDE_BY_ZERO
+  *    under the session's ANSI mode — spec-asserted parity).
+  *
+  * Codebook layout (built by `Similarity.pqCodebookPacked` via
+  * `array_sort(collect_list(struct(cs, cell, …)))`, so (s, cell)
+  * ascending): `cb[((s*ks + cell)*sd) + i]` = element i of centroid
+  * (s, cell); `cbn[s*ks + cell]` = its precomputed norm. m and sd are
+  * derived (`m = cbn.length/ks`, `sd = emb.length/m`) and every length
+  * is cross-checked loudly.
+  */
+case class PqEncode(first: Expression, second: Expression, third: Expression,
+                    fourth: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third, fourth)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode requires (array<double> emb, array<double> codebook, " +
+          s"array<double> cbnorms, int ks), got $other")
+    }
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = first.eval(input); val cb = second.eval(input)
+    val cbn = third.eval(input); val k = fourth.eval(input)
+    if (e == null || cb == null || cbn == null || k == null) null
+    else PqEncode.compute(e.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      cbn.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code = childCode +
+      code"""
+        |boolean ${ev.isNull} = $nullCheck;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.plans.expr.PqEncode.compute(
+        |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
+        |}
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PqEncode =
+    copy(first = c(0), second = c(1), third = c(2), fourth = c(3))
+}
+
+object PqEncode {
+  /** Spark `Round(x, 6)` double semantics, verbatim (spec-asserted). */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark SQL double ordering: -0.0 == 0.0, NaN greatest. */
+  private def cmp(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  def compute(emb: ArrayData, cb: ArrayData, cbn: ArrayData, ks: Int): ArrayData = {
+    Kernels.requireNoNullElements(emb, "graft_pq_encode")
+    Kernels.requireNoNullElements(cb, "graft_pq_encode")
+    Kernels.requireNoNullElements(cbn, "graft_pq_encode")
+    require(ks > 0, s"graft_pq_encode: ks $ks must be positive")
+    require(cbn.numElements() % ks == 0,
+      s"graft_pq_encode: ${cbn.numElements()} centroid norms not divisible by ks=$ks")
+    val m = cbn.numElements() / ks
+    val dim = emb.numElements()
+    require(m > 0 && dim % m == 0,
+      s"graft_pq_encode: dim $dim not divisible into m=$m subspaces")
+    val sd = dim / m
+    require(cb.numElements() == m * ks * sd,
+      s"graft_pq_encode: codebook has ${cb.numElements()} elements, expected m*ks*sd = ${m * ks * sd}")
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sd
+      // same fold as ArrayNorm.compute over slice(emb, s*sd+1, sd)
+      var nacc = 0.0
+      var i = 0
+      while (i < sd) { val v = emb.getDouble(base + i); nacc += v * v; i += 1 }
+      val snrm = math.sqrt(nacc)
+      var best = 0.0
+      var bestCell = -1
+      var cell = 0
+      while (cell < ks) {
+        val off = (s * ks + cell) * sd
+        // same fold as ArrayDot.compute
+        var dacc = 0.0
+        i = 0
+        while (i < sd) { dacc += emb.getDouble(base + i) * cb.getDouble(off + i); i += 1 }
+        val den = snrm * cbn.getDouble(s * ks + cell)
+        // ANSI parity: the window rendering's `dot / (snrm * c_snrm)` throws
+        // DIVIDE_BY_ZERO under the session's ANSI mode — a zero-norm
+        // subvector/centroid must fail just as loudly here, never silently
+        // score NaN
+        require(den != 0.0,
+          s"graft_pq_encode: zero-norm subvector/centroid at (s=$s, cell=$cell) — division by zero")
+        val ccos = round6(dacc / den)
+        if (bestCell < 0 || cmp(ccos, best) > 0) { best = ccos; bestCell = cell }
+        cell += 1
+      }
+      out(s) = bestCell.toLong
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Max n-gram multiplicity of a token array as ONE row-local pass (r15):
+  * the count of the most-repeated n-gram, where each n-gram is the n
+  * adjacent tokens joined by a single space — exactly
+  * `max(count per gram)` over
+  * `explode(transform(sequence(1, size-n+1), i => concat_ws(" ",
+  * element_at(toks, i)..element_at(toks, i+n-1))))`. The gram strings are
+  * built with the same `UTF8String.concatWs` that `ConcatWs` codegens and
+  * counted under the same binary equality the groupBy used, so the max is
+  * bit-identical. Fewer than n tokens → 0 (the exploded rendering produced
+  * no rows for the doc; callers coalesce the absent group to 0).
+  *
+  * Replaces a corpus×grams explode + two aggregations + pivot per n
+  * (`text_topngram_frac`): the gram table never leaves the row.
+  */
+case class MaxNgramCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_max_ngram_ct requires (array<string>, int n), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MaxNgramCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.expr.MaxNgramCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxNgramCount =
+    copy(left = l, right = r)
+}
+
+object MaxNgramCount {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): Long = {
+    Kernels.requireNoNullElements(toks, "graft_max_ngram_ct")
+    require(n > 0, s"graft_max_ngram_ct: n $n must be positive")
+    val total = toks.numElements() - n + 1
+    if (total <= 0) return 0L
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var best = 0L
+    var i = 0
+    while (i < total) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var o = 0
+      while (o < n) { parts(o) = toks.getUTF8String(i + o); o += 1 }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      var cell = counts.get(gram)
+      if (cell == null) { cell = new Array[Long](1); counts.put(gram, cell) }
+      cell(0) += 1L
+      if (cell(0) > best) best = cell(0)
+      i += 1
+    }
+    best
+  }
+}
+
 /** Winnowing fingerprint selection (MOSS) as ONE native pass per
   * document: lowercase, hash every character k-gram (md5 first-4-bytes,
   * identical to `md5Prefix64(substring(lower(text), i, k))`), sliding

@@ -717,6 +717,16 @@ object CorpusJob {
     val packed = cents.agg(array_sort(collect_list(struct(
         col("cell_seed").as("cid"), col("c_emb"), col("c_nrm")))).as("cb"))
       .filter(size(col("cb")) > 0)
+      // loud guard (ADVICE r14): the score array below covers slots
+      // 0..nCells-1 only — a reused state dir whose persisted seeds parquet
+      // holds MORE rows than this run's nCells conf would silently ignore
+      // the extras (the old fan-out join scored every persisted seed) and
+      // drift assignments against the stored corpus/band index. Zero-job:
+      // one comparison on the one packed row.
+      .filter(assert_true(size(col("cb")) <= nCells,
+        concat(lit("corpus seeds: persisted seed count "),
+          size(col("cb")).cast("string"),
+          lit(s" exceeds nCells=$nCells — state dir/conf mismatch"))).isNull)
     val scored = docs.join(broadcast(packed))
       .withColumn("__scores", array((0 until nCells).map { i =>
         val slot = get(col("cb"), lit(i))

@@ -319,4 +319,35 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
       short.select(call_function("graft_pq_adc", col("codes"), col("lut"), lit(ks))).collect()
     }
   }
+
+  test("graft_max_ngram_ct == max count over the exploded concat_ws grams") {
+    import graft.functions.TextFunctions.tokens
+    // real corpus docs + constructed repeats/edges (size < n → 0)
+    val docs = Tables.documents(spark, sf("")).limit(120)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .unionByName(Seq(
+        (100001L, Seq("a", "b", "a", "b", "a", "b")),   // "a b" ×3 (overlapping)
+        (100002L, Seq("x")),                            // < n tokens → 0
+        (100003L, Seq("x", "y")),                       // exactly one bigram
+        (100004L, Seq("t", "t", "t", "t")))             // "t t" ×3
+        .toDF("doc_id", "toks"))
+      .localCheckpoint()
+    for (n <- Seq(2, 3, 4)) {
+      val exploded = docs.filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+            .as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("ct"))
+        .groupBy(col("doc_id")).agg(max(col("ct")).as("maxct"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kernel = docs
+        .select(col("doc_id"),
+          call_function("graft_max_ngram_ct", col("toks"), lit(n)).as("maxct"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.select(col("doc_id")).collect().map(_.getLong(0)).foreach { id =>
+        assert(kernel(id) == exploded.getOrElse(id, 0L), s"n=$n doc=$id")
+      }
+    }
+  }
 }
