@@ -1198,10 +1198,17 @@ object Relational {
     * silently diverge (round-7 advice).
     */
   def q21SoleLatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val roster = lineitem(spark, dir)
+    // ONE shared fact leg (r15): roster and the late-scan both consume the
+    // same spread projection, so its exchange is planned once and the
+    // roster branch reads it back (ReusedExchange) instead of running a
+    // second full lineitem scan+decode (profiled: the separate roster scan
+    // was a 13.7 s-sumTask stage). At production scale spreadIfNarrow is
+    // the identity and each branch scans parquet as before.
+    val li = spreadIfNarrow(lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")), "l_orderkey")
+    val roster = li
       .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk")).distinct()
-    val late = spreadIfNarrow(lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")), "l_orderkey")
+    val late = li
       .join(orders(spark, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1213,7 +1220,12 @@ object Relational {
     val lateOther = late.select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"))
     late
       .join(roster, col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"), "left_semi")
-      .join(lateOther, col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"), "left_anti")
+      // measured-broadcast (r15): lateOther flows off the late checkpoint,
+      // whose SPARK-39748-inflated stats had Catalyst planning this anti as
+      // a full SortMergeJoin (two sorts of the late pairs); the REAL bytes
+      // are the selective late set. Shuffled-hash past the gate.
+      .join(graft.operators.Scale.maybeBroadcastMeasured(lateOther, elseHint = "shuffle_hash"),
+        col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"), "left_anti")
   }
 
   def q21WaitingSupp(spark: SparkSession, dir: String): DataFrame = {

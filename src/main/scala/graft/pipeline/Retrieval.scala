@@ -48,7 +48,15 @@ object Retrieval {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dlen = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // doc length = Σ tf over the doc's posting rows — derived from the
+    // CHECKPOINTED tf instead of a second tokenize pass over the corpus
+    // (r15; profiled as a full extra scan+tokenize stage, 7.2 s sumTask at
+    // sf0.1). Exact for every doc that can join downstream: a doc appears
+    // in the scoring join only via a posting row, and any such doc has
+    // ≥1 token, hence a dlen row with the identical Σ tf = size(toks).
+    // (Zero-token docs vanish from dlen — they had no posting row to score
+    // anyway; avgdl handles them explicitly below.)
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     (tf, dlen)
   }
 
@@ -87,8 +95,12 @@ object Retrieval {
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val avg = dlen.agg(sum(col("dl")).as("s"), count(lit(1)).as("c"))
-      .select((col("s").cast("double") / col("c")).as("avgdl"))
+    // denominator is the FULL corpus count `n` (the caller's contract),
+    // not count(dlen): dlen now omits zero-token docs (see postingsFrom),
+    // which contribute dl = 0 to the sum and 1 to the count — lit(n) keeps
+    // avgdl bit-identical to the old all-docs rendering
+    val avg = dlen.agg(sum(col("dl")).as("s"))
+      .select((col("s").cast("double") / lit(n.toDouble)).as("avgdl"))
     val scored = tf
       .join(broadcast(qt), Seq("tok"))
       .filter(col("doc_id") =!= col("query_id"))

@@ -307,10 +307,9 @@ object TextPipeline {
     * doesn't. `dup_frac = 1 - distinct/total` over adjacent-token bigrams.
     */
   def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
-    val bg = zip_with(
-      slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-      slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
+    // graft_ngrams == the old zip_with-of-slices rendering, codegen'd
+    // (r15; <2 tokens → empty array either way)
+    val bg = call_function("graft_ngrams", col("toks"), lit(2))
     spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), bg.as("bg"))
@@ -476,13 +475,17 @@ object TextPipeline {
     val cu = toks.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
     val vRow = cu.agg(count(lit(1)).as("v"))
+    // bigrams via the codegen'd graft_ngrams kernel (r15): the zip_with/
+    // slice/struct tree was CodegenFallback — interpreted, allocating per
+    // element — and profiled as this query's dominant stage (18 s sumTask
+    // at sf0.1). w1 is recovered as the bigram's first space-delimited
+    // field, exact because tokens cannot contain spaces (the tokenizer
+    // splits on \s+; the CJK fallback emits space-free Han bigrams).
     val bg = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), (size(col("toks")) - 1).cast("long").as("total"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bigram")))).as("p"))
-      .select(col("doc_id"), col("total"), col("p.w1").as("tok"), col("p.bigram").as("bigram"))
+        explode(call_function("graft_ngrams", col("toks"), lit(2))).as("bigram"))
+      .select(col("doc_id"), col("total"),
+        substring_index(col("bigram"), " ", 1).as("tok"), col("bigram"))
       .localCheckpoint()
     val cb = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
     bg.groupBy(col("doc_id"), col("total"), col("tok"), col("bigram"))

@@ -128,6 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_pq_adc", 3, a => PqAdcSum(a(0), a(1), a(2))))
     ext.injectFunction(fn("graft_pq_encode", 4, a => PqEncode(a(0), a(1), a(2), a(3))))
     ext.injectFunction(fn("graft_max_ngram_ct", 2, a => MaxNgramCount(a(0), a(1))))
+    ext.injectFunction(fn("graft_ngrams", 2, a => NgramArray(a(0), a(1))))
     ext.injectFunction(fn("graft_winnow", 3, a => WinnowFingerprints(a(0), a(1), a(2))))
     ext.injectFunction(fn("graft_bag_intersect", 2, a => BagIntersect(a(0), a(1))))
     ext.injectFunction(fn("graft_bag_counts", 1, a => BagCounts(a(0))))

@@ -1290,6 +1290,58 @@ object MaxNgramCount {
   }
 }
 
+/** Adjacent n-grams of a token array as ONE codegen'd pass (r15):
+  * element i (0-based) = tokens i..i+n-1 joined by a single space —
+  * exactly `transform(sequence(1, size-n+1), i => concat_ws(" ",
+  * element_at(toks, i)..element_at(toks, i+n-1)))` and, at n=2, exactly
+  * the `zip_with(slice(toks,1,size-1), slice(toks,2,size-1),
+  * concat_ws(" ", a, b))` rendering — both of which are CodegenFallback
+  * higher-order trees that re-slice and allocate per element (profiled as
+  * the dominant stage of text_bigram_surprisal). Fewer than n tokens →
+  * empty array, as the exploded renderings produced no rows.
+  */
+case class NgramArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_ngrams requires (array<string>, int n), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NgramArray.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.expr.NgramArray.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramArray =
+    copy(left = l, right = r)
+}
+
+object NgramArray {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    Kernels.requireNoNullElements(toks, "graft_ngrams")
+    require(n > 0, s"graft_ngrams: n $n must be positive")
+    val total = toks.numElements() - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var o = 0
+      while (o < n) { parts(o) = toks.getUTF8String(i + o); o += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Winnowing fingerprint selection (MOSS) as ONE native pass per
   * document: lowercase, hash every character k-gram (md5 first-4-bytes,
   * identical to `md5Prefix64(substring(lower(text), i, k))`), sliding

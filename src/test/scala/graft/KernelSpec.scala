@@ -320,6 +320,40 @@ class KernelSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("graft_ngrams == zip_with-of-slices bigrams and transform n-grams") {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf("")).limit(100)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .unionByName(Seq(
+        (200001L, Seq[String]()),
+        (200002L, Seq("solo")),
+        (200003L, Seq("a", "b")),
+        (200004L, Seq("x", "y", "z", "x", "y")))
+        .toDF("doc_id", "toks"))
+      .localCheckpoint()
+    // n=2: the zip_with rendering bigramSurprisal/repetitionScore used
+    val zw = docs.select(col("doc_id"), zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val k2 = docs.select(col("doc_id"),
+        call_function("graft_ngrams", col("toks"), lit(2)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(zw == k2)
+    // n=3: the transform(sequence) rendering
+    val tr = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val k3 = docs.select(col("doc_id"),
+        call_function("graft_ngrams", col("toks"), lit(3)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    tr.foreach { case (id, g) => assert(k3(id) == g, s"doc $id") }
+    k3.filterNot(x => tr.contains(x._1)).values.foreach(g => assert(g.isEmpty))
+  }
+
   test("graft_max_ngram_ct == max count over the exploded concat_ws grams") {
     import graft.functions.TextFunctions.tokens
     // real corpus docs + constructed repeats/edges (size < n → 0)
