@@ -44,6 +44,17 @@ class DimStore(spark: SparkSession, basePath: String,
   private def numBuckets: Int =
     spark.conf.get("spark.graft.dim.buckets", "16").toInt
 
+  /** Per-table superset of every on-disk bucket's columns (r15): seeded
+    * from a one-time mergeSchema pass over all bucket dirs, refreshed to
+    * each staged write's union schema (which by construction contains the
+    * previous cache, hence every untouched bucket). Lets steady-state
+    * upserts read touched buckets with an explicit schema — zero
+    * per-batch footer inference. The store is single-writer, so no other
+    * process can widen a bucket behind the cache.
+    */
+  private val bucketSchemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Bucket of a key value: hash of a CANONICAL string form so the same
     * logical key buckets identically whatever numeric type a batch arrives
     * with. Integral/string keys hash their plain string form (`7L → "7"`,
@@ -210,17 +221,33 @@ class DimStore(spark: SparkSession, basePath: String,
     // spark.read.parquet pays driver-side footer/schema inference per
     // bucket (~45 ms × buckets × tables — measured as HALF the remaining
     // per-batch dim floor in BENCH_STREAM's dim_phase_bucket_open), while
-    // one read over the path list infers once and lists once
+    // one read over the path list infers once and lists once. r15: the
+    // merged schema is CACHED per table, so steady-state batches read
+    // with an explicit schema and pay NO footer inference at all — the
+    // remaining bucket_open cost after the r14 multi-path fold was
+    // exactly that per-batch mergeSchema pass. The cache seeds from ALL
+    // bucket dirs (not just touched — a column living only in an
+    // untouched bucket must survive into the superset) and is refreshed
+    // to the staged write's union schema below, so it is always a
+    // superset of every on-disk bucket; parquet nulls the gaps of files
+    // missing a cached column exactly like mergeSchema did. Buckets can
+    // still legitimately differ in schema (an upsert batch with new
+    // columns rewrites only ITS buckets).
     val bucketExisting: Option[DataFrame] = phase("bucket_open") {
       val paths = touched.map(i => s"${path(table)}/graft_bucket=$i")
         .filter(p => new java.io.File(p).exists)
-      // mergeSchema: buckets can legitimately differ in schema (an upsert
-      // batch with new columns rewrites only ITS buckets); the merged read
-      // nulls the gaps exactly like the old per-bucket unionByName did,
-      // and the footer merge is one distributed pass, not a driver loop
-      if (paths.nonEmpty)
-        Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
-      else None
+      if (paths.isEmpty) None
+      else {
+        val sch = bucketSchemaCache.getOrElseUpdate(table, {
+          val allDirs = Option(tableDir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+            .map(_.getPath).toIndexedSeq
+          org.apache.spark.sql.types.StructType(
+            spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+              .schema.filterNot(_.name == "graft_bucket"))
+        })
+        Some(spark.read.schema(sch).parquet(paths: _*))
+      }
     }
     // merge WITHOUT the bucket column so the dedup tie-break hash sees
     // exactly the upserted schema (the bucket is re-derived afterwards —
@@ -249,6 +276,10 @@ class DimStore(spark: SparkSession, basePath: String,
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$tmp/_graft_staged_ok"), Array.empty[Byte])
     }
+    // refresh the schema cache to the staged union (⊇ old cache ⊇ every
+    // untouched bucket; the touched buckets ARE this schema)
+    bucketSchemaCache.put(table, org.apache.spark.sql.types.StructType(
+      staged.schema.filterNot(_.name == "graft_bucket")))
     phase("swap") {
       touched.foreach { i =>
         val src = new java.io.File(s"$tmp/graft_bucket=$i")

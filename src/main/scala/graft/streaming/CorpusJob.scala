@@ -112,6 +112,18 @@ object CorpusJob {
   val CompactEveryConf = "spark.graft.corpus.compactEvery"
   val CompactEveryDefault = 16
 
+  /** Row threshold above which a fast-path append goes WIDE (r15,
+    * bucketed band subdirs / cell-keyed corpus write) instead of the
+    * single-task `repartition(1)` layout: the serial sort-and-write is
+    * bounded by batch size, fine for micro-batches, but a grown batch
+    * serializes its whole band/corpus append on one core. Below the
+    * threshold the one-file layout is kept (fewer files for the probe to
+    * open). The bench batches stay below it; `CorpusJobSpec` forces it to
+    * 1 to gate the wide layout's equivalence.
+    */
+  val AppendWideRowsConf = "spark.graft.corpus.appendWideRows"
+  val AppendWideRowsDefault = 65536
+
   private val BloomFpp = 1e-4
   private val BloomMinCapacity = 1L << 17
 
@@ -574,7 +586,18 @@ object CorpusJob {
           val presentDf = spark.createDataFrame(present.toIndexedSeq)
           val touchedBuckets = withKb(presentDf, nb)
             .select(col("kb")).distinct().collect().map(_.getInt(0))
-          val appendDirs = listDirs(root, "append_").map(_.getPath)
+          // an append written WIDE (kb= subdirs, r15) prunes to the touched
+          // buckets exactly like the base; a flat single-file append is
+          // read whole as before
+          val touchedSet = touchedBuckets.toSet
+          val appendDirs = listDirs(root, "append_").flatMap { d =>
+            val kbDirs = Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(x => x.isDirectory && x.getName.startsWith("kb="))
+            if (kbDirs.isEmpty) Seq(d.getPath)
+            else kbDirs.toSeq
+              .filter(x => x.getName.stripPrefix("kb=").toIntOption.exists(touchedSet))
+              .map(_.getPath)
+          }
           val basePaths = touchedBuckets.toIndexedSeq
             .map(b => s"$root/kb=$b").filter(p => new java.io.File(p).exists)
           val paths = basePaths ++ appendDirs
@@ -643,11 +666,27 @@ object CorpusJob {
         // subdir (kept sets are disjoint across batches, so
         // `append_<firstKeptId>` names this batch uniquely), so the
         // window cannot duplicate index rows under the same batching
-        bandRows(keptDf.select(col("doc_id"), col("sig")))
-          .repartition(1).sortWithinPartitions(col("band_key"))
-          .write.mode("overwrite")
-          .option("parquet.block.size", BandBlockBytes)
-          .parquet(s"${bandsPath(stateDir)}/append_${kept.head}")
+        val bandAppend = bandRows(keptDf.select(col("doc_id"), col("sig")))
+        val appendDest = s"${bandsPath(stateDir)}/append_${kept.head}"
+        val wide = kept.size.toLong * Dedup.Bands >=
+          confInt(spark, AppendWideRowsConf, AppendWideRowsDefault)
+        if (wide)
+          // grown batches: per-bucket subdirs (same kb layout as the L1
+          // base) so the sort-and-write runs on every core and the probe
+          // prunes append buckets like base buckets; the deterministic
+          // append_<id> OVERWRITE replaces the whole dir, so replay
+          // idempotence is unchanged
+          withKb(bandAppend, nb)
+            .repartition(col("kb")).sortWithinPartitions(col("band_key"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", BandBlockBytes)
+            .partitionBy("kb").parquet(appendDest)
+        else
+          bandAppend
+            .repartition(1).sortWithinPartitions(col("band_key"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", BandBlockBytes)
+            .parquet(appendDest)
         // bloom AFTER the band rows, BEFORE the corpus append: a key in
         // the index but not the bloom could silently skip a real dup, so
         // the bloom must never lag the corpus; phantom keys from the
@@ -663,8 +702,15 @@ object CorpusJob {
             rebuildBloom(stateDir, readBands(spark, stateDir),
               (priorCount + kept.size) * Dedup.Bands)
         }
-        assigned
-          .repartition(1).sortWithinPartitions(col("cell"), col("doc_id"))
+        // same adaptive width for the survivor append: cell-keyed when the
+        // batch is big (each task holds whole cells, per-file doc_id order
+        // and the monotone-id row-group pruning property are preserved),
+        // the single sorted task below the threshold
+        (if (wide)
+          assigned.repartition(col("cell"))
+            .sortWithinPartitions(col("cell"), col("doc_id"))
+        else
+          assigned.repartition(1).sortWithinPartitions(col("cell"), col("doc_id")))
           .write.mode("append")
           .option("parquet.block.size", CorpusBlockBytes)
           .partitionBy("cell").parquet(corpusPath(stateDir))

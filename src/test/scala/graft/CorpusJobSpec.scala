@@ -80,6 +80,42 @@ class CorpusJobSpec extends SparkSpecBase {
     assert(streamTop.size == 9, s"expected 3 queries x k=3, got ${streamTop.size}")
   }
 
+  test("wide appends (kb-bucketed bands, cell-keyed corpus) == flat appends") {
+    // r15 adaptive append layout: force every fast-path append WIDE and
+    // assert nothing observable changes — survivors, band-index lockstep,
+    // retrieval, and the pruned probe all read the bucketed append subdirs
+    val base = loadDocs(100)
+    val maxId = base.map(_.doc_id).max
+    val crossDup = CorpusDoc(maxId + 1, base(10).text + " extratok",
+      base(10).embedding.map(_ + 0.001f))
+    val all = base ++ Seq(crossDup)
+
+    val flatDir = java.nio.file.Files.createTempDirectory("corpus_flat").toString
+    all.grouped(30).foreach(chunk => CorpusJob.processBatch(spark, chunk.toDF(), flatDir))
+    val flatSurv = survivors(flatDir)
+    val flatTop = CorpusJob.retrieve(spark, flatDir, queriesDf).collect().map(_.toSeq).toSet
+
+    val wideDir = java.nio.file.Files.createTempDirectory("corpus_wide").toString
+    spark.conf.set(CorpusJob.AppendWideRowsConf, "1")
+    try {
+      all.grouped(30).foreach(chunk => CorpusJob.processBatch(spark, chunk.toDF(), wideDir))
+    } finally spark.conf.unset(CorpusJob.AppendWideRowsConf)
+    // the wide layout actually materialized: some append dir has kb= subdirs
+    val appendDirs = Option(new java.io.File(s"$wideDir/bands").listFiles())
+      .getOrElse(Array.empty).filter(d => d.isDirectory && d.getName.startsWith("append_"))
+    assert(appendDirs.nonEmpty &&
+      appendDirs.exists(d => d.listFiles().exists(x =>
+        x.isDirectory && x.getName.startsWith("kb="))),
+      "forced-wide run must write bucketed append subdirs")
+
+    assert(survivors(wideDir) == flatSurv)
+    assert(!flatSurv.contains(crossDup.doc_id))
+    assert(CorpusJob.retrieve(spark, wideDir, queriesDf).collect().map(_.toSeq).toSet == flatTop)
+    // band index in lockstep under the wide layout too
+    assert(CorpusJob.readBands(spark, wideDir).count() ==
+      flatSurv.size.toLong * graft.pipeline.Dedup.Bands)
+  }
+
   test("ST8 crash-restart: survivor store recovers from checkpoint and equals the uninterrupted run") {
     // Recovery evidence for the composition job: crash (stop) after ≥1
     // committed batch, restart from the SAME checkpoint over a file

@@ -159,4 +159,39 @@ class DimStoreSpec extends SparkSpecBase {
     assert(r.count() == 64,
       "staged bucket must replace the live copy on read — no duplicate keys in the window")
   }
+
+  test("schema cache survives evolution: new columns merge, fresh stores re-seed") {
+    // the r15 bucket-schema cache must stay a SUPERSET of every on-disk
+    // bucket: a column introduced by one batch (living only in its bucket)
+    // must survive a LATER upsert of that bucket from a FRESH store
+    // instance (process restart, empty cache) whose batch lacks the column
+    // — the cache re-seeds from ALL bucket dirs, so the merged read still
+    // carries it. Asserted against the bucket files (mergeSchema read);
+    // `read()`'s plain partition read is a separate, unchanged surface.
+    import spark.implicits._
+    val base = Files.createTempDirectory("dimstore_schema").toString
+    val store = new DimStore(spark, base)
+    store.upsert("t", (0L until 64L).map(k => (k, 1L, s"v$k")).toDF("k", "ts", "v"), "k", "ts")
+    // batch with a NEW column on key 3 (highest version for that key)
+    store.upsert("t", Seq((3L, 5L, "v3b", "extra3")).toDF("k", "ts", "v", "w"), "k", "ts")
+    def allBuckets() = {
+      val dirs = new java.io.File(s"$base/t").listFiles()
+        .filter(_.getName.startsWith("graft_bucket=")).map(_.getPath).toIndexedSeq
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+    // FRESH instance (restart, empty cache): an upsert that touches key 3's
+    // bucket with a batch LACKING w and an older version — the re-seeded
+    // superset schema must keep (ts=5, w=extra3) as key 3's winner
+    val store2 = new DimStore(spark, base)
+    store2.upsert("t", Seq((3L, 2L, "v3-stale")).toDF("k", "ts", "v"), "k", "ts")
+    val row3 = allBuckets().filter(col("k") === 3L).collect()
+    assert(row3.length == 1)
+    assert(row3.head.getAs[Long]("ts") == 5L && row3.head.getAs[String]("w") == "extra3",
+      "re-seeded cache must preserve the column living only in the touched bucket")
+    // same-instance follow-up over the now-cached schema: merge still exact
+    store2.upsert("t", Seq((3L, 9L, "v3c")).toDF("k", "ts", "v"), "k", "ts")
+    val row3b = allBuckets().filter(col("k") === 3L).collect()
+    assert(row3b.length == 1 && row3b.head.getAs[Long]("ts") == 9L)
+    assert(allBuckets().count() == 64)
+  }
 }
