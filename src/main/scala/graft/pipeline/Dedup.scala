@@ -207,8 +207,16 @@ object Dedup {
   def curationFunnel(spark: SparkSession, dir: String, benchBound: Long = 50,
                      threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // keyed spread (r15): the corpus scan is one split at test SF, and
+    // s1's checkpoint inherits it through the broadcast quality join — the
+    // exact-dedup fingerprint pass (lower/trim/regexp_replace/md5 per doc)
+    // then ran as ONE 1.85 s serial task (profiled, stage 53). Keyed on
+    // doc_id (unique → even) rather than round-robin: the keyless form
+    // pays a serial local SORT of the text rows before exchanging
+    // (SPARK-23207), re-serializing most of what the spread buys.
     val corpus = documents(spark, dir).filter(col("doc_id") >= benchBound)
       .select(col("doc_id"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
     val quality = graft.pipeline.TextPipeline.filterReasons(spark, dir)
       .filter(col("kept") === 1).select(col("doc_id"))
     val s1 = corpus.join(quality, "doc_id").localCheckpoint()
@@ -566,11 +574,12 @@ object Dedup {
   private def wordGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
     spread(spark, documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // graft_ngrams (r15): same grams in the same order as the old
+      // transform(sequence)/concat_ws tree (KernelSpec-asserted), minus
+      // the interpreted CodegenFallback per-element allocation; < n
+      // tokens → empty array, exactly the old when/otherwise branch
       .select(col("doc_id"),
-        when(size(col("toks")) >= n,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
-          .otherwise(array().cast("array<string>")).as("gram_arr"))
+        array_distinct(call_function("graft_ngrams", col("toks"), lit(n))).as("gram_arr"))
       .localCheckpoint()
       .select(col("doc_id"), explode(col("gram_arr")).as("gram"))
 
